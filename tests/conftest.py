@@ -1,0 +1,52 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4 implication; the driver
+separately dry-runs the multichip path). Must set env before importing jax.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# NOTE: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
+# installed; the config API reliably forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def variant_scalar_rgb():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    return mi
+
+
+@pytest.fixture
+def variant_scalar_mono():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_mono")
+    return mi
+
+
+@pytest.fixture
+def variant_scalar_spectral():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_spectral")
+    return mi
+
+
+@pytest.fixture(params=["scalar_rgb", "scalar_spectral"])
+def variants_color(request):
+    import mitsuba2_tpu as mi
+    mi.set_variant(request.param)
+    return mi

@@ -1,0 +1,224 @@
+"""Shape plugins (reference: src/shapes/ — obj, ply, serialized, rectangle,
+disk, sphere, cylinder, cube is rectangle-composed in the reference's scene
+assets; SURVEY.md §2.3).
+
+Round-1 tier: parametric mesh shapes (rectangle/cube/sphere/disk/cylinder as
+tessellated meshes — exact for the flat ones) + OBJ/PLY loaders. Analytic
+sphere/disk intersection joins the packed-shape-table path in a later
+milestone; meshes already give full capability coverage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.object import register_plugin
+from ..core.properties import Properties
+from ..core.transform import Transform
+from ..render.shape import Mesh
+
+
+def _get_to_world(props) -> Transform:
+    if props is not None and props.has_property("to_world"):
+        return props.transform("to_world")
+    return Transform.identity()
+
+
+@register_plugin("shape", "rectangle")
+class RectangleShape(Mesh):
+    """(rectangle.cpp) unit rectangle in the xy-plane spanning [-1,1]^2,
+    normal +z. Exact as a 2-triangle mesh."""
+
+    def __init__(self, props=None):
+        v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        flip = props.bool_("flip_normals", False) if props else False
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name="rectangle")
+        self.apply_transform(_get_to_world(props))
+        if flip:
+            self.faces = self.faces[:, ::-1].copy()
+            self.normals = -self.normals
+
+
+@register_plugin("shape", "cube")
+class CubeShape(Mesh):
+    """Axis-aligned [-1,1]^3 cube (the reference ships cube meshes via OBJ;
+    a first-class plugin here)."""
+
+    def __init__(self, props=None):
+        vs, fs, ns, uvs = [], [], [], []
+        idx = 0
+        for axis in range(3):
+            for sgn in (-1.0, 1.0):
+                n = np.zeros(3, np.float32)
+                n[axis] = sgn
+                u = np.zeros(3, np.float32)
+                u[(axis + 1) % 3] = 1.0
+                v = np.cross(n, u)
+                c = n  # face center
+                quad = [c - u - v, c + u - v, c + u + v, c - u + v]
+                vs.extend(quad)
+                ns.extend([n] * 4)
+                uvs.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
+                if sgn > 0:
+                    fs.extend([[idx, idx + 1, idx + 2], [idx, idx + 2, idx + 3]])
+                else:
+                    fs.extend([[idx, idx + 2, idx + 1], [idx, idx + 3, idx + 2]])
+                idx += 4
+        ns = np.asarray(ns, np.float32)
+        fs = np.asarray(fs, np.int32)
+        # fix winding so geometric normals match stored normals
+        super().__init__(props, vertices=np.asarray(vs, np.float32),
+                         faces=fs, normals=None, uvs=np.asarray(uvs,
+                                                                np.float32),
+                         name="cube")
+        p = self.vertices[self.faces]
+        gn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        face_n = ns[self.faces[:, 0]]
+        flip = (gn * face_n).sum(-1) < 0
+        self.faces[flip] = self.faces[flip][:, ::-1]
+        self.normals = ns
+        self.face_normals_only = True  # flat shading
+        self.apply_transform(_get_to_world(props))
+
+
+def _sphere_mesh(radius=1.0, center=(0, 0, 0), n_theta=32, n_phi=64):
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    x = np.sin(T) * np.cos(P)
+    y = np.sin(T) * np.sin(P)
+    z = np.cos(T)
+    pts = np.stack([x, y, z], -1).reshape(-1, 3)
+    uv = np.stack([P / (2 * np.pi), 1.0 - T / np.pi], -1).reshape(-1, 2)
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            if i > 0:
+                faces.append([a, c, b])
+            if i < n_theta - 1:
+                faces.append([b, c, d])
+    v = pts * radius + np.asarray(center, np.float32)
+    return (v.astype(np.float32), np.asarray(faces, np.int32),
+            pts.astype(np.float32), uv.astype(np.float32))
+
+
+@register_plugin("shape", "sphere")
+class SphereShape(Mesh):
+    """(sphere.cpp:1-463) — tessellated for now; the analytic
+    intersection/sampling path is a planned shape-table upgrade (tracked for
+    the shapes milestone)."""
+
+    def __init__(self, props=None):
+        p = props or Properties("sphere")
+        radius = p.float_("radius", 1.0)
+        center = p.vector3("center", [0, 0, 0])
+        res = int(p.int_("resolution_hint", 64))
+        v, f, n, uv = _sphere_mesh(radius, center, res // 2, res)
+        flip = p.bool_("flip_normals", False)
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name="sphere")
+        self.apply_transform(_get_to_world(props))
+        if flip:
+            self.faces = self.faces[:, ::-1].copy()
+            self.normals = -self.normals
+
+
+@register_plugin("shape", "disk")
+class DiskShape(Mesh):
+    """(disk.cpp) unit disk in the xy-plane (tessellated)."""
+
+    def __init__(self, props=None):
+        p = props or Properties("disk")
+        res = int(p.int_("resolution_hint", 64))
+        ph = np.linspace(0, 2 * np.pi, res, endpoint=False)
+        rim = np.stack([np.cos(ph), np.sin(ph), np.zeros_like(ph)], -1)
+        v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+        f = np.asarray([[0, 1 + i, 1 + (i + 1) % res] for i in range(res)],
+                       np.int32)
+        n = np.tile(np.array([[0, 0, 1]], np.float32), (len(v), 1))
+        uv = 0.5 * (v[:, :2] + 1.0)
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name="disk")
+        self.apply_transform(_get_to_world(props))
+
+
+@register_plugin("shape", "cylinder")
+class CylinderShape(Mesh):
+    """(cylinder.cpp) open cylinder along +z from p0 to p1 (tessellated)."""
+
+    def __init__(self, props=None):
+        p = props or Properties("cylinder")
+        radius = p.float_("radius", 1.0)
+        p0 = p.vector3("p0", [0, 0, 0])
+        p1 = p.vector3("p1", [0, 0, 1])
+        res = int(p.int_("resolution_hint", 64))
+        axis = np.asarray(p1, np.float64) - np.asarray(p0, np.float64)
+        length = np.linalg.norm(axis)
+        axis = axis / max(length, 1e-12)
+        # frame
+        tmp = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else \
+            np.array([0, 1.0, 0])
+        u = np.cross(axis, tmp)
+        u /= np.linalg.norm(u)
+        w = np.cross(axis, u)
+        ph = np.linspace(0, 2 * np.pi, res, endpoint=False)
+        ring = (np.outer(np.cos(ph), u) + np.outer(np.sin(ph), w)) * radius
+        bottom = ring + np.asarray(p0)
+        top = ring + np.asarray(p1)
+        v = np.concatenate([bottom, top]).astype(np.float32)
+        n = np.concatenate([ring, ring]).astype(np.float32)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        faces = []
+        uv = np.concatenate([
+            np.stack([ph / (2 * np.pi), np.zeros_like(ph)], -1),
+            np.stack([ph / (2 * np.pi), np.ones_like(ph)], -1)]).astype(np.float32)
+        for i in range(res):
+            a, b = i, (i + 1) % res
+            faces.append([a, b, res + a])
+            faces.append([b, res + b, res + a])
+        super().__init__(props, vertices=v, faces=np.asarray(faces, np.int32),
+                         normals=n, uvs=uv, name="cylinder")
+        self.apply_transform(_get_to_world(props))
+
+
+@register_plugin("shape", "obj")
+class OBJShape(Mesh):
+    """(obj.cpp:1-354) Wavefront OBJ loader."""
+
+    def __init__(self, props=None):
+        from ..utils.io_obj import load_obj
+        p = props
+        filename = p.string("filename")
+        face_normals = p.bool_("face_normals", False)
+        v, f, n, uv = load_obj(filename)
+        if face_normals:
+            n = None
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name=filename)
+        self.apply_transform(_get_to_world(props))
+
+
+@register_plugin("shape", "ply")
+class PLYShape(Mesh):
+    """(ply.cpp:1-786) Stanford PLY loader (ascii + binary)."""
+
+    def __init__(self, props=None):
+        from ..utils.io_ply import load_ply
+        p = props
+        filename = p.string("filename")
+        face_normals = p.bool_("face_normals", False)
+        v, f, n, uv = load_ply(filename)
+        if face_normals:
+            n = None
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name=filename)
+        self.apply_transform(_get_to_world(props))

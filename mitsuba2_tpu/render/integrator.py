@@ -1,0 +1,162 @@
+"""Integrator bases + the wavefront render drive.
+
+Parity: include/mitsuba/render/integrator.h:37-143. The reference has two
+drives — a TBB block loop (CPU, integrator.cpp:99-139) and a CUDA wavefront
+(integrator.cpp:140-172). The TPU build keeps ONE jitted wavefront: lanes =
+pixels x samples-per-pass, sharded across chips by parallel/ (SURVEY.md §2.4).
+``render_sample``'s pipeline (film sample -> sensor ray -> Li -> XYZ -> film
+splat, integrator.cpp:233-288) is the traced function body here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.object import Object
+from ..core import math as m
+from ..core import spectrum as spec_mod
+from ..render.film import ImageBlock
+from ..variants import current as current_variant
+
+
+class Integrator(Object):
+    """(integrator.h:37)"""
+
+    def render(self, scene, sensor=0, seed=0, spp=None):
+        raise NotImplementedError
+
+    def cancel(self):
+        pass
+
+
+class SamplingIntegrator(Integrator):
+    """(integrator.h:70) renders by Monte Carlo sampling a radiance
+    estimator `sample()` per film sample."""
+
+    # lanes per jitted pass — bounds the wavefront's HBM working set
+    MAX_WAVEFRONT = 1 << 20
+
+    def __init__(self, props=None):
+        super().__init__(props)
+
+    def aov_names(self):
+        return []
+
+    def sample(self, scene, sampler, state, ray, medium=None, active=True):
+        """-> (spectrum, valid_mask, aov list)."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ drive
+    def render(self, scene, sensor=0, seed=0, spp=None, develop=True):
+        if isinstance(sensor, int):
+            sensor = scene.sensors[sensor]
+        film = sensor.film
+        sampler = sensor.sampler
+        w, h = film.crop_size
+        if spp is None:
+            spp = sampler.sample_count
+        n_pixels = w * h
+        spp_per_pass = max(1, min(spp, self.MAX_WAVEFRONT // n_pixels))
+        while spp % spp_per_pass != 0:
+            spp_per_pass -= 1
+        n_passes = spp // spp_per_pass
+
+        n_aovs = len(self.aov_names())
+        block = ImageBlock((w, h), 3 + n_aovs, film.rfilter)
+
+        render_pass = jax.jit(
+            lambda s, base: self.render_wavefront(
+                scene, sensor, sampler, s, base, spp_per_pass, spp))
+
+        state = block.create()
+        for p in range(n_passes):
+            data = render_pass(jnp.uint32(seed),
+                               jnp.uint32(p * spp_per_pass))
+            state = state._replace(data=state.data + data)
+        image = block.develop(state)
+        if develop:
+            return image
+        return state
+
+    def render_wavefront(self, scene, sensor, sampler, seed, sample_base,
+                         spp_pass, spp_total):
+        """One jitted pass over w*h*spp_pass lanes; returns the image block
+        accumulation buffer for this pass."""
+        film = sensor.film
+        w, h = film.crop_size
+        n_pixels = w * h
+        n = n_pixels * spp_pass
+        var = current_variant()
+        dt = var.dtype
+
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pixel_id = lane // jnp.uint32(spp_pass)
+        sample_id = lane % jnp.uint32(spp_pass) + sample_base
+        px = (pixel_id % jnp.uint32(w)).astype(dt)
+        py = (pixel_id // jnp.uint32(w)).astype(dt)
+
+        state = sampler.seed(seed, pixel_id, sample_id)
+
+        # film sample position (integrator.cpp:250-258)
+        jitter, state = sampler.next_2d(state)
+        pos_px = jnp.stack([px, py], -1) + jitter
+        pos01 = pos_px / jnp.asarray([w, h], dt)
+
+        # sensor ray
+        ap_sample, state = sampler.next_2d(state)
+        time_sample, state = sampler.next_1d(state)
+        wav_sample, state = sampler.next_1d(state)
+        time = sensor.shutter_open
+        if sensor.shutter_close != sensor.shutter_open:
+            time = sensor.shutter_open + time_sample \
+                * (sensor.shutter_close - sensor.shutter_open)
+        ray, ray_weight = sensor.sample_ray(time, wav_sample, pos01,
+                                            ap_sample, True)
+
+        spec, valid, aovs = self.sample(scene, sampler, state, ray)
+        spec = spec * ray_weight
+
+        # -> working RGB (integrator.cpp:269-277)
+        if var.is_spectral:
+            xyz = spec_mod.spectrum_to_xyz(spec, ray.wavelengths)
+            rgb = spec_mod.xyz_to_srgb(xyz)
+        elif var.is_monochromatic:
+            rgb = jnp.repeat(spec, 3, axis=-1)
+        else:
+            rgb = spec
+        values = rgb if not aovs else jnp.concatenate(
+            [rgb] + [a[..., None] for a in aovs], axis=-1)
+
+        n_aovs = len(self.aov_names())
+        block = ImageBlock((w, h), 3 + n_aovs, film.rfilter)
+        bstate = block.create()
+        bstate = block.put(bstate, pos_px, values)
+        return bstate.data
+
+    def should_stop(self):
+        return False
+
+
+class MonteCarloIntegrator(SamplingIntegrator):
+    """(integrator.h:143) adds max_depth / rr_depth handling
+    (integrator.cpp:302-315)."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.max_depth = int(p.int_("max_depth", -1)) if p else -1
+        self.rr_depth = int(p.int_("rr_depth", 5)) if p else 5
+        if self.max_depth < 0:
+            if self.max_depth != -1:
+                raise RuntimeError("max_depth must be >= 0 or -1")
+            # unbounded depth: RR terminates lanes; hard cap for safety
+            self.max_depth = 1024
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power-2 MIS heuristic (path.cpp:223-227)."""
+    pdf_a = pdf_a * pdf_a
+    pdf_b = pdf_b * pdf_b
+    return m.safe_div(pdf_a, pdf_a + pdf_b, 0.0)

@@ -1,0 +1,423 @@
+"""Scene: geometry packing, intersection, emitter sampling.
+
+Parity: include/mitsuba/render/scene.h:12 (ray_intersect / ray_test /
+sample_emitter_direction / pdf_emitter_direction with uniform emitter picking,
+scene.cpp:165-214) — re-designed for TPU:
+
+- all meshes pack into global per-face SoA device tables at construction
+  (corner attributes pre-gathered — one indirection instead of vertex-index
+  chasing),
+- intersection runs the fused Moller-Trumbore scan from ops/intersect.py
+  (Pallas/BVH variants swap in behind the same interface),
+- BSDF/emitter virtual calls become masked per-instance evaluation over the
+  wavefront (bsdf.h:522-532's lane partitioning, done with `where`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.object import Object
+from ..core import math as m
+from ..core.frame import Frame
+from ..render.interaction import SurfaceInteraction, PreliminaryIntersection
+from ..render.records import DirectionSample
+from ..render.emitter import EmitterFlags
+from ..ops import intersect as isect_ops
+from ..variants import current as current_variant
+
+
+class GeometryTables(NamedTuple):
+    """Packed device geometry (the role of Mesh's SoA buffers, mesh.h:48-60,
+    merged scene-wide)."""
+    v0: jnp.ndarray          # (F,3)
+    e1: jnp.ndarray          # (F,3)
+    e2: jnp.ndarray          # (F,3)
+    ng: jnp.ndarray          # (F,3) geometric normal (unit)
+    n0: jnp.ndarray          # (F,3) corner shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray         # (F,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    dp_du: jnp.ndarray       # (F,3) uv-parameterization tangents
+    dp_dv: jnp.ndarray
+    face_shape: jnp.ndarray  # (F,) int32
+    shape_bsdf: jnp.ndarray  # (S,) int32
+    shape_emitter: jnp.ndarray  # (S,) int32 (-1 none)
+
+
+class Scene(Object):
+    def __init__(self, props=None, shapes=None, sensors=None, emitters=None,
+                 integrator=None):
+        super().__init__(props)
+        self.shapes = list(shapes or [])
+        self.sensors = list(sensors or [])
+        self.emitters = list(emitters or [])
+        self.integrator = integrator
+        if props is not None:
+            for _, obj in props.objects():
+                kind = getattr(obj, "plugin_category", "")
+                if kind == "shape":
+                    for o in obj.expand():
+                        self.shapes.append(o)
+                elif kind == "sensor":
+                    self.sensors.append(obj)
+                elif kind == "emitter":
+                    self.emitters.append(obj)
+                elif kind == "integrator":
+                    self.integrator = obj
+        # collect shape-attached emitters (scene.cpp:22-59 classification)
+        for s in self.shapes:
+            if s.emitter is not None and s.emitter not in self.emitters:
+                self.emitters.append(s.emitter)
+        self.environment_emitter = None
+        for e in self.emitters:
+            if e.is_environment():
+                if self.environment_emitter is not None:
+                    raise RuntimeError("only one environment emitter allowed")
+                self.environment_emitter = e
+        self._compile()
+
+    # ------------------------------------------------------------------ build
+    def _compile(self):
+        # unique BSDF instances
+        self.bsdfs = []
+        bsdf_index = {}
+        for s in self.shapes:
+            if s.bsdf is None:
+                from ..models.bsdfs import SmoothDiffuse
+                s.bsdf = SmoothDiffuse()
+            if id(s.bsdf) not in bsdf_index:
+                bsdf_index[id(s.bsdf)] = len(self.bsdfs)
+                self.bsdfs.append(s.bsdf)
+        for i, e in enumerate(self.emitters):
+            e._emitter_index = i
+
+        v0s, e1s, e2s, ngs = [], [], [], []
+        n0s, n1s, n2s = [], [], []
+        uv0s, uv1s, uv2s = [], [], []
+        dpdus, dpdvs = [], []
+        face_shape = []
+        shape_bsdf = []
+        shape_emitter = []
+        bb_min = np.full(3, np.inf)
+        bb_max = np.full(3, -np.inf)
+        for si_idx, s in enumerate(self.shapes):
+            if not s.is_mesh():
+                raise NotImplementedError(
+                    f"non-mesh shape {type(s).__name__} not yet supported")
+            p = s.vertices[s.faces]                      # (f,3,3)
+            v0 = p[:, 0]
+            e1 = p[:, 1] - p[:, 0]
+            e2 = p[:, 2] - p[:, 0]
+            fn = np.cross(e1, e2)
+            ng = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
+                                 1e-20)
+            if s.normals is not None and not s.face_normals_only:
+                ns = s.normals[s.faces]                  # (f,3,3)
+            else:
+                ns = np.repeat(ng[:, None, :], 3, axis=1)
+            if s.uvs is not None:
+                uvs = s.uvs[s.faces]                     # (f,3,2)
+            else:
+                uvs = np.zeros((len(v0), 3, 2), np.float32)
+                uvs[:, 1, 0] = 1.0
+                uvs[:, 2, 1] = 1.0
+            # uv-parameterization tangents: solve [e1;e2] = J * [duv1;duv2]
+            duv1 = uvs[:, 1] - uvs[:, 0]
+            duv2 = uvs[:, 2] - uvs[:, 0]
+            det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+            ok = np.abs(det) > 1e-9
+            inv = np.where(ok, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+            dp_du = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
+            dp_dv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv[:, None]
+            dp_du = np.where(ok[:, None], dp_du, e1)
+            dp_dv = np.where(ok[:, None], dp_dv, e2)
+            v0s.append(v0); e1s.append(e1); e2s.append(e2); ngs.append(ng)
+            n0s.append(ns[:, 0]); n1s.append(ns[:, 1]); n2s.append(ns[:, 2])
+            uv0s.append(uvs[:, 0]); uv1s.append(uvs[:, 1]); uv2s.append(uvs[:, 2])
+            dpdus.append(dp_du); dpdvs.append(dp_dv)
+            face_shape.append(np.full(len(v0), si_idx, np.int32))
+            shape_bsdf.append(bsdf_index[id(s.bsdf)])
+            em = -1
+            if s.emitter is not None:
+                em = s.emitter._emitter_index
+            shape_emitter.append(em)
+            lo, hi = s.bbox()
+            bb_min = np.minimum(bb_min, lo)
+            bb_max = np.maximum(bb_max, hi)
+
+        if not v0s:
+            # degenerate dummy face/shape so gathers stay well-formed in
+            # geometry-free scenes (e1 = e2 = 0 can never be hit)
+            z3 = np.zeros((1, 3), np.float32)
+            z2 = np.zeros((1, 2), np.float32)
+            v0s, e1s, e2s = [z3], [z3], [z3]
+            ngs = [np.asarray([[0, 0, 1]], np.float32)]
+            n0s = n1s = n2s = ngs
+            uv0s, uv1s, uv2s = [z2], [z2], [z2]
+            dpdus = dpdvs = [z3]
+            face_shape = [np.zeros(1, np.int32)]
+            shape_bsdf = [0]
+            shape_emitter = [-1]
+            if not self.bsdfs:
+                from ..models.bsdfs import SmoothDiffuse
+                self.bsdfs.append(SmoothDiffuse())
+
+        def cat(xs, dtype=np.float32):
+            return jnp.asarray(np.concatenate(xs).astype(dtype))
+
+        self.geom = GeometryTables(
+            v0=cat(v0s), e1=cat(e1s), e2=cat(e2s), ng=cat(ngs),
+            n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
+            uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
+            dp_du=cat(dpdus), dp_dv=cat(dpdvs),
+            face_shape=jnp.asarray(np.concatenate(face_shape)
+                                   if face_shape else
+                                   np.zeros(0, np.int32)),
+            shape_bsdf=jnp.asarray(np.asarray(shape_bsdf, np.int32)),
+            shape_emitter=jnp.asarray(np.asarray(shape_emitter, np.int32)))
+        self._bb_min = bb_min
+        self._bb_max = bb_max
+
+        # emitter device tables
+        for e in self.emitters:
+            if hasattr(e, "prepare"):
+                e.prepare(self)
+            e.set_scene(self)
+
+    def bounding_sphere(self):
+        if not (np.all(np.isfinite(self._bb_min))
+                and np.all(np.isfinite(self._bb_max))):
+            return jnp.zeros(3, jnp.float32), 1.0
+        c = 0.5 * (self._bb_min + self._bb_max)
+        r = float(np.linalg.norm(self._bb_max - c))
+        return jnp.asarray(c, jnp.float32), max(r, 1e-3)
+
+    def bbox(self):
+        return self._bb_min, self._bb_max
+
+    # ------------------------------------------------------------ intersection
+    def ray_intersect_preliminary(self, ray, active=None):
+        g = self.geom
+        maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
+                                                         -jnp.inf)
+        pi = isect_ops.ray_intersect_packets(
+            g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+        shape_idx = jnp.where(
+            pi.prim_idx >= 0,
+            g.face_shape[jnp.maximum(pi.prim_idx, 0)], -1)
+        return pi._replace(shape_idx=shape_idx)
+
+    def compute_surface_interaction(self, ray, pi: PreliminaryIntersection,
+                                    active=None) -> SurfaceInteraction:
+        g = self.geom
+        valid = pi.is_valid()
+        f = jnp.maximum(pi.prim_idx, 0)
+        bu = pi.prim_uv[..., 0]
+        bv = pi.prim_uv[..., 1]
+        w0 = (1.0 - bu - bv)[..., None]
+        wu = bu[..., None]
+        wv = bv[..., None]
+        p = g.v0[f] + g.e1[f] * wu + g.e2[f] * wv
+        ng = g.ng[f]
+        ns = m.normalize(g.n0[f] * w0 + g.n1[f] * wu + g.n2[f] * wv)
+        uv = g.uv0[f] * w0 + g.uv1[f] * wu + g.uv2[f] * wv
+        # Gram-Schmidt dp_du against the shading normal (mesh.cpp:463)
+        dp_du = g.dp_du[f]
+        dp_dv = g.dp_dv[f]
+        s_axis = m.normalize(dp_du - ns * m.dot(ns, dp_du, keepdims=True))
+        # guard degenerate tangents
+        deg = m.squared_norm(s_axis) < 0.5
+        fallback_s, fallback_t = m.coordinate_system(ns)
+        s_axis = jnp.where(deg[..., None], fallback_s, s_axis)
+        t_axis = m.normalize(m.cross(ns, s_axis))
+        frame = Frame(s_axis, t_axis, ns)
+        wi = frame.to_local(-ray.d)
+        si = SurfaceInteraction(
+            t=jnp.where(valid, pi.t, jnp.inf),
+            p=p, n=ng, sh_frame=frame, uv=uv, wi=wi,
+            dp_du=dp_du, dp_dv=dp_dv,
+            shape_idx=jnp.where(valid, pi.shape_idx, -1),
+            prim_idx=pi.prim_idx,
+            wavelengths=ray.wavelengths, time=ray.time)
+        return si
+
+    def ray_intersect(self, ray, active=None) -> SurfaceInteraction:
+        """(scene.h:38) closest-hit query returning a full interaction."""
+        pi = self.ray_intersect_preliminary(ray, active)
+        return self.compute_surface_interaction(ray, pi, active)
+
+    def ray_test(self, ray, active=None):
+        """(scene.h ray_test) occlusion query."""
+        g = self.geom
+        maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
+                                                         -jnp.inf)
+        return isect_ops.ray_test_packets(
+            g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+
+    # ------------------------------------------------------- emitter sampling
+    def emitter_index_at(self, si):
+        """Emitter id for surface hits / environment misses (role of
+        si.emitter(scene), interaction.h)."""
+        g = self.geom
+        surf = jnp.where(si.shape_idx >= 0,
+                         g.shape_emitter[jnp.maximum(si.shape_idx, 0)], -1)
+        if self.environment_emitter is not None:
+            env_idx = self.environment_emitter._emitter_index
+            return jnp.where(si.is_valid(), surf, env_idx)
+        return jnp.where(si.is_valid(), surf, -1)
+
+    def eval_emitter(self, si, ray_d, active):
+        """Radiance of the emitter seen by si (or the environment for
+        misses), zero otherwise."""
+        nch = current_variant().n_channels
+        n = si.t.shape[0]
+        out = jnp.zeros((n, nch), si.t.dtype)
+        em_idx = self.emitter_index_at(si)
+        for i, e in enumerate(self.emitters):
+            mask = jnp.asarray(active) & (em_idx == i)
+            if e.is_environment():
+                # miss lanes: build a pseudo-interaction carrying -ray_d
+                frame = Frame.from_normal(-ray_d)
+                si_env = si._replace(wi=frame.to_local(-ray_d),
+                                     sh_frame=frame,
+                                     uv=_env_uv(ray_d))
+                val = e.eval(si_env, mask)
+            else:
+                val = e.eval(si, mask)
+            out = jnp.where(mask[..., None], val, out)
+        return out
+
+    def sample_emitter_direction(self, si, sample, test_visibility, active):
+        """(scene.cpp:165-214) uniform emitter pick + per-emitter
+        sample_direction + optional shadow ray."""
+        n = si.t.shape[0]
+        nch = current_variant().n_channels
+        n_em = len(self.emitters)
+        from ..models.emitters import _zero_ds
+        if n_em == 0:
+            return _zero_ds(n, si.t.dtype), jnp.zeros((n, nch), si.t.dtype)
+        if n_em == 1:
+            ds, spec = self.emitters[0].sample_direction(si, sample, active)
+        else:
+            emitter_pdf = 1.0 / n_em
+            index = jnp.minimum((sample[..., 0] * n_em).astype(jnp.int32),
+                                n_em - 1)
+            sample = sample.at[..., 0].set(
+                sample[..., 0] * n_em - index.astype(sample.dtype))
+            ds = _zero_ds(n, si.t.dtype)
+            spec = jnp.zeros((n, nch), si.t.dtype)
+            for i, e in enumerate(self.emitters):
+                mask = jnp.asarray(active) & (index == i)
+                ds_i, spec_i = e.sample_direction(si, sample, mask)
+                ds = _tree_where(mask, ds_i, ds)
+                spec = jnp.where(mask[..., None], spec_i, spec)
+            ds = ds._replace(pdf=ds.pdf * emitter_pdf)
+            spec = spec * n_em
+        active = jnp.asarray(active) & (ds.pdf != 0)
+        if test_visibility:
+            ray, _ = _shadow_ray(si, ds)
+            occluded = self.ray_test(ray, active)
+            spec = jnp.where((jnp.asarray(active) & ~occluded)[..., None],
+                             spec, 0.0)
+        else:
+            spec = jnp.where(jnp.asarray(active)[..., None], spec, 0.0)
+        return ds, spec
+
+    # ---------------------------------------------------------- bsdf dispatch
+    # Role of Enoki's vectorized vcalls (bsdf.h:522-532): evaluate each BSDF
+    # instance masked by its lanes and blend. Instances present is static.
+    def bsdf_index_at(self, si):
+        g = self.geom
+        return jnp.where(si.shape_idx >= 0,
+                         g.shape_bsdf[jnp.maximum(si.shape_idx, 0)], -1)
+
+    def bsdf_flags_at(self, si):
+        """Per-lane uint32 BSDFFlags of the lane's BSDF."""
+        flags = jnp.asarray(
+            np.asarray([int(b.flags()) for b in self.bsdfs], np.uint32))
+        idx = self.bsdf_index_at(si)
+        return jnp.where(idx >= 0, flags[jnp.maximum(idx, 0)], 0)
+
+    def bsdf_eval(self, ctx, si, wo, active):
+        nch = current_variant().n_channels
+        out = jnp.zeros(si.t.shape + (nch,), si.t.dtype)
+        idx = self.bsdf_index_at(si)
+        for i, b in enumerate(self.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            out = jnp.where(mask[..., None], b.eval(ctx, si, wo, mask), out)
+        return out
+
+    def bsdf_pdf(self, ctx, si, wo, active):
+        out = jnp.zeros(si.t.shape, si.t.dtype)
+        idx = self.bsdf_index_at(si)
+        for i, b in enumerate(self.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            out = jnp.where(mask, b.pdf(ctx, si, wo, mask), out)
+        return out
+
+    def bsdf_sample(self, ctx, si, sample1, sample2, active):
+        from ..render.bsdf import zero_bsdf_sample
+        n = si.t.shape[0]
+        nch = current_variant().n_channels
+        bs = zero_bsdf_sample(n, si.t.dtype)
+        value = jnp.zeros((n, nch), si.t.dtype)
+        idx = self.bsdf_index_at(si)
+        for i, b in enumerate(self.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            bs_i, val_i = b.sample(ctx, si, sample1, sample2, mask)
+            bs = _tree_where(mask, bs_i, bs)
+            value = jnp.where(mask[..., None], val_i, value)
+        return bs, value
+
+    def pdf_emitter_direction(self, si, ds, active):
+        """(scene.cpp pdf_emitter_direction) solid-angle density of
+        sample_emitter_direction for MIS."""
+        n_em = len(self.emitters)
+        if n_em == 0:
+            return jnp.zeros(si.t.shape, si.t.dtype)
+        pdf = jnp.zeros(si.t.shape, si.t.dtype)
+        for i, e in enumerate(self.emitters):
+            mask = jnp.asarray(active) & (ds.emitter_idx == i)
+            pdf = jnp.where(mask, e.pdf_direction(si, ds, mask), pdf)
+        return pdf * (1.0 / n_em)
+
+    def traverse(self, cb):
+        for i, s in enumerate(self.shapes):
+            cb.put_object(s.id or f"shape_{i}", s)
+        for i, e in enumerate(self.emitters):
+            if e.shape is None:
+                cb.put_object(e.id or f"emitter_{i}", e)
+        for i, s in enumerate(self.sensors):
+            cb.put_object(s.id or f"sensor_{i}", s)
+
+
+def _tree_where(mask, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)), x, y),
+        a, b)
+
+
+def _shadow_ray(si, ds):
+    """Shadow ray with Ray/ShadowEpsilon offsets (scene.cpp:204-206)."""
+    from ..core.ray import Ray
+    mint = m.RayEpsilon * (1.0 + jnp.max(jnp.abs(si.p), axis=-1))
+    maxt = ds.dist * (1.0 - m.ShadowEpsilon)
+    ray = Ray.make(si.p, ds.d, mint=mint, maxt=maxt, time=si.time,
+                   wavelengths=si.wavelengths)
+    return ray, ds.dist
+
+
+def _env_uv(d):
+    """Lat-long parameterization of a direction (envmap.cpp convention)."""
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * m.InvTwoPi + 0.5
+    v = m.safe_acos(d[..., 1]) * m.InvPi
+    return jnp.stack([u, v], axis=-1)

@@ -57,7 +57,6 @@ class _SpectrumData:
         return vals
 
 
-@register_plugin("texture", "constant")
 @register_plugin("texture", "srgb")
 class ConstantTexture(Texture):
     """Uniform color, stored as sRGB-upsampled reflectance in spectral mode

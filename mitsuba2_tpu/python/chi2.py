@@ -55,7 +55,15 @@ class ChiSquareTest:
         key = _rng.lane_key(self.seed, idx)
         dims = [ _rng.uniform_float(key, d) for d in range(self.sample_dim) ]
         sample = jnp.stack(dims, axis=-1)
-        ps = self.sample_func(sample)
+        out = self.sample_func(sample)
+        # sample_func may return (positions, weights) — weighted histograms,
+        # used to drop invalid samples (reference chi2.py:100-126)
+        if isinstance(out, tuple):
+            ps, weights = out
+            weights = np.asarray(weights, np.float64)
+        else:
+            ps = out
+            weights = None
         xy = self.domain.map_backward(ps)
         xy = np.asarray(xy, np.float64)
         (xmin, xmax), (ymin, ymax) = self.domain.bounds()
@@ -63,10 +71,10 @@ class ChiSquareTest:
         ny = self.res
         h, _, _ = np.histogram2d(
             xy[:, 1], xy[:, 0], bins=[ny, int(nx)],
-            range=[[ymin, ymax], [xmin, xmax]])
+            range=[[ymin, ymax], [xmin, xmax]], weights=weights)
         self.histogram = h
         hist_sum = h.sum()
-        if hist_sum > self.sample_count * 1.0 + 0.5:
+        if hist_sum > self.sample_count * 1.1:
             self.fail = True
             self._log(f"histogram sum {hist_sum} exceeds sample count")
         return h

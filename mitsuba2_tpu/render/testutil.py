@@ -43,9 +43,10 @@ def make_bsdf_adapter(bsdf_type, extra: dict | None = None, wi=(0, 0, 1),
         si = dummy_si(n, wi, u.dtype)
         u1 = u[..., 2] if u.shape[-1] > 2 else jnp.zeros((n,), u.dtype)
         bs, value = bsdf.sample(ctx, si, u1, u[..., :2], jnp.ones((n,), bool))
-        ok = jnp.any(value > 0, axis=-1) & (bs.pdf > 0)
-        # invalid samples park at a sentinel outside the domain
-        return jnp.where(ok[..., None], bs.wo, 0.0)
+        # zero-valued samples drop out via histogram weights
+        # (reference chi2.py BSDFAdapter:516-519)
+        w = jnp.where(jnp.all(value == 0, axis=-1), 0.0, 1.0)
+        return bs.wo, w
 
     def pdf_func(wo):
         n = wo.shape[0]

@@ -283,3 +283,330 @@ class ConstantEmitter(Emitter):
 
     def traverse(self, cb):
         cb.put_object("radiance", self.radiance)
+
+
+# =============================================================================
+# envmap (envmap.cpp:1-334), directional, spot, projector
+# =============================================================================
+
+from ..core.transform import Transform
+from ..core import spectrum as spec_mod
+
+
+@register_plugin("emitter", "envmap")
+class EnvironmentMap(Emitter):
+    """(envmap.cpp) lat-long environment map with Hierarchical2D importance
+    sampling over sin-theta-weighted luminance (envmap.cpp:67)."""
+
+    def __init__(self, props=None, data=None, scale=1.0):
+        super().__init__(props)
+        if props is not None:
+            from ..utils import io_image
+            filename = props.string("filename")
+            data = io_image.read_image(filename)
+            scale = props.float_("scale", 1.0)
+            self.to_world = props.transform("to_world", Transform.identity())
+        else:
+            self.to_world = Transform.identity()
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = data[..., None]
+        if data.shape[-1] == 1:
+            data = np.repeat(data, 3, -1)
+        data = data[..., :3] * scale
+        self.scale = scale
+        from .textures import BitmapTexture
+        self.bitmap = BitmapTexture(data=data)
+        h, w = data.shape[0], data.shape[1]
+        self.res = (w, h)
+        # importance table: luminance * sin(theta) at texel vertices
+        lum = (0.212671 * data[..., 0] + 0.715160 * data[..., 1]
+               + 0.072169 * data[..., 2])
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        weight = lum * np.sin(theta)[:, None]
+        from ..core.distr_2d import Hierarchical2D
+        self.warp = Hierarchical2D.create(jnp.asarray(weight))
+        self.m_flags = EmitterFlags.Infinite | EmitterFlags.SpatiallyVarying
+        self.to_local_t = self.to_world.inverse()
+
+    def _dir_to_uv(self, d_world):
+        d = self.to_local_t.transform_vector(d_world)
+        d = m.normalize(d)
+        u = jnp.arctan2(d[..., 0], -d[..., 2]) * m.InvTwoPi + 0.5
+        v = m.safe_acos(jnp.clip(d[..., 1], -1.0, 1.0)) * m.InvPi
+        return jnp.stack([u, v], axis=-1)
+
+    def _uv_to_dir(self, uv):
+        phi = (uv[..., 0] - 0.5) * m.TwoPi
+        theta = uv[..., 1] * m.Pi
+        st = jnp.sin(theta)
+        d = m.vec3(st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi))
+        return m.normalize(self.to_world.transform_vector(d)), st
+
+    def _radiance_at_uv(self, uv, it_or_si, active):
+        si = _si_on_emitter(
+            jnp.zeros(uv.shape[:-1] + (3,), uv.dtype),
+            jnp.zeros(uv.shape[:-1] + (3,), uv.dtype).at[..., 2].set(1.0),
+            uv, jnp.zeros(uv.shape[:-1] + (3,), uv.dtype).at[..., 2].set(1.0),
+            it_or_si)
+        return self.bitmap.eval(si, active)
+
+    def eval(self, si, active):
+        uv = self._dir_to_uv(-si.to_world(si.wi))
+        val = self._radiance_at_uv(uv, si, active)
+        return jnp.where(jnp.asarray(active)[..., None], val, 0.0)
+
+    def sample_direction(self, it, sample, active):
+        n = it.p.shape[0]
+        uv, pdf_uv = self.warp.sample(sample)
+        d, st = self._uv_to_dir(uv)
+        # uv-area to solid-angle: dA_uv/dOmega = 1/(2 pi^2 sin(theta))
+        pdf = m.safe_div(pdf_uv, 2.0 * m.Pi * m.Pi * st, 0.0)
+        center, radius = self._scene_bsphere or (jnp.zeros(3), 1.0)
+        dist = 2.0 * radius + m.norm(it.p - center)
+        ds = DirectionSample(
+            p=it.p + d * dist[..., None], n=-d, uv=uv, time=it.time,
+            pdf=pdf, delta=jnp.zeros((n,), bool), d=d, dist=dist,
+            emitter_idx=jnp.full((n,), getattr(self, "_emitter_index", 0),
+                                 jnp.int32))
+        val = self._radiance_at_uv(uv, it, active)
+        spec = val * m.safe_div(1.0, pdf, 0.0)[..., None]
+        ok = jnp.asarray(active) & (pdf > 0)
+        return ds, jnp.where(ok[..., None], spec, 0.0)
+
+    def pdf_direction(self, it, ds, active):
+        uv = self._dir_to_uv(ds.d)
+        pdf_uv = self.warp.eval(uv)
+        st = jnp.sin(uv[..., 1] * m.Pi)
+        return m.safe_div(pdf_uv, 2.0 * m.Pi * m.Pi * st, 0.0)
+
+    def sample_ray(self, time, sample1, sample2, sample3, active):
+        raise NotImplementedError("envmap sample_ray: bidirectional only")
+
+    def traverse(self, cb):
+        cb.put_object("data", self.bitmap)
+
+
+@register_plugin("emitter", "directional")
+class DirectionalEmitter(Emitter):
+    """(directional.cpp:1-172) delta-direction distant emitter."""
+
+    def __init__(self, props=None, direction=None, irradiance=1.0):
+        super().__init__(props)
+        if props is not None:
+            d = props.vector3("direction", [0, 0, 1])
+            if props.has_property("to_world"):
+                tw = props.transform("to_world")
+                d = np.asarray(tw.matrix)[:3, 2]
+            self.irradiance = props.texture_d65("irradiance", 1.0)
+        else:
+            d = np.asarray(direction if direction is not None else [0, 0, 1],
+                           np.float32)
+            from .textures import ConstantTexture
+            self.irradiance = ConstantTexture(color=irradiance)
+        self.direction = jnp.asarray(d / np.linalg.norm(d), jnp.float32)
+        self.m_flags = EmitterFlags.Infinite | EmitterFlags.DeltaDirection
+
+    def eval(self, si, active):
+        nch = current_variant().n_channels
+        return jnp.zeros(si.t.shape + (nch,), si.t.dtype)
+
+    def sample_direction(self, it, sample, active):
+        n = it.p.shape[0]
+        d = jnp.broadcast_to(-self.direction, it.p.shape)
+        center, radius = self._scene_bsphere or (jnp.zeros(3), 1.0)
+        dist = 2.0 * radius + m.norm(it.p - center)
+        ds = DirectionSample(
+            p=it.p + d * dist[..., None], n=jnp.broadcast_to(self.direction,
+                                                             it.p.shape),
+            uv=jnp.zeros((n, 2), it.p.dtype), time=it.time,
+            pdf=jnp.ones((n,), it.p.dtype), delta=jnp.ones((n,), bool),
+            d=d, dist=dist,
+            emitter_idx=jnp.full((n,), getattr(self, "_emitter_index", 0),
+                                 jnp.int32))
+        si = _si_on_emitter(ds.p, self.direction + jnp.zeros_like(d),
+                            ds.uv, d, it)
+        spec = self.irradiance.eval(si, active)
+        return ds, jnp.where(jnp.asarray(active)[..., None], spec, 0.0)
+
+    def pdf_direction(self, it, ds, active):
+        return jnp.zeros(ds.pdf.shape, ds.pdf.dtype)
+
+    def sample_ray(self, time, sample1, sample2, sample3, active):
+        raise NotImplementedError
+
+    def traverse(self, cb):
+        cb.put_object("irradiance", self.irradiance)
+
+
+@register_plugin("emitter", "spot")
+class SpotEmitter(Emitter):
+    """(spot.cpp:1-203) point light with linear-falloff cone."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.intensity = p.texture_d65("intensity", 1.0) if p else None
+        if self.intensity is None:
+            from .textures import ConstantTexture
+            self.intensity = ConstantTexture(color=1.0)
+        cutoff = p.float_("cutoff_angle", 20.0) if p else 20.0
+        beam = p.float_("beam_width", cutoff * 0.75) if p else cutoff * 0.75
+        self.cutoff_angle = np.deg2rad(cutoff)
+        self.beam_width = np.deg2rad(beam)
+        self.cos_cutoff = float(np.cos(self.cutoff_angle))
+        self.cos_beam = float(np.cos(self.beam_width))
+        self.inv_transition_width = 1.0 / max(
+            self.cutoff_angle - self.beam_width, 1e-6)
+        self.texture = p.texture("texture", 1.0) if (
+            p is not None and p.has_property("texture")) else None
+        tw = p.transform("to_world", Transform.identity()) if p else \
+            Transform.identity()
+        self.to_world = tw
+        self.to_local = tw.inverse()
+        self.position = jnp.asarray(np.asarray(tw.matrix)[:3, 3], jnp.float32)
+        self.m_flags = EmitterFlags.DeltaPosition
+
+    def _falloff(self, d_world, active):
+        """Angular falloff (spot.cpp falloff_curve)."""
+        local = self.to_local.transform_vector(d_world)
+        local = m.normalize(local)
+        ct = local[..., 2]
+        angle = m.safe_acos(ct)
+        falloff = jnp.clip((self.cutoff_angle - angle)
+                           * self.inv_transition_width, 0.0, 1.0)
+        falloff = jnp.where(ct >= self.cos_beam, 1.0, falloff)
+        falloff = jnp.where(ct <= self.cos_cutoff, 0.0, falloff)
+        if self.texture is not None:
+            uv = jnp.stack([
+                0.5 + 0.5 * m.safe_div(local[..., 0], local[..., 2], 0.0),
+                0.5 + 0.5 * m.safe_div(local[..., 1], local[..., 2], 0.0)],
+                axis=-1)
+            si = _si_on_emitter(jnp.zeros_like(d_world),
+                                jnp.zeros_like(d_world).at[..., 2].set(1.0),
+                                uv,
+                                jnp.zeros_like(d_world).at[..., 2].set(1.0),
+                                None,
+                                time=jnp.zeros(d_world.shape[:-1],
+                                               d_world.dtype),
+                                wavelengths=jnp.zeros(
+                                    d_world.shape[:-1] + (0,), d_world.dtype))
+            return falloff[..., None] * self.texture.eval(si, active)
+        return falloff[..., None]
+
+    def eval(self, si, active):
+        nch = current_variant().n_channels
+        return jnp.zeros(si.t.shape + (nch,), si.t.dtype)
+
+    def sample_direction(self, it, sample, active):
+        n = it.p.shape[0]
+        d = self.position - it.p
+        dist2 = m.squared_norm(d)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+        d = d / dist[..., None]
+        ds = DirectionSample(
+            p=jnp.broadcast_to(self.position, it.p.shape),
+            n=jnp.zeros_like(it.p), uv=jnp.zeros((n, 2), it.p.dtype),
+            time=it.time, pdf=jnp.ones((n,), it.p.dtype),
+            delta=jnp.ones((n,), bool), d=d, dist=dist,
+            emitter_idx=jnp.full((n,), getattr(self, "_emitter_index", 0),
+                                 jnp.int32))
+        si = _si_on_emitter(ds.p, -d, ds.uv, -d, it)
+        falloff = self._falloff(-d, active)
+        spec = self.intensity.eval(si, active) * falloff / dist2[..., None]
+        return ds, jnp.where(jnp.asarray(active)[..., None], spec, 0.0)
+
+    def pdf_direction(self, it, ds, active):
+        return jnp.zeros(ds.pdf.shape, ds.pdf.dtype)
+
+    def sample_ray(self, time, sample1, sample2, sample3, active):
+        from ..core.ray import Ray
+        local = warp.square_to_uniform_cone(
+            sample2, self.cos_cutoff)
+        d = self.to_world.transform_vector(local)
+        nlanes = d.shape[0]
+        pdf_dir = warp.square_to_uniform_cone_pdf(local, self.cos_cutoff)
+        var = current_variant()
+        if var.is_spectral:
+            wav, wav_weight = spec_mod.sample_wavelength(sample1)
+        else:
+            wav = jnp.zeros((nlanes, 0), d.dtype)
+            wav_weight = 1.0
+        si = _si_on_emitter(jnp.broadcast_to(self.position, d.shape), d,
+                            jnp.zeros((nlanes, 2), d.dtype), d, None,
+                            time=time, wavelengths=wav)
+        falloff = self._falloff(d, active)
+        spec = self.intensity.eval(si, active) * falloff * wav_weight \
+            * m.safe_div(1.0, pdf_dir, 0.0)[..., None]
+        return Ray.make(jnp.broadcast_to(self.position, d.shape), d,
+                        time=time, wavelengths=wav), spec
+
+    def traverse(self, cb):
+        cb.put_object("intensity", self.intensity)
+
+
+@register_plugin("emitter", "projector")
+class ProjectorEmitter(Emitter):
+    """(projector.cpp:1-227) textured perspective projector (delta
+    position)."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.irradiance = p.texture("irradiance", 1.0) if p else None
+        if self.irradiance is None:
+            from .textures import ConstantTexture
+            self.irradiance = ConstantTexture(color=1.0)
+        self.scale = p.float_("scale", 1.0) if p else 1.0
+        fov = p.float_("fov", 45.0) if p else 45.0
+        tw = p.transform("to_world", Transform.identity()) if p else \
+            Transform.identity()
+        self.to_world = tw
+        self.to_local = tw.inverse()
+        self.position = jnp.asarray(np.asarray(tw.matrix)[:3, 3], jnp.float32)
+        # camera-style sample mapping (projector.cpp uses a perspective
+        # transform like the camera)
+        pcam = Transform.perspective(fov, 1e-4, 1e4)
+        scale_t = Transform.scale([-0.5, -0.5, 1.0])
+        trans_t = Transform.translate([-1.0, -1.0, 0.0])
+        self.camera_to_sample = scale_t @ trans_t @ pcam
+        self.m_flags = EmitterFlags.DeltaPosition | EmitterFlags.SpatiallyVarying
+
+    def eval(self, si, active):
+        nch = current_variant().n_channels
+        return jnp.zeros(si.t.shape + (nch,), si.t.dtype)
+
+    def sample_direction(self, it, sample, active):
+        n = it.p.shape[0]
+        d = self.position - it.p
+        dist2 = m.squared_norm(d)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+        d = d / dist[..., None]
+        # project the shading point into the projector's image plane
+        local = self.to_local.transform_vector(-d)
+        uvw = self.camera_to_sample.transform_point(local)
+        uv = uvw[..., :2]
+        in_frustum = ((uv[..., 0] >= 0) & (uv[..., 0] <= 1)
+                      & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
+                      & (local[..., 2] > 0))
+        ds = DirectionSample(
+            p=jnp.broadcast_to(self.position, it.p.shape),
+            n=jnp.zeros_like(it.p), uv=uv, time=it.time,
+            pdf=jnp.ones((n,), it.p.dtype), delta=jnp.ones((n,), bool),
+            d=d, dist=dist,
+            emitter_idx=jnp.full((n,), getattr(self, "_emitter_index", 0),
+                                 jnp.int32))
+        si = _si_on_emitter(ds.p, -d, uv, -d, it)
+        spec = self.irradiance.eval(si, active) * self.scale \
+            / dist2[..., None]
+        ok = jnp.asarray(active) & in_frustum
+        return ds, jnp.where(ok[..., None], spec, 0.0)
+
+    def pdf_direction(self, it, ds, active):
+        return jnp.zeros(ds.pdf.shape, ds.pdf.dtype)
+
+    def sample_ray(self, time, sample1, sample2, sample3, active):
+        raise NotImplementedError
+
+    def traverse(self, cb):
+        cb.put_object("irradiance", self.irradiance)

@@ -223,3 +223,125 @@ def _mis_w(pdf_a, pdf_b):
     pdf_a = pdf_a * pdf_a
     pdf_b = pdf_b * pdf_b
     return m.safe_div(pdf_a, pdf_a + pdf_b, 0.0)
+
+
+@register_plugin("integrator", "aov")
+class AOVIntegrator(SamplingIntegrator):
+    """(aov.cpp) arbitrary output variables: geometric quantities of the
+    first intersection plus any nested integrators' outputs.
+
+    ``aovs`` property: comma-separated "name:type" pairs with types
+    depth, position, uv, geo_normal, sh_normal, prim_index, shape_index
+    (aov.cpp's type list)."""
+
+    TYPES = ("depth", "position", "uv", "geo_normal", "sh_normal",
+             "dp_du", "dp_dv", "prim_index", "shape_index")
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self.outputs = []       # (name, type)
+        self.nested = []
+        if props is not None:
+            spec = props.string("aovs", "")
+            for item in [x for x in spec.split(",") if x.strip()]:
+                name, _, typ = item.partition(":")
+                typ = typ.strip()
+                if typ not in self.TYPES:
+                    raise ValueError(f"unknown AOV type {typ!r}; "
+                                     f"supported: {self.TYPES}")
+                self.outputs.append((name.strip(), typ))
+            for _, obj in props.objects():
+                if getattr(obj, "plugin_category", "") == "integrator":
+                    self.nested.append(obj)
+
+    def aov_names(self):
+        names = []
+        for name, typ in self.outputs:
+            k = {"depth": 1, "uv": 2, "prim_index": 1, "shape_index": 1}.get(
+                typ, 3)
+            if k == 1:
+                names.append(name)
+            else:
+                names.extend(f"{name}.{c}" for c in "xyz"[:k])
+        for i, nested in enumerate(self.nested):
+            names.extend([f"nested_{i}.{c}" for c in "rgb"]
+                         + nested.aov_names())
+        return names
+
+    def sample(self, scene, sampler, state, ray, medium=None, active=True):
+        si = scene.ray_intersect(ray, active)
+        valid = si.is_valid()
+        aovs = []
+        for name, typ in self.outputs:
+            if typ == "depth":
+                aovs.append(jnp.where(valid, si.t, 0.0))
+            elif typ == "position":
+                aovs.extend(si.p[..., i] for i in range(3))
+            elif typ == "uv":
+                aovs.extend(si.uv[..., i] for i in range(2))
+            elif typ == "geo_normal":
+                aovs.extend(si.n[..., i] for i in range(3))
+            elif typ == "sh_normal":
+                aovs.extend(si.sh_frame.n[..., i] for i in range(3))
+            elif typ == "dp_du":
+                aovs.extend(si.dp_du[..., i] for i in range(3))
+            elif typ == "dp_dv":
+                aovs.extend(si.dp_dv[..., i] for i in range(3))
+            elif typ == "prim_index":
+                aovs.append(si.prim_idx.astype(si.t.dtype))
+            elif typ == "shape_index":
+                aovs.append(si.shape_idx.astype(si.t.dtype))
+        n = ray.o.shape[0]
+        nch = current_variant().n_channels
+        result = jnp.zeros((n, nch), ray.o.dtype)
+        for nested in self.nested:
+            r, v, sub_aovs = nested.sample(scene, sampler, state, ray,
+                                           medium, active)
+            result = result + r  # nested rgb also mirrored into aovs
+            aovs.extend(r[..., i] for i in range(min(3, r.shape[-1])))
+            if r.shape[-1] < 3:
+                aovs.extend([r[..., 0]] * (3 - r.shape[-1]))
+            aovs.extend(sub_aovs)
+        if self.nested:
+            result = result / len(self.nested)
+        return result, valid, aovs
+
+
+@register_plugin("integrator", "moment")
+class MomentIntegrator(SamplingIntegrator):
+    """(moment.cpp) second moments of nested integrators — used to produce
+    the variance images consumed by the golden-image z-tests
+    (test_renders.py:64-80)."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self.nested = []
+        if props is not None:
+            for _, obj in props.objects():
+                if getattr(obj, "plugin_category", "") == "integrator":
+                    self.nested.append(obj)
+        if not self.nested:
+            raise RuntimeError("moment integrator needs nested integrators")
+
+    def aov_names(self):
+        names = []
+        for i, nested in enumerate(self.nested):
+            names.extend([f"m2_{i}.{c}" for c in "rgb"])
+        return names
+
+    def sample(self, scene, sampler, state, ray, medium=None, active=True):
+        n = ray.o.shape[0]
+        nch = current_variant().n_channels
+        result = jnp.zeros((n, nch), ray.o.dtype)
+        valid = jnp.zeros((n,), bool)
+        aovs = []
+        for nested in self.nested:
+            r, v, _ = nested.sample(scene, sampler, state, ray, medium,
+                                    active)
+            result = result + r
+            valid = valid | v
+            r3 = r if r.shape[-1] == 3 else jnp.repeat(r[..., :1], 3, -1)
+            sq = r3 * r3
+            aovs.extend(sq[..., i] for i in range(3))
+        result = result / len(self.nested)
+        return result, valid, aovs

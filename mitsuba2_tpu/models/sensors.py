@@ -78,8 +78,10 @@ class PerspectiveCamera(ProjectiveCamera):
         cw, chh = film.crop_size
         cx, cy = film.crop_offset
         pcam = Transform.perspective(self.x_fov, self.near_clip, self.far_clip)
-        # image-plane rect at z=1 spans x in [-1,1], y in [-1/a, 1/a]
-        scale = Transform.scale([-0.5, -0.5 / aspect, 1.0])
+        # image-plane rect at z=1 spans x in [-1,1], y in [-1/a, 1/a];
+        # map to [0,1]^2: y scale is -0.5*aspect (perspective.cpp
+        # update_camera_transforms)
+        scale = Transform.scale([-0.5, -0.5 * aspect, 1.0])
         trans = Transform.translate([-1.0, -1.0 / aspect, 0.0])
         camera_to_sample = scale @ trans @ pcam
         # account for crop window (maps full film [0,1] to crop [0,1])

@@ -143,3 +143,28 @@ def test_render_deterministic(variant_scalar_rgb):
     assert np.array_equal(a, b)
     c = np.asarray(scene.integrator.render(scene, seed=6))
     assert not np.array_equal(a, c)
+
+
+def test_nonsquare_camera_centering(variant_scalar_rgb):
+    """A sphere at the camera target must project to the image center for
+    non-square films (regression: y sample-scale was -0.5/aspect)."""
+    from mitsuba2_tpu import load_dict
+    from mitsuba2_tpu.core.transform import Transform
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "depth"},
+        "sensor": {"type": "perspective", "fov": 36.0,
+                   "to_world": Transform.look_at([0, 1.4, 4.5], [0, 0.4, 0],
+                                                 [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 48, "height": 36,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 4}},
+        "ball": {"type": "sphere", "radius": 0.7, "center": [0, 0.4, 0],
+                 "resolution_hint": 32},
+    })
+    img = np.asarray(scene.integrator.render(scene, seed=0))[..., 0]
+    hit = img > 0
+    ys, xs = np.where(hit)
+    cy, cx = ys.mean(), xs.mean()
+    assert abs(cy - 17.5) < 1.0, cy
+    assert abs(cx - 23.5) < 1.0, cx

@@ -21,6 +21,7 @@ from ..render.bsdf import BSDFContext, BSDFFlags
 from ..render.integrator import (SamplingIntegrator, MonteCarloIntegrator,
                                  mis_weight)
 from ..render.records import DirectionSample
+from ..render.scene import _tree_where
 from ..variants import current as current_variant
 
 
@@ -345,3 +346,324 @@ class MomentIntegrator(SamplingIntegrator):
             aovs.extend(sq[..., i] for i in range(3))
         result = result / len(self.nested)
         return result, valid, aovs
+
+
+# =============================================================================
+# Volumetric path tracing (volpath.cpp:1-490)
+# =============================================================================
+
+def _index_spectrum(vec, channel):
+    """Per-lane channel component (volpath.cpp index_spectrum)."""
+    return jnp.take_along_axis(vec, channel[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+
+
+@register_plugin("integrator", "volpath")
+class VolumetricPathIntegrator(MonteCarloIntegrator):
+    """Volumetric path tracer with analog delta tracking + NEE
+    (volpath.cpp:92-490 semantics as a masked wavefront loop).
+
+    Estimator note: emitter hits are accumulated on specular chains only and
+    all other lighting comes from attenuated NEE — an unbiased NEE-only
+    estimator; the full null-scattering MIS weights of volpathmis land in a
+    follow-up milestone."""
+
+    # iterations = bounces + null collisions; cap keeps the loop bounded
+    NULL_BUDGET = 16
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self.nee_loop_cap = 64
+
+    def sample(self, scene, sampler, state, ray, medium=None, active=True):
+        n = ray.o.shape[0]
+        dt = ray.o.dtype
+        nch = current_variant().n_channels
+        ctx = BSDFContext()
+
+        active = jnp.broadcast_to(jnp.asarray(active), (n,))
+        one = jnp.ones_like(ray.o[..., 0])
+
+        # hero channel for distance sampling (volpath.cpp:105)
+        ch_u, state = sampler.next_1d(state)
+        channel = jnp.minimum((ch_u * nch).astype(jnp.int32), nch - 1)
+
+        si = scene.ray_intersect(ray, active)
+        needs_isect = jnp.zeros((n,), bool)
+        throughput = jnp.ones((n, nch), dt) * one[..., None]
+        result = jnp.zeros((n, nch), dt) * one[..., None]
+        medium_idx = jnp.full((n,), -1, jnp.int32)  # camera starts in vacuum
+        specular_chain = active & True
+        valid_ray = si.is_valid()
+        depth = jnp.zeros((n,), jnp.int32)
+
+        max_iters = self.max_depth * self.NULL_BUDGET \
+            if self.max_depth < 256 else 1024
+
+        def cond(carry):
+            it, active = carry[0], carry[1]
+            return (it < max_iters) & jnp.any(active)
+
+        def body(carry):
+            (it, active, depth, ray_o, ray_d, si, needs_isect, throughput,
+             result, medium_idx, specular_chain, valid_ray, state) = carry
+            ray = Ray.make(ray_o, ray_d, mint=jnp.zeros((n,), dt),
+                           maxt=jnp.full((n,), jnp.inf, dt),
+                           time=si.time, wavelengths=si.wavelengths)
+
+            active_medium = active & (medium_idx >= 0)
+            active_surface = active & ~active_medium
+
+            # ---- medium free-flight sampling --------------------------------
+            u_t, state = sampler.next_1d(state)
+            mi = scene.medium_sample_interaction(ray, u_t, channel,
+                                                 medium_idx, active_medium)
+            # refresh surface hits where the previous event changed the ray
+            si_new = scene.ray_intersect(ray, needs_isect)
+            si = _tree_where(needs_isect, si_new, si)
+            needs_isect = needs_isect & ~active_medium & ~active_surface
+            # a surface before the sampled collision voids the collision
+            mi = mi._replace(t=jnp.where(active_medium & (si.t < mi.t),
+                                         jnp.inf, mi.t))
+            tr, ff_pdf = scene.medium_eval_tr_and_pdf(mi, si.t, medium_idx,
+                                                      active_medium)
+            tr_pdf = _index_spectrum(ff_pdf, channel)
+            w_med = m.safe_div(tr, tr_pdf[..., None], 0.0)
+            throughput = jnp.where(active_medium[..., None],
+                                   throughput * w_med, throughput)
+
+            escaped = active_medium & ~jnp.isfinite(mi.t)
+            active_medium = active_medium & jnp.isfinite(mi.t)
+
+            # ---- null vs real collision (volpath.cpp:123-151) ----------------
+            u_e, state = sampler.next_1d(state)
+            sig_t_c = _index_spectrum(mi.sigma_t, channel)
+            maj_c = _index_spectrum(mi.combined_extinction, channel)
+            null_scatter = u_e >= m.safe_div(sig_t_c, maj_c, 0.0)
+            act_null = null_scatter & active_medium
+            act_real = ~null_scatter & active_medium
+
+            w_null = mi.sigma_n * m.safe_div(
+                maj_c, _index_spectrum(mi.sigma_n, channel), 0.0)[..., None]
+            throughput = jnp.where(act_null[..., None],
+                                   throughput * w_null, throughput)
+            depth = jnp.where(act_real, depth + 1, depth)
+            active = active & (depth < self.max_depth)
+            act_real = act_real & active
+
+            # null: continue straight from the collision point
+            ray_o = jnp.where(act_null[..., None], mi.p, ray_o)
+            si = si._replace(t=jnp.where(act_null, si.t - mi.t, si.t))
+
+            # ---- real medium scatter -----------------------------------------
+            w_real = mi.sigma_s * m.safe_div(maj_c, sig_t_c, 0.0)[..., None]
+            throughput = jnp.where(act_real[..., None],
+                                   throughput * w_real, throughput)
+            valid_ray = valid_ray | act_real
+            specular_chain = specular_chain & ~act_real
+
+            # phase NEE
+            nee_u, state = sampler.next_2d(state)
+            mi_as_si = si._replace(
+                t=mi.t, p=mi.p, n=mi.sh_frame.n, sh_frame=mi.sh_frame,
+                wi=mi.wi)
+            ds_m, em_m, state = self._sample_emitter_attenuated(
+                scene, sampler, state, mi_as_si, medium_idx, channel,
+                nee_u, act_real, from_medium=True)
+            phase_val = scene.medium_phase_eval(mi, ds_m.d, medium_idx,
+                                                act_real)
+            result = result + jnp.where(
+                act_real[..., None],
+                throughput * phase_val[..., None] * em_m, 0.0)
+
+            # phase sampling
+            ph_u, state = sampler.next_2d(state)
+            wo_m, _ = scene.medium_phase_sample(mi, medium_idx, ph_u,
+                                                act_real)
+            ray_o = jnp.where(act_real[..., None], mi.p, ray_o)
+            ray_d = jnp.where(act_real[..., None], wo_m, ray_d)
+            needs_isect = needs_isect | act_real
+
+            # ---- surface interactions ----------------------------------------
+            active_surface = active_surface | escaped
+            # emitter hits only on specular chains (NEE-only estimator)
+            emit_mask = active_surface & specular_chain
+            emitted = scene.eval_emitter(si, ray_d, emit_mask)
+            result = result + jnp.where(emit_mask[..., None],
+                                        throughput * emitted, 0.0)
+            active_surface = active_surface & si.is_valid()
+
+            # surface NEE
+            flags = scene.bsdf_flags_at(si)
+            smooth = (flags & jnp.uint32(int(BSDFFlags.Smooth))) != 0
+            active_e = active_surface & smooth \
+                & (depth + 1 < self.max_depth)
+            nee_u2, state = sampler.next_2d(state)
+            ds_s, em_s, state = self._sample_emitter_attenuated(
+                scene, sampler, state, si, medium_idx, channel, nee_u2,
+                active_e, from_medium=False)
+            wo_local = si.to_local(ds_s.d)
+            bsdf_val = scene.bsdf_eval(ctx, si, wo_local, active_e)
+            bsdf_pdf = scene.bsdf_pdf(ctx, si, wo_local, active_e)
+            mis = jnp.where(ds_s.delta, 1.0, mis_weight(ds_s.pdf, bsdf_pdf))
+            result = result + jnp.where(
+                active_e[..., None],
+                mis[..., None] * throughput * bsdf_val * em_s, 0.0)
+
+            # bsdf sampling
+            b1, state = sampler.next_1d(state)
+            b2, state = sampler.next_2d(state)
+            bs, bsdf_weight = scene.bsdf_sample(ctx, si, b1, b2,
+                                                active_surface)
+            throughput = throughput * jnp.where(active_surface[..., None],
+                                                bsdf_weight, 1.0)
+            non_null = (bs.sampled_type
+                        & jnp.uint32(int(BSDFFlags.Null))) == 0
+            delta_lobe = (bs.sampled_type
+                          & jnp.uint32(int(BSDFFlags.Delta))) != 0
+            depth = jnp.where(active_surface & non_null, depth + 1, depth)
+            valid_ray = valid_ray | (active_surface & non_null)
+            specular_chain = specular_chain \
+                | (active_surface & non_null & delta_lobe)
+            specular_chain = specular_chain & ~(active_surface & ~delta_lobe
+                                                & non_null)
+
+            new_dir = si.to_world(bs.wo)
+            sp = si.spawn_ray(new_dir)
+            ray_o = jnp.where(active_surface[..., None], sp.o, ray_o)
+            ray_d = jnp.where(active_surface[..., None], new_dir, ray_d)
+            needs_isect = needs_isect | active_surface
+            # medium transition on crossing
+            medium_idx = scene.medium_transition(si, new_dir, medium_idx,
+                                                 active_surface)
+            active_surface = active_surface \
+                & jnp.any(throughput != 0.0, axis=-1)
+
+            active = (active_surface | act_real | act_null) \
+                & (depth < self.max_depth) \
+                & jnp.any(throughput != 0.0, axis=-1)
+
+            # russian roulette on total iterations
+            rr_u, state = sampler.next_1d(state)
+            q = jnp.minimum(jnp.max(throughput, axis=-1), 0.95)
+            do_rr = depth > self.rr_depth
+            cont = ~do_rr | (rr_u < q)
+            active = active & cont
+            throughput = jnp.where(
+                (do_rr & cont)[..., None],
+                throughput * m.safe_div(1.0, q, 0.0)[..., None], throughput)
+
+            return (it + 1, active, depth, ray_o, ray_d, si, needs_isect,
+                    throughput, result, medium_idx, specular_chain,
+                    valid_ray, state)
+
+        carry = (jnp.int32(0), active, depth, ray.o, ray.d, si, needs_isect,
+                 throughput, result, medium_idx, specular_chain, valid_ray,
+                 state)
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry[8], carry[11], []
+
+    # -------------------------------------------------------------------------
+    def _sample_emitter_attenuated(self, scene, sampler, state, ref_si,
+                                   medium_idx, channel, sample2, active,
+                                   from_medium):
+        """NEE with transmittance through media + null surfaces
+        (volpath.cpp sample_emitter:258-360)."""
+        n = ref_si.t.shape[0]
+        nch = current_variant().n_channels
+        dt = ref_si.t.dtype
+        ds, emitter_val = scene.sample_emitter_direction(
+            ref_si, sample2, False, active)
+        active = jnp.asarray(active) & (ds.pdf != 0)
+        emitter_val = jnp.where(active[..., None], emitter_val, 0.0)
+        if not scene.has_media:
+            # pure geometric visibility
+            from ..render.scene import _shadow_ray
+            sray, _ = _shadow_ray(ref_si, ds)
+            occluded = scene.ray_test(sray, active)
+            return ds, jnp.where((active & ~occluded)[..., None],
+                                 emitter_val, 0.0), state
+
+        # march through media and null interfaces
+        o0 = ref_si.offset_p(ds.d) if not from_medium else ref_si.p
+
+        def cond(carry):
+            it, act = carry[0], carry[1]
+            return (it < self.nee_loop_cap) & jnp.any(act)
+
+        def body(carry):
+            (it, act, o, remaining, tr_acc, med_idx, state) = carry
+            ray = Ray.make(o, ds.d, mint=jnp.zeros((n,), dt),
+                           maxt=remaining * (1.0 - m.ShadowEpsilon),
+                           time=ref_si.time, wavelengths=ref_si.wavelengths)
+            si = scene.ray_intersect(ray, act)
+            act_med = act & (med_idx >= 0)
+            u_t, state = sampler.next_1d(state)
+            mi = scene.medium_sample_interaction(ray, u_t, channel,
+                                                 med_idx, act_med)
+            mi = mi._replace(t=jnp.where(act_med & (si.t < mi.t), jnp.inf,
+                                         mi.t))
+            # also void collisions beyond the remaining distance
+            mi = mi._replace(t=jnp.where(act_med & (mi.t > remaining),
+                                         jnp.inf, mi.t))
+            tr, ff_pdf = scene.medium_eval_tr_and_pdf(
+                mi, jnp.minimum(si.t, remaining), med_idx, act_med)
+            tr_pdf = _index_spectrum(ff_pdf, channel)
+            tr_acc = jnp.where(act_med[..., None],
+                               tr_acc * m.safe_div(tr, tr_pdf[..., None],
+                                                   0.0), tr_acc)
+            collided = act_med & jnp.isfinite(mi.t)
+            # null-collision weight (only σn channel survives in a shadow walk)
+            w = mi.sigma_n * m.safe_div(
+                _index_spectrum(mi.combined_extinction, channel),
+                _index_spectrum(mi.sigma_n, channel), 0.0)[..., None]
+            tr_acc = jnp.where(collided[..., None], tr_acc * w, tr_acc)
+            o = jnp.where(collided[..., None], mi.p, o)
+            remaining = jnp.where(collided, remaining - mi.t, remaining)
+
+            # surface handling for lanes that reached the surface first
+            reach_surf = act & ~collided & si.is_valid() \
+                & (si.t < remaining)
+            # null-transmission pass-through
+            null_tr = self._null_transmission(scene, si, reach_surf)
+            blocked = reach_surf & jnp.all(null_tr == 0.0, axis=-1)
+            tr_acc = jnp.where(reach_surf[..., None], tr_acc * null_tr,
+                               tr_acc)
+            o = jnp.where(reach_surf[..., None], si.offset_p(ds.d), o)
+            remaining = jnp.where(reach_surf, remaining - si.t, remaining)
+            med_idx = scene.medium_transition(si, ds.d, med_idx, reach_surf)
+
+            done = act & ~collided & ~reach_surf  # reached the emitter
+            act = act & ~done & ~blocked & (remaining > 1e-5) \
+                & jnp.any(tr_acc > 0, axis=-1)
+            return (it + 1, act, o, remaining, tr_acc, med_idx, state)
+
+        carry = (jnp.int32(0), active, o0, ds.dist, jnp.ones((n, nch), dt),
+                 medium_idx, state)
+        carry = jax.lax.while_loop(cond, body, carry)
+        _, still_active, _, _, tr_acc, _, state = carry
+        # lanes still active at cap: conservatively keep their transmittance
+        tr_acc = jnp.where(jnp.asarray(active)[..., None], tr_acc, 0.0)
+        return ds, emitter_val * tr_acc, state
+
+    def _null_transmission(self, scene, si, active):
+        nch = current_variant().n_channels
+        n = si.t.shape[0]
+        out = jnp.zeros((n, nch), si.t.dtype)
+        idx = scene.bsdf_index_at(si)
+        for i, b in enumerate(scene.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            val = b.eval_null_transmission(si, mask)
+            val = jnp.asarray(val)
+            if val.ndim == 0:
+                val = jnp.zeros((n, nch), si.t.dtype)
+            out = jnp.where(mask[..., None], val, out)
+        return out
+
+
+@register_plugin("integrator", "volpathmis")
+class VolumetricMISPathIntegrator(VolumetricPathIntegrator):
+    """(volpathmis.cpp:1-539) — currently shares the volpath estimator; the
+    dedicated null-scattering MIS weights (ratio-tracking pdf bookkeeping)
+    are a tracked follow-up. Registered so volpathmis scenes load and render
+    unbiased results."""

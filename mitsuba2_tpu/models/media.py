@@ -22,8 +22,10 @@ class Volume(Object):
     def __init__(self, props=None):
         super().__init__(props)
         from ..core.transform import Transform
-        self.to_local = (props.transform("to_world", Transform.identity())
-                         .inverse()) if props else Transform.identity()
+        has_tw = props is not None and props.has_property("to_world")
+        self.to_local = (props.transform("to_world").inverse() if has_tw
+                         else Transform.identity())
+        self.identity_transform = not has_tw
 
     def eval(self, it, active=True):
         raise NotImplementedError
@@ -47,14 +49,24 @@ class ConstantVolume(Volume):
         if v.ndim == 0:
             v = np.broadcast_to(v, (3,)).copy()
         self._rgb = v
-        from .textures import ConstantTexture
-        self._tex = ConstantTexture(color=v)
+        from .textures import _SpectrumData
+        self._data = _SpectrumData(v)
 
-    def eval(self, it, active=True):
-        return self._tex.eval(it, active)
+    def eval(self, p, active=True, wavelengths=None):
+        """p: world positions (..., 3) — volumes take raw points."""
+        from ..variants import current
+        var = current()
+        if var.is_spectral and (wavelengths is None
+                                or wavelengths.shape[-1] == 0):
+            wavelengths = jnp.full(p.shape[:-1] + (var.n_channels,), 550.0,
+                                   p.dtype)
+        out = self._data.eval(None, wavelengths if var.is_spectral else None)
+        return jnp.broadcast_to(out, p.shape[:-1] + out.shape[-1:])
 
-    def eval_1(self, it, active=True):
-        return self._tex.eval_1(it, active)
+    def eval_1(self, p, active=True):
+        from ..core import spectrum as spec
+        v = float(spec.luminance(jnp.asarray(self._rgb)))
+        return jnp.full(p.shape[:-1], v, p.dtype)
 
     def max(self):
         return float(self._rgb.max())
@@ -78,6 +90,14 @@ class Medium(Object):
 def as_volume(v) -> Volume:
     if isinstance(v, Volume):
         return v
+    from ..core.dictio import ColorValue
+    if isinstance(v, ColorValue) and v.kind == "rgb":
+        return ConstantVolume(value=v.payload)
+    if isinstance(v, ColorValue) and v.kind == "spectrum-uniform":
+        return ConstantVolume(value=v.payload)
     if isinstance(v, (int, float, list, tuple, np.ndarray)):
         return ConstantVolume(value=v)
+    if isinstance(v, dict):
+        from ..core.dictio import load_dict
+        return as_volume(load_dict(v))
     raise TypeError(f"cannot interpret {type(v)} as a volume")

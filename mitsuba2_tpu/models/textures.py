@@ -238,12 +238,22 @@ def as_texture(v, within_emitter: bool = False) -> Texture:
         if v.kind == "rgb":
             v = v.payload  # fall through to color handling below
         elif v.kind == "spectrum-uniform":
+            if within_emitter and current().is_spectral:
+                # uniform emitter spectra become D65 with that scale
+                # (xml.cpp:1100-1104)
+                from .spectra import D65Spectrum
+                return D65Spectrum(scale=v.payload)
             from .spectra import UniformSpectrum
             return UniformSpectrum(value=v.payload)
         else:
             from .spectra import IrregularSpectrum
+            from ..core.spectrum import MTS_CIE_Y_NORMALIZATION
             wl = [a for a, _ in v.payload]
             vals = [b for _, b in v.payload]
+            if within_emitter and current().is_spectral:
+                # emitter curves are scaled so integrating against the CIE
+                # curves yields unit luminance (xml.cpp:1113-1125)
+                vals = [x * MTS_CIE_Y_NORMALIZATION for x in vals]
             return IrregularSpectrum(wavelengths=wl, values=vals)
     if isinstance(v, (int, float, list, tuple, np.ndarray)):
         if within_emitter and current().is_spectral:

@@ -186,6 +186,27 @@ class Scene(Object):
         self._bb_min = bb_min
         self._bb_max = bb_max
 
+        # media: collect + per-shape transition tables
+        self.media = []
+        medium_index = {}
+        for s in self.shapes:
+            for med in (s.interior_medium, s.exterior_medium):
+                if med is not None and id(med) not in medium_index:
+                    medium_index[id(med)] = len(self.media)
+                    med._medium_index = len(self.media)
+                    self.media.append(med)
+        n_shapes = max(len(self.shapes), 1)
+        med_int = np.full(n_shapes, -1, np.int32)
+        med_ext = np.full(n_shapes, -1, np.int32)
+        for i, s in enumerate(self.shapes):
+            if s.interior_medium is not None:
+                med_int[i] = medium_index[id(s.interior_medium)]
+            if s.exterior_medium is not None:
+                med_ext[i] = medium_index[id(s.exterior_medium)]
+        self.shape_medium_int = jnp.asarray(med_int)
+        self.shape_medium_ext = jnp.asarray(med_ext)
+        self.has_media = len(self.media) > 0
+
         # emitter device tables
         for e in self.emitters:
             if hasattr(e, "prepare"):
@@ -330,6 +351,71 @@ class Scene(Object):
         else:
             spec = jnp.where(jnp.asarray(active)[..., None], spec, 0.0)
         return ds, spec
+
+    # --------------------------------------------------------- medium dispatch
+    # Role of the reference's medium vcalls (medium.h:122-124): masked
+    # per-instance evaluation like BSDFs.
+    def medium_sample_interaction(self, ray, u, channel, medium_idx, active):
+        from ..models.media_impl import _zero_mi
+        nch = current_variant().n_channels
+        n = ray.o.shape[0]
+        mi = _zero_mi(n, nch, ray.o.dtype)
+        for i, med in enumerate(self.media):
+            mask = jnp.asarray(active) & (medium_idx == i)
+            mi_i = med.sample_interaction(ray, u, channel, mask)
+            mi = _tree_where(mask, mi_i, mi)
+        return mi
+
+    def medium_eval_tr_and_pdf(self, mi, si_t, medium_idx, active):
+        nch = current_variant().n_channels
+        n = mi.t.shape[0]
+        tr = jnp.ones((n, nch), mi.t.dtype)
+        pdf = jnp.ones((n, nch), mi.t.dtype)
+        for i, med in enumerate(self.media):
+            mask = jnp.asarray(active) & (medium_idx == i)
+            tr_i, pdf_i = med.eval_tr_and_pdf(mi, si_t, mask)
+            tr = jnp.where(mask[..., None], tr_i, tr)
+            pdf = jnp.where(mask[..., None], pdf_i, pdf)
+        return tr, pdf
+
+    def medium_phase_sample(self, mi, medium_idx, u2, active):
+        n = mi.t.shape[0]
+        wo = jnp.zeros((n, 3), mi.t.dtype).at[..., 2].set(1.0)
+        pdf = jnp.zeros((n,), mi.t.dtype)
+        for i, med in enumerate(self.media):
+            mask = jnp.asarray(active) & (medium_idx == i)
+            wo_i, pdf_i = med.phase_function.sample(mi, u2, mask)
+            wo = jnp.where(mask[..., None], wo_i, wo)
+            pdf = jnp.where(mask, pdf_i, pdf)
+        return wo, pdf
+
+    def medium_phase_eval(self, mi, wo, medium_idx, active):
+        n = mi.t.shape[0]
+        out = jnp.zeros((n,), mi.t.dtype)
+        for i, med in enumerate(self.media):
+            mask = jnp.asarray(active) & (medium_idx == i)
+            out = jnp.where(mask, med.phase_function.eval(mi, wo, mask), out)
+        return out
+
+    def medium_is_homogeneous(self, medium_idx):
+        flags = jnp.asarray(np.asarray(
+            [bool(med.is_homogeneous) for med in self.media]
+            or [False]))
+        return jnp.where(medium_idx >= 0,
+                         flags[jnp.maximum(medium_idx, 0)], False)
+
+    def medium_transition(self, si, d, medium_idx, active):
+        """Update the per-lane medium when crossing a transition surface
+        (interaction.h target_medium semantics): entering (d . n < 0) picks
+        the interior medium, leaving picks the exterior."""
+        s = jnp.maximum(si.shape_idx, 0)
+        has_int = self.shape_medium_int[s]
+        has_ext = self.shape_medium_ext[s]
+        is_transition = (si.shape_idx >= 0) & ((has_int >= 0) | (has_ext >= 0))
+        entering = m.dot(d, si.n) < 0
+        target = jnp.where(entering, has_int, has_ext)
+        return jnp.where(jnp.asarray(active) & is_transition, target,
+                         medium_idx)
 
     # ---------------------------------------------------------- bsdf dispatch
     # Role of Enoki's vectorized vcalls (bsdf.h:522-532): evaluate each BSDF

@@ -30,7 +30,7 @@ class Shape(Object):
         self.interior_medium = None
         self.exterior_medium = None
         if props is not None:
-            for _, obj in props.objects():
+            for key, obj in props.objects():
                 kind = getattr(obj, "plugin_category", "")
                 if kind == "bsdf":
                     self.bsdf = obj
@@ -38,8 +38,10 @@ class Shape(Object):
                     self.emitter = obj
                     obj.set_shape(self)
                 elif kind == "medium":
-                    # named distinction handled by the loader (interior/exterior)
-                    pass
+                    if key == "exterior":
+                        self.exterior_medium = obj
+                    else:  # 'interior' or unnamed
+                        self.interior_medium = obj
 
     def is_emitter(self):
         return self.emitter is not None

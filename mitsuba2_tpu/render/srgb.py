@@ -90,7 +90,7 @@ def _fit_batch(rgb):
         JtJ = jnp.einsum("bij,bik->bjk", J, J)
         JtJ = JtJ + 1e-4 * jnp.eye(3)
         Jtr = jnp.einsum("bij,bi->bj", J, r)
-        delta = jnp.linalg.solve(JtJ, Jtr)
+        delta = jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
         return c - delta, None
 
     coeff, _ = jax.lax.scan(step, coeff, None, length=25)
@@ -107,6 +107,7 @@ def srgb_model_fetch(rgb) -> jnp.ndarray:
     rgb: array-like (..., 3) in [0, 1]. Returns (..., 3) coefficients.
     (parity: srgb_model_fetch, srgb.cpp:14-37 — table lookup there)
     """
+    _fit_tables()  # build the CIE tables eagerly (outside any jit trace)
     rgb_np = np.asarray(rgb, np.float32)
     shape = rgb_np.shape
     flat = np.clip(rgb_np.reshape(-1, 3), 0.0, 1.0)

@@ -1,0 +1,115 @@
+"""Spectral variant tests: hero-wavelength rendering end-to-end + rgb2spec
+round trips (SURVEY.md §7.5; reference spectral variants)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_srgb_upsampling_roundtrip(variant_scalar_spectral):
+    """rgb2spec fit: reflectance spectra integrate back to the input sRGB
+    under D65 within ~1% (role of the reference's 64^3 table accuracy)."""
+    from mitsuba2_tpu.render.srgb import srgb_model_fetch, srgb_model_eval
+    from mitsuba2_tpu.core import spectrum as spec
+    rs = np.random.RandomState(0)
+    rgb = rs.rand(64, 3).astype(np.float32) * 0.9
+    coeff = srgb_model_fetch(rgb)
+    wl = jnp.linspace(spec.MTS_CIE_MIN, spec.MTS_CIE_MAX, 200)
+    refl = srgb_model_eval(coeff, wl)                       # (64, 200)
+    cmf = spec.cie1931_xyz(wl)                              # (200, 3)
+    d65 = spec.cie_d65(wl)                                  # (200,)
+    w = cmf * d65[:, None]
+    w = w / w[:, 1].sum()
+    xyz = refl @ w
+    back = np.asarray(spec.xyz_to_srgb(xyz))
+    err = np.abs(back - rgb)
+    assert err.max() < 0.02, err.max()
+    # reflectance stays physically plausible
+    assert float(refl.min()) >= 0.0 and float(refl.max()) <= 1.0
+
+
+def test_spectral_matches_rgb_render(variant_scalar_spectral):
+    """Hero-wavelength Cornell render converges to the RGB render within
+    rgb2spec modeling error + MC noise (the <=1e-3 RMSE parity target is
+    between same-variant renders; cross-variant agreement is looser by
+    design, like the reference's per-color-mode references)."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+
+    d = cornell_box_dict(width=24, height=24, spp=196, max_depth=4)
+    mi.set_variant("scalar_spectral")
+    scene_s = mi.load_dict(d)
+    img_s = np.asarray(scene_s.integrator.render(scene_s, seed=0))
+
+    mi.set_variant("scalar_rgb")
+    d2 = cornell_box_dict(width=24, height=24, spp=196, max_depth=4)
+    scene_rgb = mi.load_dict(d2)
+    img_rgb = np.asarray(scene_rgb.integrator.render(scene_rgb, seed=0))
+
+    ratio = img_s.mean() / img_rgb.mean()
+    assert 0.9 < ratio < 1.1, ratio
+    rel = np.abs(img_s - img_rgb).mean() / img_rgb.mean()
+    assert rel < 0.12, rel
+
+
+def test_mono_render(variant_scalar_mono):
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import furnace_dict
+    scene = mi.load_dict(furnace_dict(albedo=0.5, env_radiance=1.0,
+                                      width=8, height=8, spp=64,
+                                      max_depth=16))
+    img = np.asarray(scene.integrator.render(scene, seed=0))
+    assert img.shape == (8, 8, 3)
+    assert np.allclose(img.mean(), 0.5, atol=0.02), img.mean()
+    # all three output channels identical in mono mode
+    assert np.allclose(img[..., 0], img[..., 1])
+
+
+def test_spectral_furnace(variant_scalar_spectral):
+    """Uniform-spectrum environment + gray albedo: spectral transport
+    preserves the furnace identity through XYZ conversion."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.transform import Transform
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 30},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": Transform.look_at([0, 2, 0.01], [0, 0, 0],
+                                                 [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 256}},
+        "plane": {"type": "rectangle",
+                  "to_world": (Transform.rotate([1, 0, 0], -90)
+                               @ Transform.scale(100.0)),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "spectrum",
+                                           "value": 0.6}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "spectrum", "value": 1.0}},
+    })
+    img = np.asarray(scene.integrator.render(scene, seed=1))
+    # uniform spectrum of 0.6 under uniform E illuminant: luminance = 0.6
+    from mitsuba2_tpu.core import spectrum as spec
+    lum = np.asarray(spec.luminance(jnp.asarray(img)))
+    # CIE-E whitepoint isn't exactly sRGB white; check luminance only
+    assert np.allclose(lum.mean(), 0.6 * 106.7502 / 106.7502, atol=0.03), \
+        lum.mean()
+
+
+def test_wavelengths_threaded_through_path(variant_scalar_spectral):
+    """The path state carries 4 hero wavelengths end-to-end."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    scene = mi.load_dict(cornell_box_dict(width=4, height=4, spp=2,
+                                          max_depth=2))
+    sensor = scene.sensors[0]
+    import jax.numpy as jnp
+    pos = jnp.full((4, 2), 0.5)
+    ray, weight = sensor.sample_ray(0.0, jnp.asarray([0.1, 0.3, 0.6, 0.9]),
+                                    pos, jnp.full((4, 2), 0.5), True)
+    assert ray.wavelengths.shape == (4, 4)
+    wl = np.asarray(ray.wavelengths)
+    assert wl.min() >= 360 and wl.max() <= 830
+    assert weight.shape == (4, 4)

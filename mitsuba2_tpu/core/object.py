@@ -42,6 +42,31 @@ class Object:
         """Notification after parameters were updated out-of-band
         (object.h:96)."""
 
+    # -- parameter write-back (backs ParameterMap.update / .bind) ---------------
+    def get_parameter(self, name: str):
+        attr = self._param_attr(name)
+        obj, leaf = self._resolve_attr(attr)
+        return getattr(obj, leaf)
+
+    def set_parameter(self, name: str, value) -> None:
+        attr = self._param_attr(name)
+        obj, leaf = self._resolve_attr(attr)
+        setattr(obj, leaf, value)
+
+    # mapping from traverse() parameter names to attribute paths; subclasses
+    # extend PARAM_ATTRS when the name differs from the attribute
+    PARAM_ATTRS: dict = {}
+
+    def _param_attr(self, name: str) -> str:
+        return self.PARAM_ATTRS.get(name, name)
+
+    def _resolve_attr(self, path: str):
+        obj = self
+        parts = path.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        return obj, parts[-1]
+
     def class_name(self) -> str:
         return type(self).__name__
 

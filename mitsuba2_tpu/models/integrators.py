@@ -121,7 +121,17 @@ class PathIntegrator(MonteCarloIntegrator):
 
         carry = (jnp.int32(1), active, si, ray.d, throughput, result, eta,
                  state)
-        carry = jax.lax.while_loop(cond, body, carry)
+        if getattr(self, "_differentiable", False):
+            # reverse-mode AD cannot differentiate lax.while_loop; unroll as
+            # a scan over max_depth masked steps (adjoint checkpoints each)
+            def scan_body(c, _):
+                return jax.lax.cond(cond(c), body, lambda c_: c_, c), None
+
+            depth_cap = min(self.max_depth, 32)
+            carry, _ = jax.lax.scan(scan_body, carry, None,
+                                    length=depth_cap)
+        else:
+            carry = jax.lax.while_loop(cond, body, carry)
         result = carry[5]
         return result, valid_ray, []
 

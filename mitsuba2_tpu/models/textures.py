@@ -20,6 +20,11 @@ from ..render.texture import Texture
 from ..variants import current as current_variant
 
 
+def _is_tracer(x):
+    import jax.core
+    return isinstance(x, jax.core.Tracer)
+
+
 class _SpectrumData:
     """Pre-converted per-texel color payload for the active variant."""
 
@@ -88,6 +93,16 @@ class ConstantTexture(Texture):
 
     def traverse(self, cb):
         cb.put_parameter("value", self.data.rgb)
+
+    # differentiable leaf: the rgb payload (spectral coeffs refresh on
+    # concrete updates only — tracers keep the stale coeff table)
+    PARAM_ATTRS = {"value": "data.rgb"}
+
+    def set_parameter(self, name, value):
+        super().set_parameter(name, value)
+        if name == "value" and not _is_tracer(value):
+            self._rgb_np = np.asarray(value)
+            self.data = _SpectrumData(self._rgb_np)
 
 
 @register_plugin("texture", "checkerboard")
@@ -204,6 +219,19 @@ class BitmapTexture(Texture):
 
     def traverse(self, cb):
         cb.put_parameter("data", self._rgb_flat)
+
+    PARAM_ATTRS = {"data": "_rgb_flat"}
+
+    def set_parameter(self, name, value):
+        super().set_parameter(name, value)
+        if name == "data":
+            # keep the variant payload in sync (rgb path reads _rgb_flat
+            # directly; mono/spectral refresh on concrete updates)
+            if not _is_tracer(value):
+                self._rgb_np = np.asarray(value).reshape(self._rgb_np.shape)
+                self.data = _SpectrumData(np.asarray(value).reshape(-1, 3))
+            else:
+                self.data.rgb = value
 
 
 @register_plugin("texture", "mesh_attribute")

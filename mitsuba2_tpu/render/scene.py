@@ -234,7 +234,11 @@ class Scene(Object):
         shape_idx = jnp.where(
             pi.prim_idx >= 0,
             g.face_shape[jnp.maximum(pi.prim_idx, 0)], -1)
-        return pi._replace(shape_idx=shape_idx)
+        # detach: intersections are non-differentiable, like the reference's
+        # HitComputeFlags::NonDifferentiable recompute (scene_optix.inl:432)
+        return pi._replace(shape_idx=shape_idx,
+                           t=jax.lax.stop_gradient(pi.t),
+                           prim_uv=jax.lax.stop_gradient(pi.prim_uv))
 
     def compute_surface_interaction(self, ray, pi: PreliminaryIntersection,
                                     active=None) -> SurfaceInteraction:

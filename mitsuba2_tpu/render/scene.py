@@ -207,6 +207,19 @@ class Scene(Object):
         self.shape_medium_ext = jnp.asarray(med_ext)
         self.has_media = len(self.media) > 0
 
+        # intersector backend: fused Pallas/MXU kernel on TPU, the XLA scan
+        # path elsewhere (ops/intersect_pallas.py design note)
+        self._woop = None
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+        if platform == "tpu" and self.geom.v0.shape[0] > 0:
+            from ..ops.intersect_pallas import WoopIntersector
+            self._woop = WoopIntersector(
+                np.asarray(self.geom.v0), np.asarray(self.geom.e1),
+                np.asarray(self.geom.e2))
+
         # emitter device tables
         for e in self.emitters:
             if hasattr(e, "prepare"):
@@ -229,8 +242,14 @@ class Scene(Object):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
                                                          -jnp.inf)
-        pi = isect_ops.ray_intersect_packets(
-            g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+        if self._woop is not None:
+            t, uv, prim = self._woop(ray.o, ray.d, ray.mint, maxt)
+            pi = PreliminaryIntersection(
+                t=t, prim_uv=uv,
+                shape_idx=jnp.full_like(prim, -1), prim_idx=prim)
+        else:
+            pi = isect_ops.ray_intersect_packets(
+                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
         shape_idx = jnp.where(
             pi.prim_idx >= 0,
             g.face_shape[jnp.maximum(pi.prim_idx, 0)], -1)
@@ -284,6 +303,9 @@ class Scene(Object):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
                                                          -jnp.inf)
+        if self._woop is not None:
+            t, _, _ = self._woop(ray.o, ray.d, ray.mint, maxt)
+            return jnp.isfinite(t)
         return isect_ops.ray_test_packets(
             g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
 

@@ -1210,3 +1210,167 @@ class BumpMap(_FrameMapBSDF):
 
 
 register_plugin("bsdf", "bumpmap")(BumpMap)
+
+
+# =============================================================================
+# Polarized optical elements (polarizer.cpp:1-212, retarder.cpp:1-195,
+# circular.cpp:1-184) and polarized plastic (pplastic.cpp:1-433)
+# =============================================================================
+
+from ..render import mueller as mu
+from ..render.bsdf import _depolarize_value
+
+
+class _PolarizedElement(BSDF):
+    """Shared machinery: a Null-direction filter with a Mueller matrix.
+
+    In unpolarized variants these return the (0,0) matrix component like
+    the reference."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.theta_tex = p.texture("theta", 0.0) if p else None
+        if self.theta_tex is None:
+            from .textures import ConstantTexture
+            self.theta_tex = ConstantTexture(color=0.0)
+        self.m_components = [BSDFFlags.Null | BSDFFlags.FrontSide
+                             | BSDFFlags.BackSide]
+        self.m_flags = self.m_components[0]
+
+    def _mueller(self, si, active, forward):
+        """(N, 4, 4) element matrix; forward: local propagation direction."""
+        raise NotImplementedError
+
+    def _scalar(self, si, active, forward):
+        Mm = self._mueller(si, active, forward)
+        return Mm[..., 0, 0]
+
+    def sample(self, ctx, si, sample1, sample2, active):
+        n = si.t.shape[0]
+        wo = -si.wi
+        value = self._scalar(si, active, wo)[..., None] \
+            * jnp.ones((n, _nch()), si.t.dtype)
+        ok = jnp.asarray(active) & ctx.is_enabled(BSDFFlags.Null)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, 1.0, 0.0),
+            eta=jnp.ones((n,), si.t.dtype),
+            sampled_type=jnp.full((n,), int(BSDFFlags.Null), jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, jnp.where(ok[..., None], value, 0.0)
+
+    def sample_pol(self, ctx, si, sample1, sample2, active):
+        n = si.t.shape[0]
+        wo = -si.wi
+        Mm = self._mueller(si, active, wo)            # (N, 4, 4)
+        Mm = mu.to_world_mueller(si, Mm, -wo, si.wi)
+        ok = jnp.asarray(active) & ctx.is_enabled(BSDFFlags.Null)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, 1.0, 0.0),
+            eta=jnp.ones((n,), si.t.dtype),
+            sampled_type=jnp.full((n,), int(BSDFFlags.Null), jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        value = jnp.broadcast_to(Mm[:, None], (n, _nch(), 4, 4))
+        return bs, jnp.where(ok[..., None, None, None], value, 0.0)
+
+    def eval(self, ctx, si, wo, active):
+        return jnp.zeros((si.t.shape[0], _nch()), si.t.dtype)
+
+    def pdf(self, ctx, si, wo, active):
+        return jnp.zeros(si.t.shape, si.t.dtype)
+
+    def eval_null_transmission(self, si, active):
+        n = si.t.shape[0]
+        v = self._scalar(si, active, -si.wi)
+        return jnp.where(jnp.asarray(active)[..., None],
+                         v[..., None] * jnp.ones((n, _nch()), si.t.dtype),
+                         0.0)
+
+    def traverse(self, cb):
+        cb.put_object("theta", self.theta_tex)
+
+
+class PolarizerBSDF(_PolarizedElement):
+    """(polarizer.cpp) ideal linear polarizer, axis rotated by `theta`
+    degrees."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.transmittance = p.texture("transmittance", 1.0) if p else None
+        if self.transmittance is None:
+            from .textures import ConstantTexture
+            self.transmittance = ConstantTexture(color=1.0)
+
+    def _mueller(self, si, active, forward):
+        theta = jnp.deg2rad(self.theta_tex.eval_1(si, active))
+        t = self.transmittance.eval_1(si, active)
+        return mu.rotated_element(theta, mu.linear_polarizer(t))
+
+
+class RetarderBSDF(_PolarizedElement):
+    """(retarder.cpp) linear retarder; `delta` = phase in degrees (180 =
+    half-wave plate), fast axis rotated by `theta`."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.delta_tex = p.texture("delta", 90.0) if p else None
+        if self.delta_tex is None:
+            from .textures import ConstantTexture
+            self.delta_tex = ConstantTexture(color=90.0)
+
+    def _mueller(self, si, active, forward):
+        theta = jnp.deg2rad(self.theta_tex.eval_1(si, active))
+        delta = jnp.deg2rad(self.delta_tex.eval_1(si, active))
+        return mu.rotated_element(theta, mu.linear_retarder(delta))
+
+
+class CircularPolarizerBSDF(_PolarizedElement):
+    """(circular.cpp) circular polarizer (left/right)."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.left_handed = p.bool_("left_handed", False) if p else False
+
+    def _mueller(self, si, active, forward):
+        n = si.t.shape[0]
+        M = mu.left_circular_polarizer() if self.left_handed \
+            else mu.right_circular_polarizer()
+        return jnp.broadcast_to(M, (n, 4, 4))
+
+
+register_plugin("bsdf", "polarizer")(PolarizerBSDF)
+register_plugin("bsdf", "retarder")(RetarderBSDF)
+register_plugin("bsdf", "circular")(CircularPolarizerBSDF)
+
+
+class PolarizedPlastic(SmoothPlastic):
+    """(pplastic.cpp) plastic whose specular lobe carries the polarized
+    Fresnel Mueller matrix; the diffuse base depolarizes."""
+
+    def sample_pol(self, ctx, si, sample1, sample2, active):
+        bs, value = self.sample(ctx, si, sample1, sample2, active)
+        sel_spec = (bs.sampled_type
+                    & jnp.uint32(int(BSDFFlags.DeltaReflection))) != 0
+        # polarized Fresnel for the specular lobe, expressed in the s/p
+        # frame of the reflection and rotated to the canonical bases
+        cos_i = cos_theta(si.wi)
+        Msp = mu.specular_reflection(jnp.maximum(cos_i, 1e-6), self.eta)
+        F_i, _, _, _ = fresnel(cos_i, self.eta)
+        # sample() already divided by lobe prob; rescale so the (0,0)
+        # component matches the scalar value
+        scale = m.safe_div(value[..., 0], jnp.maximum(Msp[..., 0, 0], 1e-12),
+                           0.0)
+        Mspec = Msp[:, None] * scale[..., None, None, None]
+        Mspec = mu.to_world_mueller(si, Mspec, -bs.wo, si.wi)
+        Mdiff = _depolarize_value(value)
+        Mm = jnp.where(sel_spec[..., None, None, None], Mspec, Mdiff)
+        return bs, Mm
+
+    def eval_pol(self, ctx, si, wo, active):
+        return _depolarize_value(self.eval(ctx, si, wo, active))
+
+
+register_plugin("bsdf", "pplastic")(PolarizedPlastic)

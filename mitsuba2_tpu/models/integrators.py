@@ -677,3 +677,165 @@ class VolumetricMISPathIntegrator(VolumetricPathIntegrator):
     dedicated null-scattering MIS weights (ratio-tracking pdf bookkeeping)
     are a tracked follow-up. Registered so volpathmis scenes load and render
     unbiased results."""
+
+
+# =============================================================================
+# Polarized transport (stokes.cpp + the polarized variants' Mueller algebra)
+# =============================================================================
+
+@register_plugin("integrator", "stokes")
+class StokesIntegrator(SamplingIntegrator):
+    """(stokes.cpp) renders the full Stokes vector: rgb = S0 (intensity),
+    aovs = S1/S2/S3 images.
+
+    The reference gets polarized transport from its `_polarized` variant
+    types; here the integrator itself runs the Mueller-matrix path trace:
+    throughput is (N, C, 4, 4), every BSDF contributes via
+    sample_pol/eval_pol (depolarizers for non-polarizing materials), and
+    reference frames rotate with mueller.to_world_mueller."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        p = props
+        self.max_depth = int(p.int_("max_depth", 6)) if p else 6
+        if self.max_depth < 0:
+            self.max_depth = 16
+        # nested integrator accepted for API parity (its settings are reused)
+        if p is not None:
+            for _, obj in p.objects():
+                if getattr(obj, "plugin_category", "") == "integrator":
+                    self.max_depth = getattr(obj, "max_depth", self.max_depth)
+
+    def aov_names(self):
+        return [f"S{i}.{c}" for i in (1, 2, 3) for c in "rgb"]
+
+    def sample(self, scene, sampler, state, ray, medium=None, active=True):
+        n = ray.o.shape[0]
+        dt = ray.o.dtype
+        nch = current_variant().n_channels
+        ctx = BSDFContext()
+        active = jnp.broadcast_to(jnp.asarray(active), (n,))
+
+        si = scene.ray_intersect(ray, active)
+        valid_ray = si.is_valid()
+        one = jnp.ones_like(ray.o[..., 0])
+        eye = jnp.eye(4, dtype=dt)
+        # Mueller throughput per channel, in the canonical Stokes basis of
+        # each path segment
+        T = jnp.broadcast_to(eye, (n, nch, 4, 4)) * one[..., None, None, None]
+        stokes = jnp.zeros((n, nch, 4), dt) * one[..., None, None]
+
+        def emit_stokes(si_, d_, mask):
+            """Unpolarized emission as a Stokes vector."""
+            L = scene.eval_emitter(si_, d_, mask)
+            S = jnp.zeros(L.shape + (4,), L.dtype).at[..., 0].set(L)
+            return S
+
+        def add(stokes, T, S, mask):
+            contrib = jnp.einsum("ncij,ncj->nci", T, S)
+            return stokes + jnp.where(mask[..., None, None], contrib, 0.0)
+
+        stokes = add(stokes, T, emit_stokes(si, ray.d, active), active)
+        active = active & si.is_valid()
+
+        smooth_flag = jnp.uint32(int(BSDFFlags.Smooth))
+        depth = jnp.int32(1)
+        carry = (depth, active, si, ray.d, T, stokes, state)
+
+        def cond(c):
+            return (c[0] < self.max_depth) & jnp.any(c[1])
+
+        def body(c):
+            depth, active, si, ray_d, T, stokes, state = c
+            # NEE (depolarized emitter; BSDF Mueller applies)
+            flags = scene.bsdf_flags_at(si)
+            active_e = active & ((flags & smooth_flag) != 0)
+            em_u, state = sampler.next_2d(state)
+            ds, emitter_val = scene.sample_emitter_direction(
+                si, em_u, True, active_e)
+            active_e = active_e & (ds.pdf != 0)
+            wo = si.to_local(ds.d)
+            bsdf_M = self._bsdf_eval_pol(scene, ctx, si, wo, active_e)
+            bsdf_M = mu.to_world_mueller(si, bsdf_M, -wo, si.wi)
+            bsdf_pdf = scene.bsdf_pdf(ctx, si, wo, active_e)
+            mis = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+            S_em = jnp.zeros((n, nch, 4), dt).at[..., 0].set(emitter_val)
+            TM = jnp.einsum("ncij,ncjk->ncik", T, bsdf_M)
+            stokes = stokes + jnp.where(
+                active_e[..., None, None],
+                mis[..., None, None] * jnp.einsum("ncij,ncj->nci", TM, S_em),
+                0.0)
+
+            # BSDF sampling (polarized)
+            b1, state = sampler.next_1d(state)
+            b2, state = sampler.next_2d(state)
+            bs, M = self._bsdf_sample_pol(scene, ctx, si, b1, b2, active)
+            M = mu.to_world_mueller(si, M, -bs.wo, si.wi)
+            T = jnp.where(active[..., None, None, None],
+                          jnp.einsum("ncij,ncjk->ncik", T, M), T)
+            active = active & (bs.pdf > 0)
+
+            new_ray = si.spawn_ray(si.to_world(bs.wo))
+            si_next = scene.ray_intersect(new_ray, active)
+            ds_next = DirectionSample(
+                p=si_next.p, n=si_next.n, uv=si_next.uv, time=si_next.time,
+                pdf=jnp.zeros((n,), dt), delta=jnp.zeros((n,), bool),
+                d=new_ray.d,
+                dist=jnp.where(si_next.is_valid(), si_next.t, jnp.inf),
+                emitter_idx=scene.emitter_index_at(si_next))
+            delta_lobe = (bs.sampled_type
+                          & jnp.uint32(int(BSDFFlags.Delta
+                                           | BSDFFlags.Null))) != 0
+            emitter_pdf = jnp.where(
+                (ds_next.emitter_idx >= 0) & ~delta_lobe,
+                scene.pdf_emitter_direction(si, ds_next, active), 0.0)
+            w_em = mis_weight(bs.pdf, emitter_pdf)
+            stokes = add(stokes, T,
+                         emit_stokes(si_next, new_ray.d, active)
+                         * w_em[..., None, None],
+                         active)
+            active = active & si_next.is_valid()
+            return (depth + 1, active, si_next, new_ray.d, T, stokes, state)
+
+        carry = jax.lax.while_loop(cond, body, carry)
+        stokes = carry[5]
+        S0 = stokes[..., 0]
+        if nch != 3:
+            S0 = jnp.repeat(S0[..., :1], 3, -1) if nch == 1 else S0[..., :3]
+        aovs = []
+        for comp in (1, 2, 3):
+            Sx = stokes[..., comp]
+            if nch == 1:
+                Sx = jnp.repeat(Sx, 3, -1)
+            for c in range(3):
+                aovs.append(Sx[..., min(c, Sx.shape[-1] - 1)])
+        return S0, valid_ray, aovs
+
+    # masked per-instance polarized dispatch
+    def _bsdf_eval_pol(self, scene, ctx, si, wo, active):
+        n = si.t.shape[0]
+        nch = current_variant().n_channels
+        out = jnp.zeros((n, nch, 4, 4), si.t.dtype)
+        idx = scene.bsdf_index_at(si)
+        for i, b in enumerate(scene.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            out = jnp.where(mask[..., None, None, None],
+                            b.eval_pol(ctx, si, wo, mask), out)
+        return out
+
+    def _bsdf_sample_pol(self, scene, ctx, si, sample1, sample2, active):
+        from ..render.bsdf import zero_bsdf_sample
+        n = si.t.shape[0]
+        nch = current_variant().n_channels
+        bs = zero_bsdf_sample(n, si.t.dtype)
+        M = jnp.zeros((n, nch, 4, 4), si.t.dtype)
+        idx = scene.bsdf_index_at(si)
+        for i, b in enumerate(scene.bsdfs):
+            mask = jnp.asarray(active) & (idx == i)
+            bs_i, M_i = b.sample_pol(ctx, si, sample1, sample2, mask)
+            bs = _tree_where(mask, bs_i, bs)
+            M = jnp.where(mask[..., None, None, None], M_i, M)
+        return bs, M
+
+
+from ..render import mueller as mu  # noqa: E402

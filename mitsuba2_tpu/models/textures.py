@@ -82,14 +82,17 @@ class ConstantTexture(Texture):
         return jnp.broadcast_to(out, si.t.shape + out.shape[-1:])
 
     def eval_1(self, si, active=True):
-        v = float(spec.luminance(jnp.asarray(self._rgb_np)))
+        # host-side luminance (jit-safe: no traced ops on constants)
+        v = float(np.asarray(self._rgb_np, np.float64)
+                  @ [0.212671, 0.715160, 0.072169])
         return jnp.full(si.t.shape, v, si.t.dtype)
 
     def eval_3(self, si, active=True):
         return jnp.broadcast_to(self.data.rgb, si.t.shape + (3,))
 
     def mean(self):
-        return float(spec.luminance(jnp.asarray(self._rgb_np)))
+        return float(np.asarray(self._rgb_np, np.float64)
+                     @ [0.212671, 0.715160, 0.072169])
 
     def traverse(self, cb):
         cb.put_parameter("value", self.data.rgb)

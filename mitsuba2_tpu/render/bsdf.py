@@ -119,3 +119,28 @@ def zero_bsdf_sample(n, dtype=jnp.float32) -> BSDFSample:
         pdf=z, eta=jnp.ones((n,), dtype),
         sampled_type=jnp.zeros((n,), jnp.uint32),
         sampled_component=jnp.full((n,), -1, jnp.int32))
+
+
+# -----------------------------------------------------------------------------
+# Polarized evaluation hooks (used by the stokes/polarized transport)
+# -----------------------------------------------------------------------------
+
+def _depolarize_value(value):
+    """(N, C) scalar spectrum -> (N, C, 4, 4) depolarizer Mueller matrices."""
+    out = jnp.zeros(value.shape + (4, 4), value.dtype)
+    return out.at[..., 0, 0].set(value)
+
+
+def _mueller_base_eval_pol(self, ctx, si, wo, active):
+    """Default: non-polarizing BSDFs act as depolarizers (the reference's
+    `unpolarized<Spectrum>()` wrapper)."""
+    return _depolarize_value(self.eval(ctx, si, wo, active))
+
+
+def _mueller_base_sample_pol(self, ctx, si, sample1, sample2, active):
+    bs, value = self.sample(ctx, si, sample1, sample2, active)
+    return bs, _depolarize_value(value)
+
+
+BSDF.eval_pol = _mueller_base_eval_pol
+BSDF.sample_pol = _mueller_base_sample_pol

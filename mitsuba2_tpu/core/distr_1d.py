@@ -13,6 +13,15 @@ import jax
 import jax.numpy as jnp
 
 from . import math as m
+from ..ops.gather import gather_rows, searchsorted_small
+
+
+def _take_small(arr, idx):
+    """TPU-friendly take for wavefront-sized index vectors."""
+    idx = jnp.asarray(idx)
+    if idx.ndim != 1 or arr.ndim != 1:
+        return jnp.take(arr, idx, axis=-1)
+    return gather_rows(arr[:, None], idx)[:, 0]
 
 
 class DiscreteDistribution(NamedTuple):
@@ -36,18 +45,22 @@ class DiscreteDistribution(NamedTuple):
         return self.pmf.shape[-1]
 
     def eval_pmf(self, index):
-        return jnp.take(self.pmf, index, axis=-1)
+        return _take_small(self.pmf, index)
 
     def eval_pmf_normalized(self, index):
-        return jnp.take(self.pmf, index, axis=-1) * self.normalization
+        return _take_small(self.pmf, index) * self.normalization
 
     def eval_cdf_normalized(self, index):
-        return jnp.take(self.cdf, index, axis=-1) * self.normalization
+        return _take_small(self.cdf, index) * self.normalization
 
     def sample(self, u):
         """u in [0,1) -> index."""
         target = u * self.sum
-        idx = jnp.searchsorted(self.cdf, target, side="right")
+        u_flat = jnp.asarray(target)
+        if u_flat.ndim == 1:
+            idx = searchsorted_small(self.cdf, u_flat)
+        else:
+            idx = jnp.searchsorted(self.cdf, target, side="right")
         return jnp.clip(idx, 0, self.size - 1)
 
     def sample_pmf(self, u):
@@ -57,7 +70,9 @@ class DiscreteDistribution(NamedTuple):
     def sample_reuse(self, u):
         """Sample and rescale u for reuse (distr_1d.h sample_reuse)."""
         idx = self.sample(u)
-        cdf_lo = jnp.where(idx > 0, jnp.take(self.cdf, idx - 1, axis=-1), 0.0)
+        cdf_lo = jnp.where(idx > 0,
+                           _take_small(self.cdf, jnp.maximum(idx - 1, 0)),
+                           0.0)
         pmf_i = self.eval_pmf(idx)
         u2 = m.safe_div(u * self.sum - cdf_lo, pmf_i, 0.0)
         return idx, jnp.clip(u2, 0.0, 1.0 - m.Epsilon)

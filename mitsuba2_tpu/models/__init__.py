@@ -3,8 +3,8 @@ SURVEY.md §2.3). Importing this package registers every plugin."""
 
 from . import (textures, rfilters, bsdfs, emitters, sensors, films,
                samplers, shapes, integrators, spectra, media, media_impl,
-               phase)
+               measured, phase)
 
 ALL_PLUGIN_MODULES = [textures, rfilters, bsdfs, emitters, sensors, films,
                       samplers, shapes, integrators, spectra, media,
-                      media_impl, phase]
+                      media_impl, measured, phase]

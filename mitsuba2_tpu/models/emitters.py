@@ -72,6 +72,12 @@ class AreaEmitter(Emitter):
             self.tuv2 = jnp.asarray(uv[:, 2])
         else:
             self.tuv0 = self.tuv1 = self.tuv2 = None
+        # packed per-face table for one-hot gather (ops/gather.py)
+        cols = [v0, e1, e2, np.asarray(self.tn)]
+        if self.tuv0 is not None:
+            cols += [uv[:, 0], uv[:, 1], uv[:, 2]]
+        self._face_table = jnp.asarray(
+            np.concatenate(cols, axis=1).astype(np.float32))
         self._packed = True
 
     # -- queries ----------------------------------------------------------------
@@ -86,17 +92,18 @@ class AreaEmitter(Emitter):
         dt = it.p.dtype
         # pick face ~ area, then uniform barycentrics (mesh.cpp:300-307 +
         # sample_position semantics)
+        from ..ops.gather import gather_rows
         face, u_re = self.face_distr.sample_reuse(sample[..., 0])
         bary = warp.square_to_uniform_triangle(
             jnp.stack([u_re, sample[..., 1]], -1))
         bu, bv = bary[..., 0], bary[..., 1]
-        v0 = self.tv0[face]
-        p = v0 + self.te1[face] * bu[..., None] + self.te2[face] * bv[..., None]
-        nrm = self.tn[face]
+        A = gather_rows(self._face_table, face)
+        v0, te1, te2, nrm = A[:, 0:3], A[:, 3:6], A[:, 6:9], A[:, 9:12]
+        p = v0 + te1 * bu[..., None] + te2 * bv[..., None]
         if self.tuv0 is not None:
-            uv = (self.tuv0[face] * (1 - bu - bv)[..., None]
-                  + self.tuv1[face] * bu[..., None]
-                  + self.tuv2[face] * bv[..., None])
+            uv = (A[:, 12:14] * (1 - bu - bv)[..., None]
+                  + A[:, 14:16] * bu[..., None]
+                  + A[:, 16:18] * bv[..., None])
         else:
             uv = bary
         d = p - it.p
@@ -172,7 +179,9 @@ def _si_on_emitter(p, n, uv, wi_world, it, time=None, wavelengths=None):
         wi=frame.to_local(wi_world), dp_du=frame.s, dp_dv=frame.t,
         shape_idx=jnp.full((nlanes,), -1, jnp.int32),
         prim_idx=jnp.zeros((nlanes,), jnp.int32),
-        wavelengths=wavelengths, time=time)
+        wavelengths=wavelengths, time=time,
+        bsdf_idx=jnp.full((nlanes,), -1, jnp.int32),
+        emitter_idx=jnp.full((nlanes,), -1, jnp.int32))
 
 
 @register_plugin("emitter", "point")

@@ -29,6 +29,43 @@ from ..variants import current as current_variant
 class PathIntegrator(MonteCarloIntegrator):
     """MIS path tracer (path.cpp:92-234)."""
 
+    def render_wavefront(self, scene, sensor, sampler, seed, sample_base,
+                         spp_pass, spp_total):
+        """Route eligible scenes through the fused Pallas megakernel
+        (ops/megakernel.py) — whole-path-in-VMEM; general wavefront
+        otherwise."""
+        mk = self._megakernel_for(scene, sensor)
+        if mk is not None and not getattr(self, "_differentiable", False):
+            return mk.render_pass(sensor, seed, sample_base, spp_pass)
+        return super().render_wavefront(scene, sensor, sampler, seed,
+                                        sample_base, spp_pass, spp_total)
+
+    def _megakernel_for(self, scene, sensor):
+        cached = getattr(self, "_mk_cache", None)
+        if cached is not None and cached[0] == (id(scene), id(sensor)):
+            return cached[1]
+        mk = None
+        try:
+            import jax as _jax
+            from ..ops.megakernel import (DiffusePathMegakernel,
+                                          scene_supports_megakernel)
+            from ..models.sensors import PerspectiveCamera
+            from ..models.rfilters import BoxFilter
+            interpret = _jax.default_backend() != "tpu"
+            if (type(self) is PathIntegrator
+                    and type(sensor) is PerspectiveCamera
+                    and isinstance(sensor.film.rfilter, BoxFilter)
+                    and sensor.shutter_open == sensor.shutter_close
+                    and scene_supports_megakernel(scene)
+                    and not interpret):  # interpret mode: tests opt in
+                mk = DiffusePathMegakernel(scene)
+                mk.max_depth = self.max_depth
+                mk.rr_depth = self.rr_depth
+        except Exception:
+            mk = None
+        self._mk_cache = ((id(scene), id(sensor)), mk)
+        return mk
+
     def sample(self, scene, sampler, state, ray, medium=None, active=True):
         n = ray.o.shape[0]
         dt = ray.o.dtype

@@ -222,3 +222,78 @@ class PLYShape(Mesh):
         super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
                          name=filename)
         self.apply_transform(_get_to_world(props))
+
+
+@register_plugin("shape", "shapegroup")
+class ShapeGroup(Mesh):
+    """(shapegroup.cpp + shapegroup.h:15) a named collection of shapes meant
+    to be instanced; never rendered directly (expand() -> [])."""
+
+    def __init__(self, props=None):
+        self.children = []
+        if props is not None:
+            for _, obj in props.objects():
+                if getattr(obj, "plugin_category", "") == "shape":
+                    self.children.append(obj)
+        # dummy empty mesh payload
+        super().__init__(props, vertices=np.zeros((0, 3), np.float32),
+                         faces=np.zeros((0, 3), np.int32), name="shapegroup")
+
+    def expand(self):
+        return []   # only instances materialize geometry
+
+
+@register_plugin("shape", "instance")
+class Instance(Mesh):
+    """(instance.cpp) instantiates a shapegroup under a transform.
+
+    TPU note: the packed-table design materializes transformed copies at
+    scene compile (shared-BVH instancing is a planned accel feature); the
+    scene-description semantics match the reference."""
+
+    def __init__(self, props=None):
+        group = None
+        if props is not None:
+            for _, obj in props.objects():
+                if isinstance(obj, ShapeGroup):
+                    group = obj
+        if group is None:
+            raise RuntimeError("instance requires a shapegroup reference")
+        self.group = group
+        self.to_world = _get_to_world(props)
+        super().__init__(props, vertices=np.zeros((0, 3), np.float32),
+                         faces=np.zeros((0, 3), np.int32), name="instance")
+
+    def expand(self):
+        import copy
+        out = []
+        for child in self.group.children:
+            if not child.is_mesh():
+                continue
+            dup = copy.copy(child)
+            dup.vertices = child.vertices.copy()
+            dup.faces = child.faces.copy()
+            dup.normals = None if child.normals is None \
+                else child.normals.copy()
+            dup.apply_transform(self.to_world)
+            out.append(dup)
+        return out
+
+
+@register_plugin("shape", "serialized")
+class SerializedShape(Mesh):
+    """(serialized.cpp:1-374) Mitsuba 0.x .serialized mesh container."""
+
+    def __init__(self, props=None):
+        from ..utils.serialized import load_serialized
+        from ..core.fresolver import file_resolver
+        p = props
+        filename = file_resolver().resolve(p.string("filename"))
+        shape_index = p.int_("shape_index", 0)
+        face_normals = p.bool_("face_normals", False)
+        v, f, n, uv = load_serialized(filename, shape_index)
+        if face_normals:
+            n = None
+        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
+                         name=filename)
+        self.apply_transform(_get_to_world(props))

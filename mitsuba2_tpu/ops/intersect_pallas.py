@@ -176,11 +176,15 @@ class WoopIntersector:
         n = ray_o.shape[0]
         pad = (-n) % RAY_TILE
         dt = ray_o.dtype
-        o = jnp.pad(ray_o.astype(jnp.float32), ((0, pad), (0, 0)))
-        d = jnp.pad(ray_d.astype(jnp.float32), ((0, pad), (0, 0)))
-        mn = jnp.pad(mint.astype(jnp.float32), (0, pad))
-        mx = jnp.pad(maxt.astype(jnp.float32), (0, pad),
-                     constant_values=-1.0)
+        o = ray_o.astype(jnp.float32)
+        d = ray_d.astype(jnp.float32)
+        mn = mint.astype(jnp.float32)
+        mx = maxt.astype(jnp.float32)
+        if pad:
+            o = jnp.pad(o, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)))
+            mn = jnp.pad(mn, (0, pad))
+            mx = jnp.pad(mx, (0, pad), constant_values=-1.0)
         oh = jnp.concatenate([o, jnp.ones((o.shape[0], 1), jnp.float32)], 1)
         dh = jnp.concatenate([d, jnp.zeros((d.shape[0], 1), jnp.float32)], 1)
         tuv, idx = _pallas_intersect(oh, dh, mn, mx, self.wu, self.wv,

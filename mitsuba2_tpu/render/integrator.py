@@ -66,9 +66,18 @@ class SamplingIntegrator(Integrator):
         n_aovs = len(self.aov_names())
         block = ImageBlock((w, h), 3 + n_aovs, film.rfilter)
 
-        render_pass = jax.jit(
-            lambda s, base: self.render_wavefront(
-                scene, sensor, sampler, s, base, spp_per_pass, spp))
+        # cache the compiled pass across render() calls (seed/pass index are
+        # traced arguments, so one executable serves every seed)
+        cache_key = (id(scene), id(sensor), spp_per_pass, spp)
+        cache = getattr(self, "_pass_cache", None)
+        if cache is None:
+            cache = self._pass_cache = {}
+        render_pass = cache.get(cache_key)
+        if render_pass is None:
+            render_pass = jax.jit(
+                lambda s, base: self.render_wavefront(
+                    scene, sensor, sampler, s, base, spp_per_pass, spp))
+            cache[cache_key] = render_pass
 
         state = block.create()
         for p in range(n_passes):
@@ -131,6 +140,16 @@ class SamplingIntegrator(Integrator):
 
         n_aovs = len(self.aov_names())
         block = ImageBlock((w, h), 3 + n_aovs, film.rfilter)
+        from ..models.rfilters import BoxFilter
+        if isinstance(film.rfilter, BoxFilter) and block.border == 0:
+            # box-filter fast path: jittered samples stay inside their own
+            # pixel and lanes are pixel-major, so the splat is a reshape +
+            # reduction over the spp axis — no scatter at all
+            vals_w = jnp.concatenate(
+                [values, jnp.ones(values.shape[:-1] + (1,), values.dtype)],
+                axis=-1)
+            img = vals_w.reshape(n_pixels, spp_pass, -1).sum(axis=1)
+            return img.reshape(h, w, -1)
         bstate = block.create()
         bstate = block.put(bstate, pos_px, values)
         return bstate.data

@@ -32,6 +32,10 @@ class SurfaceInteraction(NamedTuple):
     prim_idx: jnp.ndarray     # (N,) int32 primitive (face) index
     wavelengths: jnp.ndarray  # (N,C) hero wavelengths (0-width if not spectral)
     time: jnp.ndarray         # (N,)
+    # resolved plugin indices (filled by compute_surface_interaction so the
+    # hot loop never re-gathers them; -1 where absent)
+    bsdf_idx: jnp.ndarray = None
+    emitter_idx: jnp.ndarray = None
 
     def is_valid(self):
         return jnp.isfinite(self.t)
@@ -84,7 +88,9 @@ class SurfaceInteraction(NamedTuple):
             shape_idx=jnp.full((n_lanes,), -1, jnp.int32),
             prim_idx=jnp.zeros((n_lanes,), jnp.int32),
             wavelengths=jnp.zeros((n_lanes, n_channels), dtype),
-            time=jnp.zeros((n_lanes,), dtype))
+            time=jnp.zeros((n_lanes,), dtype),
+            bsdf_idx=jnp.full((n_lanes,), -1, jnp.int32),
+            emitter_idx=jnp.full((n_lanes,), -1, jnp.int32))
 
 
 class MediumInteraction(NamedTuple):

@@ -153,6 +153,34 @@ class Scene(Object):
             bb_min = np.minimum(bb_min, lo)
             bb_max = np.maximum(bb_max, hi)
 
+        # ---- merge identical-type diffuse instances (vcall reduction) ----
+        # Role of material-sorted queues (SURVEY.md §2.4): N masked wavefront
+        # evals collapse to 1 with a per-shape parameter gather. The merged
+        # texture reads the ORIGINAL texture objects at trace time, so
+        # traverse()/autodiff keep working against the per-shape plugins.
+        from ..models.bsdfs import SmoothDiffuse
+        from ..models.textures import ConstantTexture
+        mergeable = [i for i, b in enumerate(self.bsdfs)
+                     if type(b) is SmoothDiffuse
+                     and type(b.reflectance) is ConstantTexture]
+        if len(mergeable) > 1:
+            slot_of_bsdf = {b_idx: slot
+                            for slot, b_idx in enumerate(mergeable)}
+            textures = [self.bsdfs[i].reflectance for i in mergeable]
+            shape_slot = np.zeros(max(len(self.shapes), 1), np.int32)
+            for s_idx, b_idx in enumerate(shape_bsdf):
+                if b_idx in slot_of_bsdf:
+                    shape_slot[s_idx] = slot_of_bsdf[b_idx]
+            merged_tex = _PerShapeTexture(textures, shape_slot)
+            merged = SmoothDiffuse()
+            merged.reflectance = merged_tex
+            keep = [i for i in range(len(self.bsdfs))
+                    if i not in slot_of_bsdf]
+            remap = {old: new for new, old in enumerate(keep)}
+            merged_idx = len(keep)
+            shape_bsdf = [remap.get(b, merged_idx) for b in shape_bsdf]
+            self.bsdfs = [self.bsdfs[i] for i in keep] + [merged]
+
         if not v0s:
             # degenerate dummy face/shape so gathers stay well-formed in
             # geometry-free scenes (e1 = e2 = 0 can never be hit)
@@ -206,6 +234,27 @@ class Scene(Object):
         self.shape_medium_int = jnp.asarray(med_int)
         self.shape_medium_ext = jnp.asarray(med_ext)
         self.has_media = len(self.media) > 0
+
+        # ---- packed per-face attribute table -----------------------------
+        # TPU's dynamic gather is ~100x slower than arithmetic for wavefront
+        # index vectors, so compute_surface_interaction fetches EVERY face
+        # attribute with ONE one-hot matmul over this table (ops/gather.py).
+        g = self.geom
+        fs_np = np.asarray(g.face_shape)
+        sb_np = np.asarray(g.shape_bsdf)
+        se_np = np.asarray(g.shape_emitter)
+        per_face_ints = np.stack([
+            fs_np,
+            sb_np[fs_np],
+            se_np[fs_np],
+            med_int[fs_np],
+            med_ext[fs_np]], axis=1).astype(np.float32)       # (F, 5)
+        self.attr_table = jnp.asarray(np.concatenate([
+            np.asarray(g.v0), np.asarray(g.e1), np.asarray(g.e2),
+            np.asarray(g.ng), np.asarray(g.n0), np.asarray(g.n1),
+            np.asarray(g.n2), np.asarray(g.uv0), np.asarray(g.uv1),
+            np.asarray(g.uv2), np.asarray(g.dp_du), np.asarray(g.dp_dv),
+            per_face_ints], axis=1).astype(np.float32))        # (F, 41)
 
         # intersector backend: fused Pallas/MXU kernel on TPU, the XLA scan
         # path elsewhere (ops/intersect_pallas.py design note)
@@ -261,21 +310,28 @@ class Scene(Object):
 
     def compute_surface_interaction(self, ray, pi: PreliminaryIntersection,
                                     active=None) -> SurfaceInteraction:
-        g = self.geom
+        from ..ops.gather import gather_rows
         valid = pi.is_valid()
         f = jnp.maximum(pi.prim_idx, 0)
+        # one MXU pass fetches every per-face attribute (see attr_table)
+        A = gather_rows(self.attr_table, f)
+        v0, e1, e2 = A[:, 0:3], A[:, 3:6], A[:, 6:9]
+        ng = A[:, 9:12]
+        n0, n1, n2 = A[:, 12:15], A[:, 15:18], A[:, 18:21]
+        uv0, uv1, uv2 = A[:, 21:23], A[:, 23:25], A[:, 25:27]
+        dp_du, dp_dv = A[:, 27:30], A[:, 30:33]
+        shape_idx = A[:, 33].astype(jnp.int32)
+        bsdf_idx = A[:, 34].astype(jnp.int32)
+        emitter_idx = A[:, 35].astype(jnp.int32)
         bu = pi.prim_uv[..., 0]
         bv = pi.prim_uv[..., 1]
         w0 = (1.0 - bu - bv)[..., None]
         wu = bu[..., None]
         wv = bv[..., None]
-        p = g.v0[f] + g.e1[f] * wu + g.e2[f] * wv
-        ng = g.ng[f]
-        ns = m.normalize(g.n0[f] * w0 + g.n1[f] * wu + g.n2[f] * wv)
-        uv = g.uv0[f] * w0 + g.uv1[f] * wu + g.uv2[f] * wv
+        p = v0 + e1 * wu + e2 * wv
+        ns = m.normalize(n0 * w0 + n1 * wu + n2 * wv)
+        uv = uv0 * w0 + uv1 * wu + uv2 * wv
         # Gram-Schmidt dp_du against the shading normal (mesh.cpp:463)
-        dp_du = g.dp_du[f]
-        dp_dv = g.dp_dv[f]
         s_axis = m.normalize(dp_du - ns * m.dot(ns, dp_du, keepdims=True))
         # guard degenerate tangents
         deg = m.squared_norm(s_axis) < 0.5
@@ -288,9 +344,11 @@ class Scene(Object):
             t=jnp.where(valid, pi.t, jnp.inf),
             p=p, n=ng, sh_frame=frame, uv=uv, wi=wi,
             dp_du=dp_du, dp_dv=dp_dv,
-            shape_idx=jnp.where(valid, pi.shape_idx, -1),
+            shape_idx=jnp.where(valid, shape_idx, -1),
             prim_idx=pi.prim_idx,
-            wavelengths=ray.wavelengths, time=ray.time)
+            wavelengths=ray.wavelengths, time=ray.time,
+            bsdf_idx=jnp.where(valid, bsdf_idx, -1),
+            emitter_idx=jnp.where(valid, emitter_idx, -1))
         return si
 
     def ray_intersect(self, ray, active=None) -> SurfaceInteraction:
@@ -313,9 +371,13 @@ class Scene(Object):
     def emitter_index_at(self, si):
         """Emitter id for surface hits / environment misses (role of
         si.emitter(scene), interaction.h)."""
-        g = self.geom
-        surf = jnp.where(si.shape_idx >= 0,
-                         g.shape_emitter[jnp.maximum(si.shape_idx, 0)], -1)
+        if si.emitter_idx is not None:
+            surf = si.emitter_idx
+        else:
+            g = self.geom
+            surf = jnp.where(si.shape_idx >= 0,
+                             g.shape_emitter[jnp.maximum(si.shape_idx, 0)],
+                             -1)
         if self.environment_emitter is not None:
             env_idx = self.environment_emitter._emitter_index
             return jnp.where(si.is_valid(), surf, env_idx)
@@ -434,9 +496,11 @@ class Scene(Object):
         """Update the per-lane medium when crossing a transition surface
         (interaction.h target_medium semantics): entering (d . n < 0) picks
         the interior medium, leaving picks the exterior."""
-        s = jnp.maximum(si.shape_idx, 0)
-        has_int = self.shape_medium_int[s]
-        has_ext = self.shape_medium_ext[s]
+        from ..ops.gather import gather_rows
+        f = jnp.maximum(si.prim_idx, 0)
+        med_cols = gather_rows(self.attr_table[:, 36:38], f)
+        has_int = med_cols[:, 0].astype(jnp.int32)
+        has_ext = med_cols[:, 1].astype(jnp.int32)
         is_transition = (si.shape_idx >= 0) & ((has_int >= 0) | (has_ext >= 0))
         entering = m.dot(d, si.n) < 0
         target = jnp.where(entering, has_int, has_ext)
@@ -447,12 +511,23 @@ class Scene(Object):
     # Role of Enoki's vectorized vcalls (bsdf.h:522-532): evaluate each BSDF
     # instance masked by its lanes and blend. Instances present is static.
     def bsdf_index_at(self, si):
+        if si.bsdf_idx is not None:
+            return si.bsdf_idx
         g = self.geom
         return jnp.where(si.shape_idx >= 0,
                          g.shape_bsdf[jnp.maximum(si.shape_idx, 0)], -1)
 
     def bsdf_flags_at(self, si):
         """Per-lane uint32 BSDFFlags of the lane's BSDF."""
+        from ..ops.gather import gather_rows
+        idx = self.bsdf_index_at(si)
+        flags_f = jnp.asarray(np.asarray(
+            [[float(int(b.flags()))] for b in self.bsdfs], np.float32))
+        gathered = gather_rows(flags_f, jnp.maximum(idx, 0))[:, 0]
+        return jnp.where(idx >= 0, gathered.astype(jnp.uint32),
+                         jnp.uint32(0))
+
+    def _bsdf_flags_at_slow(self, si):
         flags = jnp.asarray(
             np.asarray([int(b.flags()) for b in self.bsdfs], np.uint32))
         idx = self.bsdf_index_at(si)
@@ -509,6 +584,62 @@ class Scene(Object):
                 cb.put_object(e.id or f"emitter_{i}", e)
         for i, s in enumerate(self.sensors):
             cb.put_object(s.id or f"sensor_{i}", s)
+
+
+class _PerShapeTexture:
+    """Texture gathering per-shape constants from the live source textures
+    (material-merge support). Duck-typed subset of the Texture interface."""
+
+    plugin_category = "texture"
+
+    def __init__(self, textures, shape_slot):
+        self.textures = textures
+        self.shape_slot = jnp.asarray(shape_slot)
+
+    def _table(self, wavelengths):
+        var = current_variant()
+        if var.is_rgb:
+            return jnp.stack([t.data.rgb for t in self.textures])
+        if var.is_monochromatic:
+            return jnp.stack([t.data.mono for t in self.textures])
+        return jnp.stack([t.data.coeff for t in self.textures])
+
+    def _slot_at(self, si):
+        from ..ops.gather import gather_rows
+        slot_f = self.shape_slot.astype(jnp.float32)[:, None]
+        return gather_rows(slot_f, jnp.maximum(si.shape_idx, 0))[:, 0] \
+            .astype(jnp.int32)
+
+    def eval(self, si, active=True):
+        from ..ops.gather import gather_rows
+        var = current_variant()
+        table = self._table(si.wavelengths)
+        vals = gather_rows(table.reshape(table.shape[0], -1),
+                           self._slot_at(si)).reshape(
+            (si.t.shape[0],) + table.shape[1:])
+        if var.is_spectral:
+            from .srgb import srgb_model_eval
+            return srgb_model_eval(vals, si.wavelengths)
+        return vals
+
+    def eval_3(self, si, active=True):
+        from ..ops.gather import gather_rows
+        table = jnp.stack([t.data.rgb for t in self.textures])
+        return gather_rows(table, self._slot_at(si))
+
+    def eval_1(self, si, active=True):
+        from ..core import spectrum as spec
+        return spec.luminance(self.eval_3(si, active))
+
+    def mean(self):
+        return float(np.mean([t.mean() for t in self.textures]))
+
+    def is_spatially_varying(self):
+        return True
+
+    def traverse(self, cb):
+        for i, t in enumerate(self.textures):
+            cb.put_object(f"source_{i}", t)
 
 
 def _tree_where(mask, a, b):

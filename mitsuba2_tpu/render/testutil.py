@@ -26,7 +26,9 @@ def dummy_si(n, wi=(0, 0, 1), dtype=jnp.float32, n_wav=0):
         shape_idx=jnp.zeros((n,), jnp.int32),
         prim_idx=jnp.zeros((n,), jnp.int32),
         wavelengths=jnp.full((n, n_wav), 550.0, dtype),
-        time=jnp.zeros((n,), dtype))
+        time=jnp.zeros((n,), dtype),
+        bsdf_idx=jnp.zeros((n,), jnp.int32),
+        emitter_idx=jnp.full((n,), -1, jnp.int32))
 
 
 def make_bsdf_adapter(bsdf_type, extra: dict | None = None, wi=(0, 0, 1),

@@ -23,9 +23,11 @@ class RefScene:
         self.face_shape = np.asarray(g.face_shape)
         self.shape_bsdf = np.asarray(g.shape_bsdf)
         self.shape_emitter = np.asarray(g.shape_emitter)
+        # per-shape albedo from the original plugin objects (the scene may
+        # have merged bsdf instances for dispatch)
         self.albedo = np.stack([
-            np.asarray(b.reflectance._rgb_np, np.float64).reshape(3)
-            for b in scene.bsdfs])
+            np.asarray(s_.bsdf.reflectance._rgb_np, np.float64).reshape(3)
+            for s_ in scene.shapes])
         self.emitters = []
         for e in scene.emitters:
             from mitsuba2_tpu.render.emitter import EmitterFlags
@@ -142,7 +144,7 @@ def render_reference(scene, width, height, spp, max_depth, fov_deg,
         ng = ref.ng[np.maximum(f, 0)]
         ns = np.where(np.einsum("ij,ij->i", ng, -d)[:, None] > 0, ng, -ng) \
             if False else ng  # one-sided diffuse: use geometric normal
-        albedo = ref.albedo[ref.shape_bsdf[np.maximum(shape, 0)]]
+        albedo = ref.albedo[np.maximum(shape, 0)]
         cos_i = np.einsum("ij,ij->i", ns, -d)
         front = cos_i > 0
         active = active & front

@@ -36,6 +36,7 @@ class SurfaceInteraction(NamedTuple):
     # hot loop never re-gathers them; -1 where absent)
     bsdf_idx: jnp.ndarray = None
     emitter_idx: jnp.ndarray = None
+    prim_uv: jnp.ndarray = None  # (N,2) barycentrics (mesh_attribute interp)
 
     def is_valid(self):
         return jnp.isfinite(self.t)

@@ -198,6 +198,30 @@ class Scene(Object):
                 from ..models.bsdfs import SmoothDiffuse
                 self.bsdfs.append(SmoothDiffuse())
 
+        # ---- BVH face ordering (native C++ builder, ops/bvh.py) ----------
+        # Role of kdtree.h: the SAH tree is built on the host; on device its
+        # leaf order makes the intersector's face chunks spatially coherent,
+        # so chunked Möller–Trumbore / woop tiles prune better and the
+        # attribute one-hot rows cluster. Order is a pure permutation —
+        # every per-face array below is permuted consistently.
+        self.bvh = None
+        cat_v0 = np.concatenate(v0s).astype(np.float32)
+        if len(cat_v0) > 1:
+            from ..ops.bvh import build_bvh
+            cat_e1 = np.concatenate(e1s).astype(np.float32)
+            cat_e2 = np.concatenate(e2s).astype(np.float32)
+            self.bvh = build_bvh(cat_v0, cat_e1, cat_e2, leaf_size=64)
+            perm = self.bvh.order
+
+            def permute(xs):
+                return [np.concatenate(xs)[perm]]
+            v0s, e1s, e2s, ngs = (permute(x) for x in
+                                  (v0s, e1s, e2s, ngs))
+            n0s, n1s, n2s = (permute(x) for x in (n0s, n1s, n2s))
+            uv0s, uv1s, uv2s = (permute(x) for x in (uv0s, uv1s, uv2s))
+            dpdus, dpdvs = permute(dpdus), permute(dpdvs)
+            face_shape = permute(face_shape)
+
         def cat(xs, dtype=np.float32):
             return jnp.asarray(np.concatenate(xs).astype(dtype))
 
@@ -256,6 +280,35 @@ class Scene(Object):
             np.asarray(g.uv2), np.asarray(g.dp_du), np.asarray(g.dp_dv),
             per_face_ints], axis=1).astype(np.float32))        # (F, 41)
 
+        # ---- mesh_attribute corner tables (mesh_attribute.cpp) -----------
+        # per attribute name, one packed (F, 3k) corner table in the SAME
+        # (BVH-permuted) global face order as attr_table, so one one-hot
+        # gather + barycentric weights evaluates the attribute per lane.
+        attr_names: dict = {}
+        for s in self.shapes:
+            if s.is_mesh():
+                for nm, (k, _) in s.attributes.items():
+                    attr_names.setdefault(nm, k)
+        self.mesh_attr_tables = {}
+        for nm, k in attr_names.items():
+            per = []
+            for s in self.shapes:
+                nf = len(s.faces)
+                if nm in s.attributes:
+                    _, data = s.attributes[nm]
+                    if nm.startswith("vertex_"):
+                        corners = data[s.faces]                  # (f,3,k)
+                    else:
+                        corners = np.repeat(data[:, None, :], 3, 1)
+                else:
+                    corners = np.zeros((nf, 3, k), np.float32)
+                per.append(corners.astype(np.float32))
+            tab = np.concatenate(per)                            # (F,3,k)
+            if self.bvh is not None:
+                tab = tab[self.bvh.order]
+            self.mesh_attr_tables[nm] = (
+                k, jnp.asarray(tab.reshape(len(tab), 3 * k)))
+
         # intersector backend: fused Pallas/MXU kernel on TPU, the XLA scan
         # path elsewhere (ops/intersect_pallas.py design note)
         self._woop = None
@@ -274,6 +327,46 @@ class Scene(Object):
             if hasattr(e, "prepare"):
                 e.prepare(self)
             e.set_scene(self)
+
+        # bind mesh_attribute textures to the packed corner tables
+        self._wire_mesh_attr_textures()
+
+    def _wire_mesh_attr_textures(self):
+        """Find every `mesh_attribute` texture reachable from the scene's
+        plugins and hand it its packed corner table (the role of
+        si.shape->eval_attribute dispatch, mesh_attribute.cpp:85)."""
+        from ..models.textures import MeshAttributeTexture
+        seen = set()
+
+        def walk(obj, depth=0):
+            if obj is None or id(obj) in seen or depth > 6:
+                return
+            seen.add(id(obj))
+            if isinstance(obj, MeshAttributeTexture):
+                obj.wire(self)
+                return
+            d = getattr(obj, "__dict__", None)
+            if not isinstance(d, dict):
+                return
+            for v in d.values():
+                if hasattr(v, "__dict__") and not isinstance(
+                        v, (np.ndarray, jnp.ndarray)):
+                    walk(v, depth + 1)
+
+        for root in (list(self.bsdfs) + list(self.emitters)
+                      + list(self.media)):
+            walk(root)
+
+    def eval_attribute(self, name: str, si, active=True):
+        """Interpolated named mesh attribute at si — (N, k).
+        (shape.h eval_attribute; zero where the hit mesh lacks it.)"""
+        from ..ops.gather import gather_rows
+        k, flat = self.mesh_attr_tables[name]
+        A = gather_rows(flat, jnp.maximum(si.prim_idx, 0))
+        A = A.reshape(si.t.shape + (3, k))
+        bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
+        w = jnp.stack([1.0 - bu - bv, bu, bv], -1)[..., None]
+        return (A * w).sum(-2)
 
     def bounding_sphere(self):
         if not (np.all(np.isfinite(self._bb_min))
@@ -348,7 +441,8 @@ class Scene(Object):
             prim_idx=pi.prim_idx,
             wavelengths=ray.wavelengths, time=ray.time,
             bsdf_idx=jnp.where(valid, bsdf_idx, -1),
-            emitter_idx=jnp.where(valid, emitter_idx, -1))
+            emitter_idx=jnp.where(valid, emitter_idx, -1),
+            prim_uv=pi.prim_uv)
         return si
 
     def ray_intersect(self, ray, active=None) -> SurfaceInteraction:

@@ -239,17 +239,87 @@ class BitmapTexture(Texture):
 
 @register_plugin("texture", "mesh_attribute")
 class MeshAttributeTexture(Texture):
-    """(mesh_attribute.cpp) reads a named per-vertex/face attribute; wired by
-    the Scene at compile time."""
+    """(mesh_attribute.cpp) reads a named per-vertex/face mesh attribute
+    (``vertex_*`` / ``face_*``, added via Mesh.add_attribute). The Scene
+    wires in a packed per-face corner table at pack time; eval() is one
+    one-hot gather + barycentric interpolation. 3-channel attributes go
+    through the variant's spectrum conversion (srgb upsampling per corner
+    in spectral mode, mesh_attribute.cpp:106 srgb_model_eval)."""
 
-    def __init__(self, props=None):
+    def __init__(self, props=None, name=None, scale=1.0):
         super().__init__(props)
-        self.name = props.string("name") if props else "vertex_color"
-        self.scale = props.float_("scale", 1.0) if props else 1.0
+        if props is not None:
+            name = props.string("name")
+            scale = props.float_("scale", 1.0)
+        self.name = name or "vertex_color"
+        self.scale = scale
+        self._k = None
+        self._corners = None   # _SpectrumData over (3F, k) corner rows
+
+    def wire(self, scene):
+        if self.name not in scene.mesh_attr_tables:
+            raise RuntimeError(
+                f"mesh_attribute '{self.name}': no mesh in the scene "
+                f"carries this attribute")
+        k, flat = scene.mesh_attr_tables[self.name]
+        self._k = k
+        self._rgb_flat = flat                      # (F, 3k) raw values
+        if k == 3:
+            raw = np.asarray(flat).reshape(-1, 3)  # (3F, 3)
+            self._corners = _SpectrumData(raw)
+
+    def _interp_raw(self, si):
+        from ..ops.gather import gather_rows
+        if self._k is None:
+            raise RuntimeError("mesh_attribute texture was never wired "
+                               "into a scene")
+        A = gather_rows(self._rgb_flat, jnp.maximum(si.prim_idx, 0))
+        A = A.reshape(si.t.shape + (3, self._k))
+        bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
+        w = jnp.stack([1.0 - bu - bv, bu, bv], -1)[..., None]
+        return (A * w).sum(-2)                     # (N, k)
 
     def eval(self, si, active=True):
-        raise NotImplementedError(
-            "mesh_attribute textures are resolved during scene compile")
+        var = current_variant()
+        if self._k == 3 and var.is_spectral:
+            # interpolate the per-corner upsampled spectra (bitmap-style)
+            from ..render.srgb import srgb_model_eval
+            from ..ops.gather import gather_rows
+            coeff = self._corners.coeff.reshape(-1, 9)     # (F, 9)
+            C = gather_rows(coeff, jnp.maximum(si.prim_idx, 0))
+            C = C.reshape(si.t.shape + (3, 3))
+            bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
+            ws = (1.0 - bu - bv, bu, bv)
+            out = 0.0
+            for c in range(3):
+                out = out + ws[c][..., None] * srgb_model_eval(
+                    C[..., c, :], si.wavelengths)
+            return out * self.scale
+        v = self._interp_raw(si)
+        if self._k == 3 and var.is_monochromatic:
+            v = spec.luminance(v)[..., None]
+        elif self._k == 1 and not var.is_monochromatic:
+            v = jnp.repeat(v, 3, axis=-1)
+        return v * self.scale
+
+    def eval_1(self, si, active=True):
+        v = self._interp_raw(si)
+        if self._k == 3:
+            return spec.luminance(v) * self.scale
+        return v[..., 0] * self.scale
+
+    def eval_3(self, si, active=True):
+        v = self._interp_raw(si)
+        if self._k == 1:
+            v = jnp.repeat(v, 3, axis=-1)
+        return v * self.scale
+
+    def mean(self):
+        if self._k == 3:
+            return float(np.asarray(
+                spec.luminance(jnp.mean(self._rgb_flat.reshape(-1, 3),
+                                        axis=0))) * self.scale)
+        return float(np.mean(np.asarray(self._rgb_flat))) * self.scale
 
     def is_spatially_varying(self):
         return True

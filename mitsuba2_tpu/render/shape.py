@@ -75,6 +75,23 @@ class Mesh(Shape):
         self.normals = None if normals is None else np.asarray(normals, np.float32)
         self.uvs = None if uvs is None else np.asarray(uvs, np.float32)
         self.face_normals_only = self.normals is None
+        # named custom attributes (mesh.cpp add_attribute): key convention
+        # "vertex_*" = per-vertex rows, "face_*" = per-face rows
+        self.attributes: dict = {}
+
+    def add_attribute(self, name: str, size: int, data):
+        """(mesh.cpp:300 add_attribute) attach a named per-vertex or
+        per-face attribute, consumed by `mesh_attribute` textures."""
+        data = np.asarray(data, np.float32).reshape(-1, size)
+        n = len(self.vertices) if name.startswith("vertex_") else \
+            len(self.faces)
+        if not (name.startswith("vertex_") or name.startswith("face_")):
+            raise ValueError(
+                f"attribute '{name}' must start with vertex_ or face_")
+        if len(data) != n:
+            raise ValueError(
+                f"attribute '{name}': expected {n} rows, got {len(data)}")
+        self.attributes[name] = (size, data)
 
     @property
     def vertex_count(self):

@@ -76,6 +76,17 @@ class Properties:
             raise KeyError(f"property '{k}' missing")
         return float(v)
 
+    def long_(self, k, default=None):
+        """64-bit integer (properties.h int64 — used to smuggle raw
+        pointers by the Blender bridge, blender.cpp:105-107)."""
+        v = self.get(k, default)
+        if v is None:
+            raise KeyError(f"property '{k}' missing")
+        return int(v)
+
+    def property_names(self):
+        return list(self._values.keys())
+
     def string(self, k, default=None):
         v = self.get(k, default)
         if v is None:

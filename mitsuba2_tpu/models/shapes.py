@@ -297,3 +297,118 @@ class SerializedShape(Mesh):
         super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
                          name=filename)
         self.apply_transform(_get_to_world(props))
+
+
+# ---- Blender bridge ---------------------------------------------------------
+# Blender 2.8x mesh struct layouts (blender.cpp:9-46); raw pointers to these
+# arrive as integer properties from the exporter add-on.
+_ML_LOOP = np.dtype([("v", "<u4"), ("e", "<u4")])
+_ML_LOOPTRI = np.dtype([("tri", "<u4", 3), ("poly", "<u4")])
+_M_POLY = np.dtype([("loopstart", "<i4"), ("totloop", "<i4"),
+                    ("mat_nr", "<i2"), ("flag", "i1"), ("pad", "i1")])
+_M_VERT = np.dtype([("co", "<f4", 3), ("no", "<i2", 3),
+                    ("flag", "i1"), ("bweight", "i1")])
+_ML_LOOPUV = np.dtype([("uv", "<f4", 2), ("flag", "<i4")])
+_ML_LOOPCOL = np.dtype([("r", "u1"), ("g", "u1"), ("b", "u1"), ("a", "u1")])
+_ME_SMOOTH = 1
+
+
+def _read_ptr(ptr: int, count: int, dtype: np.dtype) -> np.ndarray:
+    """Zero-copy view of foreign memory (then copied out) — the role of the
+    reinterpret_casts in blender.cpp:105-118."""
+    import ctypes
+    if count == 0 or ptr == 0:
+        return np.zeros(0, dtype)
+    buf = (ctypes.c_char * (int(count) * dtype.itemsize)).from_address(
+        int(ptr))
+    return np.frombuffer(buf, dtype=dtype, count=int(count)).copy()
+
+
+@register_plugin("shape", "blender")
+class BlenderMesh(Mesh):
+    """(blender.cpp:60-325) zero-copy import from Blender's in-memory mesh
+    representation, used by the exporter add-on: raw MLoop/MLoopTri/MPoly/
+    MVert pointers passed as integer properties, filtered to one material
+    slot (``mat_nr``), with flat/smooth shading resolved per face and
+    duplicate corner de-dup. The reference's per-vertex hash chain becomes
+    one vectorized np.unique over (vertex, shading-key, uv) corner rows."""
+
+    def __init__(self, props=None):
+        from ..core.math import srgb_to_linear
+        p = props
+        name = p.string("name")
+        mat_nr = p.int_("mat_nr")
+        vert_count = p.int_("vert_count")
+        tri_count = p.int_("loop_tri_count")
+        loop_count = p.int_("loop_count", 0)
+        loops = _read_ptr(p.long_("loops"),
+                          loop_count or 3 * tri_count, _ML_LOOP)
+        tris = _read_ptr(p.long_("loop_tris"), tri_count, _ML_LOOPTRI)
+        n_polys = int(tris["poly"].max()) + 1 if tri_count else 0
+        polys = _read_ptr(p.long_("polys"), n_polys, _M_POLY)
+        verts = _read_ptr(p.long_("verts"), vert_count, _M_VERT)
+        has_uvs = p.has_property("uvs")
+        uvs = _read_ptr(p.long_("uvs"), len(loops), _ML_LOOPUV) \
+            if has_uvs else None
+        col_layers = [(k, _read_ptr(p.long_(k), len(loops), _ML_LOOPCOL))
+                      for k in p.property_names() if k.startswith("vertex_")]
+        to_world = _get_to_world(props)
+
+        # material filter (blender.cpp:190) + degenerate-face cull
+        face_poly = tris["poly"].astype(np.int64)
+        keep = polys["mat_nr"][face_poly] == mat_nr
+        tris = tris[keep]
+        face_poly = face_poly[keep]
+        corner_loop = tris["tri"].astype(np.int64)          # (f, 3)
+        corner_vert = loops["v"][corner_loop].astype(np.int64)
+        M = np.asarray(to_world.matrix)
+        Mit = np.asarray(to_world.inverse_transpose)
+        pos = verts["co"][corner_vert]                      # (f, 3, 3)
+        pos = pos @ M[:3, :3].T + M[:3, 3]
+        fn = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+        fn_len = np.linalg.norm(fn, axis=-1)
+        smooth = (polys["flag"][face_poly] & _ME_SMOOTH) != 0
+        good = smooth | (fn_len > 0)                        # blender.cpp:212
+        tris, face_poly, corner_loop, corner_vert, pos, fn, fn_len, smooth \
+            = (a[good] for a in (tris, face_poly, corner_loop, corner_vert,
+                                 pos, fn, fn_len, smooth))
+        f = len(tris)
+
+        # per-corner normals: flat -> face normal, smooth -> vertex normal
+        # (Blender packs vertex normals as int16 / 32767, blender.cpp:231)
+        flat_n = fn / np.maximum(fn_len, 1e-20)[:, None]
+        vn = verts["no"].astype(np.float32) / 32767.0
+        vn = vn @ Mit[:3, :3].T
+        vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
+        corner_n = np.where(smooth[:, None, None],
+                            vn[corner_vert], flat_n[:, None, :])
+
+        corner_uv = np.zeros((f, 3, 2), np.float32)
+        if has_uvs:
+            corner_uv = uvs["uv"][corner_loop].copy()
+            corner_uv[..., 1] = 1.0 - corner_uv[..., 1]     # blender.cpp:243
+
+        # corner de-dup (blender.cpp:153-176 Key): share a vertex iff same
+        # blender vertex AND same shading key (smooth, or same flat poly)
+        # AND same uv
+        shade_key = np.where(smooth, -1, face_poly)
+        key = np.zeros((f * 3, 5), np.float64)
+        key[:, 0] = corner_vert.ravel()
+        key[:, 1] = np.repeat(shade_key, 3)
+        key[:, 2] = np.repeat(smooth.astype(np.int64), 3)
+        key[:, 3:] = corner_uv.reshape(-1, 2)
+        _, first, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+        faces = inverse.reshape(f, 3).astype(np.int32)
+        v_out = pos.reshape(-1, 3)[first].astype(np.float32)
+        n_out = corner_n.reshape(-1, 3)[first].astype(np.float32)
+        uv_out = corner_uv.reshape(-1, 2)[first] if has_uvs else None
+
+        super().__init__(props, vertices=v_out, faces=faces, normals=n_out,
+                         uvs=uv_out, name=name)
+        # vertex colors are sRGB bytes in Blender (blender.cpp:277)
+        for lname, cols in col_layers:
+            c = np.stack([cols["r"], cols["g"], cols["b"]], -1)
+            c = srgb_to_linear(c.astype(np.float32) / 255.0)
+            self.add_attribute(lname, 3,
+                               np.asarray(c)[corner_loop.ravel()][first])

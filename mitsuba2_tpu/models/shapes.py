@@ -15,7 +15,7 @@ import numpy as np
 from ..core.object import register_plugin
 from ..core.properties import Properties
 from ..core.transform import Transform
-from ..render.shape import Mesh
+from ..render.shape import Mesh, Shape
 
 
 def _get_to_world(props) -> Transform:
@@ -112,24 +112,61 @@ def _sphere_mesh(radius=1.0, center=(0, 0, 0), n_theta=32, n_phi=64):
 
 
 @register_plugin("shape", "sphere")
-class SphereShape(Mesh):
-    """(sphere.cpp:1-463) — tessellated for now; the analytic
-    intersection/sampling path is a planned shape-table upgrade (tracked for
-    the shapes milestone)."""
+class SphereShape(Shape):
+    """(sphere.cpp:1-463) analytic sphere: exact quadric intersection via
+    the scene's packed sphere table (render/scene.py sph_table) — no
+    tessellation error. Falls back to a tessellated mesh via expand() when
+    the sphere carries an emitter (area sampling runs on the mesh face
+    tables) or when to_world applies a non-uniform scale (ellipsoid)."""
 
-    def __init__(self, props=None):
+    def __init__(self, props=None, center=(0, 0, 0), radius=1.0):
         p = props or Properties("sphere")
-        radius = p.float_("radius", 1.0)
-        center = p.vector3("center", [0, 0, 0])
-        res = int(p.int_("resolution_hint", 64))
-        v, f, n, uv = _sphere_mesh(radius, center, res // 2, res)
-        flip = p.bool_("flip_normals", False)
-        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
-                         name="sphere")
-        self.apply_transform(_get_to_world(props))
-        if flip:
-            self.faces = self.faces[:, ::-1].copy()
-            self.normals = -self.normals
+        super().__init__(p)
+        radius = p.float_("radius", radius)
+        center = np.asarray(p.get("center", center), np.float32).reshape(3)
+        self._res = int(p.int_("resolution_hint", 64))
+        self.flip_normals = p.bool_("flip_normals", False)
+        tw = _get_to_world(props)
+        M = np.asarray(tw.matrix)
+        lin = M[:3, :3]
+        scales = np.linalg.norm(lin, axis=0)
+        self._uniform = bool(np.allclose(scales, scales[0], rtol=1e-4))
+        self.center = (lin @ center + M[:3, 3]).astype(np.float32)
+        self.radius = float(radius * scales[0])
+        self._scales = scales
+        self._to_world = tw
+        self._orig = (center, radius)
+
+    def is_analytic(self):
+        return True
+
+    def expand(self):
+        if self.emitter is not None or not self._uniform:
+            return [self._tessellate()]
+        return [self]
+
+    def _tessellate(self) -> Mesh:
+        c0, r0 = self._orig
+        v, f, n, uv = _sphere_mesh(r0, c0, self._res // 2, self._res)
+        mesh = Mesh(None, vertices=v, faces=f, normals=n, uvs=uv,
+                    name="sphere")
+        mesh.apply_transform(self._to_world)
+        if self.flip_normals:
+            mesh.faces = mesh.faces[:, ::-1].copy()
+            mesh.normals = -mesh.normals
+        mesh.bsdf = self.bsdf
+        mesh.emitter = self.emitter
+        mesh.interior_medium = self.interior_medium
+        mesh.exterior_medium = self.exterior_medium
+        if self.emitter is not None:
+            self.emitter.set_shape(mesh)
+        return mesh
+
+    def surface_area(self) -> float:
+        return 4.0 * np.pi * self.radius ** 2
+
+    def bbox(self):
+        return self.center - self.radius, self.center + self.radius
 
 
 @register_plugin("shape", "disk")
@@ -234,6 +271,10 @@ class ShapeGroup(Mesh):
         if props is not None:
             for _, obj in props.objects():
                 if getattr(obj, "plugin_category", "") == "shape":
+                    if obj.is_analytic():
+                        # instancing materializes transformed mesh copies;
+                        # analytic prims tessellate when grouped
+                        obj = obj._tessellate()
                     self.children.append(obj)
         # dummy empty mesh payload
         super().__init__(props, vertices=np.zeros((0, 3), np.float32),

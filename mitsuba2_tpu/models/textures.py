@@ -273,7 +273,9 @@ class MeshAttributeTexture(Texture):
         if self._k is None:
             raise RuntimeError("mesh_attribute texture was never wired "
                                "into a scene")
-        A = gather_rows(self._rgb_flat, jnp.maximum(si.prim_idx, 0))
+        A = gather_rows(self._rgb_flat,
+                        jnp.clip(si.prim_idx, 0,
+                                 self._rgb_flat.shape[0] - 1))
         A = A.reshape(si.t.shape + (3, self._k))
         bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
         w = jnp.stack([1.0 - bu - bv, bu, bv], -1)[..., None]
@@ -286,7 +288,8 @@ class MeshAttributeTexture(Texture):
             from ..render.srgb import srgb_model_eval
             from ..ops.gather import gather_rows
             coeff = self._corners.coeff.reshape(-1, 9)     # (F, 9)
-            C = gather_rows(coeff, jnp.maximum(si.prim_idx, 0))
+            C = gather_rows(coeff, jnp.clip(si.prim_idx, 0,
+                                            coeff.shape[0] - 1))
             C = C.reshape(si.t.shape + (3, 3))
             bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
             ws = (1.0 - bu - bv, bu, bv)

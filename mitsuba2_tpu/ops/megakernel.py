@@ -447,6 +447,8 @@ def scene_supports_megakernel(scene) -> bool:
         return False
     if scene.has_media or scene.environment_emitter is not None:
         return False
+    if getattr(scene, "n_spheres", 0):
+        return False   # analytic quadrics take the wavefront path
     if scene.geom.v0.shape[0] > MAX_FACES or scene.geom.v0.shape[0] == 0:
         return False
     for b in scene.bsdfs:

@@ -72,6 +72,11 @@ class Scene(Object):
                     self.emitters.append(obj)
                 elif kind == "integrator":
                     self.integrator = obj
+        # emitter-carrying analytic prims need mesh area-sampling tables;
+        # normally expand() handles this, this covers manual Scene(...)
+        self.shapes = [s._tessellate()
+                       if (s.is_analytic() and s.emitter is not None)
+                       else s for s in self.shapes]
         # collect shape-attached emitters (scene.cpp:22-59 classification)
         for s in self.shapes:
             if s.emitter is not None and s.emitter not in self.emitters:
@@ -108,7 +113,21 @@ class Scene(Object):
         shape_emitter = []
         bb_min = np.full(3, np.inf)
         bb_max = np.full(3, -np.inf)
+        # per-shape plugin ids cover EVERY shape (analytic ones included);
+        # face_shape/geometry cover meshes only
+        analytic = []
         for si_idx, s in enumerate(self.shapes):
+            shape_bsdf.append(bsdf_index[id(s.bsdf)])
+            em = -1
+            if s.emitter is not None:
+                em = s.emitter._emitter_index
+            shape_emitter.append(em)
+            if s.is_analytic():
+                analytic.append((si_idx, s))
+                lo, hi = s.bbox()
+                bb_min = np.minimum(bb_min, lo)
+                bb_max = np.maximum(bb_max, hi)
+                continue
             if not s.is_mesh():
                 raise NotImplementedError(
                     f"non-mesh shape {type(s).__name__} not yet supported")
@@ -144,11 +163,6 @@ class Scene(Object):
             uv0s.append(uvs[:, 0]); uv1s.append(uvs[:, 1]); uv2s.append(uvs[:, 2])
             dpdus.append(dp_du); dpdvs.append(dp_dv)
             face_shape.append(np.full(len(v0), si_idx, np.int32))
-            shape_bsdf.append(bsdf_index[id(s.bsdf)])
-            em = -1
-            if s.emitter is not None:
-                em = s.emitter._emitter_index
-            shape_emitter.append(em)
             lo, hi = s.bbox()
             bb_min = np.minimum(bb_min, lo)
             bb_max = np.maximum(bb_max, hi)
@@ -192,8 +206,9 @@ class Scene(Object):
             uv0s, uv1s, uv2s = [z2], [z2], [z2]
             dpdus = dpdvs = [z3]
             face_shape = [np.zeros(1, np.int32)]
-            shape_bsdf = [0]
-            shape_emitter = [-1]
+            if not shape_bsdf:        # truly shape-free scene
+                shape_bsdf = [0]
+                shape_emitter = [-1]
             if not self.bsdfs:
                 from ..models.bsdfs import SmoothDiffuse
                 self.bsdfs.append(SmoothDiffuse())
@@ -258,6 +273,25 @@ class Scene(Object):
         self.shape_medium_int = jnp.asarray(med_int)
         self.shape_medium_ext = jnp.asarray(med_ext)
         self.has_media = len(self.media) > 0
+
+        # ---- analytic sphere table (sphere.cpp exact quadric prims) ------
+        # one dense (S, 10) row per analytic sphere: center 0:3, radius 3,
+        # shape 4, bsdf 5, emitter 6, med_int 7, med_ext 8, flip 9. The
+        # quadric pass in ray_intersect_preliminary encodes hits as
+        # prim_idx = F + sphere_index.
+        self.n_spheres = len(analytic)
+        self.sph_table = None
+        if analytic:
+            rows = []
+            for a_idx, s in analytic:
+                rows.append(np.concatenate([
+                    np.asarray(s.center, np.float32),
+                    np.asarray([s.radius, a_idx, shape_bsdf[a_idx],
+                                shape_emitter[a_idx], med_int[a_idx],
+                                med_ext[a_idx],
+                                -1.0 if s.flip_normals else 1.0],
+                               np.float32)]))
+            self.sph_table = jnp.asarray(np.stack(rows).astype(np.float32))
 
         # ---- packed per-face attribute table -----------------------------
         # TPU's dynamic gather is ~100x slower than arithmetic for wavefront
@@ -362,7 +396,8 @@ class Scene(Object):
         (shape.h eval_attribute; zero where the hit mesh lacks it.)"""
         from ..ops.gather import gather_rows
         k, flat = self.mesh_attr_tables[name]
-        A = gather_rows(flat, jnp.maximum(si.prim_idx, 0))
+        A = gather_rows(flat, jnp.clip(si.prim_idx, 0,
+                                       flat.shape[0] - 1))
         A = A.reshape(si.t.shape + (3, k))
         bu, bv = si.prim_uv[..., 0], si.prim_uv[..., 1]
         w = jnp.stack([1.0 - bu - bv, bu, bv], -1)[..., None]
@@ -380,6 +415,29 @@ class Scene(Object):
         return self._bb_min, self._bb_max
 
     # ------------------------------------------------------------ intersection
+    def _sphere_closest_hit(self, o, d, mint, maxt):
+        """Vectorized ray/quadric pass over the analytic sphere table:
+        a dense (N, S) slab of quadratic solves — branch-free VPU math
+        (role of sphere.cpp ray_intersect_preliminary). Returns
+        (t (N,), sphere_index (N,) or -1)."""
+        tab = self.sph_table
+        c, r = tab[:, 0:3], tab[:, 3]
+        oc = o[:, None, :] - c[None, :, :]                  # (N,S,3)
+        a = jnp.sum(d * d, -1)[:, None]
+        b = jnp.sum(oc * d[:, None, :], -1)                 # (N,S)
+        cc = jnp.sum(oc * oc, -1) - r[None, :] ** 2
+        disc = b * b - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-b - sq) / a
+        t1 = (-b + sq) / a
+        t_near = jnp.where(t0 > mint[:, None], t0, t1)      # inside: far root
+        ok = (disc > 0) & (t_near > mint[:, None]) & (t_near < maxt[:, None])
+        t_near = jnp.where(ok, t_near, jnp.inf)
+        s_best = jnp.argmin(t_near, axis=1)
+        t_best = jnp.min(t_near, axis=1)
+        return t_best, jnp.where(jnp.isfinite(t_best),
+                                 s_best.astype(jnp.int32), -1)
+
     def ray_intersect_preliminary(self, ray, active=None):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
@@ -392,9 +450,25 @@ class Scene(Object):
         else:
             pi = isect_ops.ray_intersect_packets(
                 g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+        n_faces = int(g.v0.shape[0])
+        if self.n_spheres:
+            ts, s_idx = self._sphere_closest_hit(ray.o, ray.d, ray.mint,
+                                                 maxt)
+            closer = ts < pi.t
+            pi = pi._replace(
+                t=jnp.where(closer, ts, pi.t),
+                prim_idx=jnp.where(closer & (s_idx >= 0),
+                                   n_faces + s_idx, pi.prim_idx),
+                prim_uv=jnp.where(closer[..., None],
+                                  jnp.zeros_like(pi.prim_uv), pi.prim_uv))
         shape_idx = jnp.where(
-            pi.prim_idx >= 0,
-            g.face_shape[jnp.maximum(pi.prim_idx, 0)], -1)
+            pi.prim_idx >= n_faces,
+            self.sph_table[:, 4].astype(jnp.int32)[
+                jnp.clip(pi.prim_idx - n_faces, 0,
+                         max(self.n_spheres - 1, 0))]
+            if self.n_spheres else -1,
+            g.face_shape[jnp.clip(pi.prim_idx, 0, n_faces - 1)])
+        shape_idx = jnp.where(pi.prim_idx >= 0, shape_idx, -1)
         # detach: intersections are non-differentiable, like the reference's
         # HitComputeFlags::NonDifferentiable recompute (scene_optix.inl:432)
         return pi._replace(shape_idx=shape_idx,
@@ -405,7 +479,8 @@ class Scene(Object):
                                     active=None) -> SurfaceInteraction:
         from ..ops.gather import gather_rows
         valid = pi.is_valid()
-        f = jnp.maximum(pi.prim_idx, 0)
+        n_faces = int(self.geom.v0.shape[0])
+        f = jnp.clip(pi.prim_idx, 0, n_faces - 1)
         # one MXU pass fetches every per-face attribute (see attr_table)
         A = gather_rows(self.attr_table, f)
         v0, e1, e2 = A[:, 0:3], A[:, 3:6], A[:, 6:9]
@@ -424,6 +499,39 @@ class Scene(Object):
         p = v0 + e1 * wu + e2 * wv
         ns = m.normalize(n0 * w0 + n1 * wu + n2 * wv)
         uv = uv0 * w0 + uv1 * wu + uv2 * wv
+        if self.n_spheres:
+            # analytic sphere lanes overlay the mesh-derived fields
+            # (sphere.cpp compute_surface_interaction: exact normal
+            # p-c normalized, spherical uv, analytic tangents)
+            is_sph = pi.prim_idx >= n_faces
+            s_i = jnp.clip(pi.prim_idx - n_faces, 0, self.n_spheres - 1)
+            row = gather_rows(self.sph_table, s_i)
+            c, r = row[:, 0:3], row[:, 3:4]
+            flip = row[:, 9:10]
+            p_s = ray.o + pi.t[..., None] * ray.d
+            n_s = m.normalize(p_s - c) * flip
+            p_s = c + n_s * flip * r            # re-project onto the sphere
+            phi = jnp.arctan2(n_s[:, 1], n_s[:, 0])
+            theta = jnp.arccos(jnp.clip(n_s[:, 2] * flip[:, 0], -1.0, 1.0))
+            uv_s = jnp.stack([phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], -1)
+            dpdu_s = jnp.stack([-n_s[:, 1], n_s[:, 0],
+                                jnp.zeros_like(phi)], -1) * (2 * jnp.pi * r)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - (n_s[:, 2] * flip[:, 0])**2,
+                                         1e-12))
+            dpdv_s = jnp.stack([
+                n_s[:, 2] * jnp.cos(phi), n_s[:, 2] * jnp.sin(phi),
+                -sin_t * flip[:, 0]], -1) * (jnp.pi * r)
+            w = is_sph[..., None]
+            p = jnp.where(w, p_s, p)
+            ng = jnp.where(w, n_s, ng)
+            ns = jnp.where(w, n_s, ns)
+            uv = jnp.where(w, uv_s, uv)
+            dp_du = jnp.where(w, dpdu_s, dp_du)
+            dp_dv = jnp.where(w, dpdv_s, dp_dv)
+            to_i32 = lambda col: row[:, col].astype(jnp.int32)
+            shape_idx = jnp.where(is_sph, to_i32(4), shape_idx)
+            bsdf_idx = jnp.where(is_sph, to_i32(5), bsdf_idx)
+            emitter_idx = jnp.where(is_sph, to_i32(6), emitter_idx)
         # Gram-Schmidt dp_du against the shading normal (mesh.cpp:463)
         s_axis = m.normalize(dp_du - ns * m.dot(ns, dp_du, keepdims=True))
         # guard degenerate tangents
@@ -457,9 +565,14 @@ class Scene(Object):
                                                          -jnp.inf)
         if self._woop is not None:
             t, _, _ = self._woop(ray.o, ray.d, ray.mint, maxt)
-            return jnp.isfinite(t)
-        return isect_ops.ray_test_packets(
-            g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+            hit = jnp.isfinite(t)
+        else:
+            hit = isect_ops.ray_test_packets(
+                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+        if self.n_spheres:
+            ts, _ = self._sphere_closest_hit(ray.o, ray.d, ray.mint, maxt)
+            hit = hit | jnp.isfinite(ts)
+        return hit
 
     # ------------------------------------------------------- emitter sampling
     def emitter_index_at(self, si):
@@ -591,10 +704,19 @@ class Scene(Object):
         (interaction.h target_medium semantics): entering (d . n < 0) picks
         the interior medium, leaving picks the exterior."""
         from ..ops.gather import gather_rows
-        f = jnp.maximum(si.prim_idx, 0)
+        n_faces = int(self.geom.v0.shape[0])
+        f = jnp.clip(si.prim_idx, 0, n_faces - 1)
         med_cols = gather_rows(self.attr_table[:, 36:38], f)
         has_int = med_cols[:, 0].astype(jnp.int32)
         has_ext = med_cols[:, 1].astype(jnp.int32)
+        if self.n_spheres:
+            is_sph = si.prim_idx >= n_faces
+            s_i = jnp.clip(si.prim_idx - n_faces, 0, self.n_spheres - 1)
+            srow = gather_rows(self.sph_table[:, 7:9], s_i)
+            has_int = jnp.where(is_sph, srow[:, 0].astype(jnp.int32),
+                                has_int)
+            has_ext = jnp.where(is_sph, srow[:, 1].astype(jnp.int32),
+                                has_ext)
         is_transition = (si.shape_idx >= 0) & ((has_int >= 0) | (has_ext >= 0))
         entering = m.dot(d, si.n) < 0
         target = jnp.where(entering, has_int, has_ext)

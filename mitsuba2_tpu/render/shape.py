@@ -49,6 +49,11 @@ class Shape(Object):
     def is_mesh(self):
         return isinstance(self, Mesh)
 
+    def is_analytic(self):
+        """True for shapes intersected by the quadric table path
+        (scene.py sph_table) instead of the triangle tables."""
+        return False
+
     def surface_area(self) -> float:
         raise NotImplementedError
 

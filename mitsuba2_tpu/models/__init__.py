@@ -3,8 +3,8 @@ SURVEY.md §2.3). Importing this package registers every plugin."""
 
 from . import (textures, rfilters, bsdfs, emitters, sensors, films,
                samplers, shapes, integrators, spectra, media, media_impl,
-               measured, phase)
+               measured, phase, rb)
 
 ALL_PLUGIN_MODULES = [textures, rfilters, bsdfs, emitters, sensors, films,
                       samplers, shapes, integrators, spectra, media,
-                      media_impl, measured, phase]
+                      media_impl, measured, phase, rb]

@@ -85,6 +85,48 @@ def render_loss(scene, params: ParameterMap, loss_fn, spp=4, seed=0,
     return loss, grads, img
 
 
+def render_loss_rb(scene, params: ParameterMap, loss_fn, spp=4, seed=0,
+                   sensor_index=0, spp_primal=None):
+    """-> (loss, grads dict, image), gradients via the radiative-backprop
+    path-replay adjoint (models/rb.py) instead of taping the renderer —
+    memory stays bounded in path depth. The scene's integrator must be
+    ``rb`` (or any PathIntegrator subclass; an RB shim is built around it).
+    """
+    from ..models.rb import RBIntegrator
+    integrator = scene.integrator
+    if not isinstance(integrator, RBIntegrator):
+        rb = RBIntegrator()
+        rb.max_depth = integrator.max_depth
+        rb.rr_depth = getattr(integrator, "rr_depth", 5)
+        rb.hide_emitters = getattr(integrator, "hide_emitters", False)
+        integrator = rb
+
+    # primal image (detached) -> loss and its image-space gradient. The
+    # primal must see the CURRENT parameter values as traced jit arguments
+    # (a plain integrator.render would bake the first iteration's params
+    # into its cached executable and the adjoint direction would go stale).
+    values = params.to_dict()
+    cache = getattr(integrator, "_rb_primal_cache", None)
+    if cache is None:
+        cache = integrator._rb_primal_cache = {}
+    pk = (id(scene), sensor_index, spp_primal or spp,
+          tuple(sorted(values)))
+    if pk not in cache:
+        def primal(vals, s):
+            return render(scene, spp=spp_primal or spp, seed=s,
+                          sensor_index=sensor_index, params=params,
+                          values=vals)
+        cache[pk] = jax.jit(primal)
+    img = jax.lax.stop_gradient(cache[pk](values, jnp.uint32(seed)))
+    loss, grad_image = jax.value_and_grad(loss_fn)(img)
+
+    # adjoint pass with a decorrelated seed (unbiased gradient estimate)
+    grads = integrator.render_backward(
+        scene, params, values, grad_image, seed=seed + 0x51,
+        spp=spp, sensor_index=sensor_index)
+    return loss, grads, img
+
+
 class Optimizer:
     """(autodiff.py:197) base optimizer over a ParameterMap."""
 

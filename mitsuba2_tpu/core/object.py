@@ -49,6 +49,8 @@ class Object:
         return getattr(obj, leaf)
 
     def set_parameter(self, name: str, value) -> None:
+        global _PARAM_EPOCH
+        _PARAM_EPOCH += 1
         attr = self._param_attr(name)
         obj, leaf = self._resolve_attr(attr)
         setattr(obj, leaf, value)
@@ -77,6 +79,16 @@ class Object:
 # ----------------------------------------------------------------------------
 # Plugin registry (role of PluginManager + Class registry)
 # ----------------------------------------------------------------------------
+
+# bumped on every out-of-band parameter write; executable caches that bake
+# concrete plugin state (render/integrator.py pass cache) key on it so
+# ParameterMap.update() invalidates them instead of serving stale params
+_PARAM_EPOCH = 0
+
+
+def param_epoch() -> int:
+    return _PARAM_EPOCH
+
 
 _REGISTRY: dict[tuple[str, str], type] = {}
 _CATEGORY_OF: dict[str, str] = {}

@@ -68,12 +68,18 @@ class SamplingIntegrator(Integrator):
 
         # cache the compiled pass across render() calls (seed/pass index are
         # traced arguments, so one executable serves every seed)
-        cache_key = (id(scene), id(sensor), spp_per_pass, spp)
+        from ..core.object import param_epoch
+        cache_key = (id(scene), id(sensor), spp_per_pass, spp,
+                     param_epoch())
         cache = getattr(self, "_pass_cache", None)
         if cache is None:
             cache = self._pass_cache = {}
         render_pass = cache.get(cache_key)
         if render_pass is None:
+            # evict executables from older parameter epochs
+            for k in list(cache):
+                if k[:4] == cache_key[:4] and k[4] != cache_key[4]:
+                    del cache[k]
             render_pass = jax.jit(
                 lambda s, base: self.render_wavefront(
                     scene, sensor, sampler, s, base, spp_per_pass, spp))

@@ -137,3 +137,24 @@ def test_bitmap_texture_gradients(variant_scalar_rgb):
     g = np.asarray(grads[key])
     assert g.shape == (16, 3)
     assert (g > 0).sum() > 8  # most visible texels receive gradient
+
+
+def test_param_update_invalidates_render_cache(variant_scalar_rgb):
+    """Regression: integrator.render() caches a compiled pass; a
+    params.update() must not serve an image rendered with the old values
+    (the executable baked them in as constants)."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.util import traverse
+    from mitsuba2_tpu.python.test.scenes import furnace_dict
+    scene = mi.load_dict(furnace_dict(albedo=0.2, env_radiance=1.0,
+                                      width=6, height=6, spp=8,
+                                      max_depth=2))
+    img_a = np.asarray(scene.integrator.render(scene, seed=0))
+    params = traverse(scene)
+    key = [k for k in params.keys() if "reflectance.value" in k][0]
+    params.keep([key])
+    params[key] = jnp.asarray([0.9, 0.9, 0.9])
+    params.update()
+    img_b = np.asarray(scene.integrator.render(scene, seed=0))
+    assert img_b.mean() > img_a.mean() * 2, (
+        "render() returned a stale image after params.update()")

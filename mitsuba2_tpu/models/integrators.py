@@ -411,12 +411,14 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
     (volpath.cpp:92-490 semantics as a masked wavefront loop).
 
     Estimator note: emitter hits are accumulated on specular chains only and
-    all other lighting comes from attenuated NEE — an unbiased NEE-only
-    estimator; the full null-scattering MIS weights of volpathmis land in a
-    follow-up milestone."""
+    all other lighting comes from attenuated NEE at weight 1 — an unbiased
+    NEE-only estimator. VolumetricMISPathIntegrator (volpathmis) adds the
+    directional arm with proper MIS weights."""
 
     # iterations = bounces + null collisions; cap keeps the loop bounded
     NULL_BUDGET = 16
+    # volpathmis flips this: emitter hits on every path + MIS weights
+    USE_MIS = False
 
     def __init__(self, props=None):
         super().__init__(props)
@@ -453,7 +455,8 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
 
         def body(carry):
             (it, active, depth, ray_o, ray_d, si, needs_isect, throughput,
-             result, medium_idx, specular_chain, valid_ray, state) = carry
+             result, medium_idx, specular_chain, valid_ray, state,
+             prev_pdf, prev_p, prev_delta) = carry
             ray = Ray.make(ray_o, ray_d, mint=jnp.zeros((n,), dt),
                            maxt=jnp.full((n,), jnp.inf, dt),
                            time=si.time, wavelengths=si.wavelengths)
@@ -519,25 +522,58 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
                 nee_u, act_real, from_medium=True)
             phase_val = scene.medium_phase_eval(mi, ds_m.d, medium_idx,
                                                 act_real)
+            if self.USE_MIS:
+                # phase value == phase pdf for the normalized phase
+                # functions; MIS against the directional arm
+                w_nee_m = jnp.where(ds_m.delta, 1.0,
+                                    mis_weight(ds_m.pdf, phase_val))
+            else:
+                w_nee_m = jnp.ones((n,), dt)
             result = result + jnp.where(
                 act_real[..., None],
-                throughput * phase_val[..., None] * em_m, 0.0)
+                w_nee_m[..., None] * throughput * phase_val[..., None]
+                * em_m, 0.0)
 
             # phase sampling
             ph_u, state = sampler.next_2d(state)
-            wo_m, _ = scene.medium_phase_sample(mi, medium_idx, ph_u,
-                                                act_real)
+            wo_m, ph_pdf = scene.medium_phase_sample(mi, medium_idx, ph_u,
+                                                     act_real)
             ray_o = jnp.where(act_real[..., None], mi.p, ray_o)
             ray_d = jnp.where(act_real[..., None], wo_m, ray_d)
             needs_isect = needs_isect | act_real
+            prev_pdf = jnp.where(act_real, ph_pdf, prev_pdf)
+            prev_p = jnp.where(act_real[..., None], mi.p, prev_p)
+            prev_delta = prev_delta & ~act_real
 
             # ---- surface interactions ----------------------------------------
             active_surface = active_surface | escaped
-            # emitter hits only on specular chains (NEE-only estimator)
-            emit_mask = active_surface & specular_chain
+            if self.USE_MIS:
+                # directional arm: emitter hits on EVERY path, weighted
+                # against the NEE strategy's density for the same vertex
+                # (volpathmis.cpp mis between sampling strategies)
+                emit_mask = active_surface
+                ds_hit = DirectionSample(
+                    p=si.p, n=si.n, uv=si.uv, time=si.time,
+                    pdf=jnp.zeros((n,), dt), delta=jnp.zeros((n,), bool),
+                    d=ray_d,
+                    dist=jnp.where(si.is_valid(),
+                                   m.norm(si.p - prev_p), jnp.inf),
+                    emitter_idx=scene.emitter_index_at(si))
+                si_ref = si._replace(p=prev_p)
+                em_pdf = jnp.where(
+                    (ds_hit.emitter_idx >= 0) & ~prev_delta,
+                    scene.pdf_emitter_direction(si_ref, ds_hit, emit_mask),
+                    0.0)
+                w_hit = jnp.where(prev_delta, 1.0,
+                                  mis_weight(prev_pdf, em_pdf))
+            else:
+                # NEE-only: emitter hits only on specular chains
+                emit_mask = active_surface & specular_chain
+                w_hit = jnp.ones((n,), dt)
             emitted = scene.eval_emitter(si, ray_d, emit_mask)
             result = result + jnp.where(emit_mask[..., None],
-                                        throughput * emitted, 0.0)
+                                        w_hit[..., None] * throughput
+                                        * emitted, 0.0)
             active_surface = active_surface & si.is_valid()
 
             # surface NEE
@@ -551,8 +587,14 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
                 active_e, from_medium=False)
             wo_local = si.to_local(ds_s.d)
             bsdf_val = scene.bsdf_eval(ctx, si, wo_local, active_e)
-            bsdf_pdf = scene.bsdf_pdf(ctx, si, wo_local, active_e)
-            mis = jnp.where(ds_s.delta, 1.0, mis_weight(ds_s.pdf, bsdf_pdf))
+            if self.USE_MIS:
+                bsdf_pdf = scene.bsdf_pdf(ctx, si, wo_local, active_e)
+                mis = jnp.where(ds_s.delta, 1.0,
+                                mis_weight(ds_s.pdf, bsdf_pdf))
+            else:
+                # NEE-only: the directional arm never collects non-delta
+                # emitter hits, so NEE carries full weight
+                mis = jnp.ones((n,), dt)
             result = result + jnp.where(
                 active_e[..., None],
                 mis[..., None] * throughput * bsdf_val * em_s, 0.0)
@@ -580,6 +622,13 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             ray_o = jnp.where(active_surface[..., None], sp.o, ray_o)
             ray_d = jnp.where(active_surface[..., None], new_dir, ray_d)
             needs_isect = needs_isect | active_surface
+            # null lobes keep the previous strategy's pdf/origin (the
+            # straight-through segment belongs to the same solid-angle
+            # sample); real lobes start a new directional sample
+            real_bounce = active_surface & non_null
+            prev_pdf = jnp.where(real_bounce, bs.pdf, prev_pdf)
+            prev_p = jnp.where(real_bounce[..., None], si.p, prev_p)
+            prev_delta = jnp.where(real_bounce, delta_lobe, prev_delta)
             # medium transition on crossing
             medium_idx = scene.medium_transition(si, new_dir, medium_idx,
                                                  active_surface)
@@ -602,11 +651,12 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
 
             return (it + 1, active, depth, ray_o, ray_d, si, needs_isect,
                     throughput, result, medium_idx, specular_chain,
-                    valid_ray, state)
+                    valid_ray, state, prev_pdf, prev_p, prev_delta)
 
         carry = (jnp.int32(0), active, depth, ray.o, ray.d, si, needs_isect,
                  throughput, result, medium_idx, specular_chain, valid_ray,
-                 state)
+                 state, jnp.zeros((n,), dt), ray.o,
+                 jnp.ones((n,), bool))   # camera rays count as delta
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[8], carry[11], []
 
@@ -710,10 +760,15 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
 
 @register_plugin("integrator", "volpathmis")
 class VolumetricMISPathIntegrator(VolumetricPathIntegrator):
-    """(volpathmis.cpp:1-539) — currently shares the volpath estimator; the
-    dedicated null-scattering MIS weights (ratio-tracking pdf bookkeeping)
-    are a tracked follow-up. Registered so volpathmis scenes load and render
-    unbiased results."""
+    """(volpathmis.cpp:1-539) volumetric path tracing with MIS between the
+    NEE and directional (BSDF/phase) sampling strategies: emitter hits are
+    collected on every path and weighted by the power heuristic against the
+    emitter sampler's solid-angle density, carried across null collisions
+    (the straight-through chain belongs to the same directional sample).
+    Distance sampling stays hero-channel delta tracking; the reference's
+    per-channel spectral-MIS weight matrix is a tracked refinement."""
+
+    USE_MIS = True
 
 
 # =============================================================================

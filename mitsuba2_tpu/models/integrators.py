@@ -891,17 +891,16 @@ class StokesIntegrator(SamplingIntegrator):
 
         carry = jax.lax.while_loop(cond, body, carry)
         stokes = carry[5]
+        # every Stokes component keeps the variant's native channel layout;
+        # render_wavefront applies the sensor's spectral ray weight and the
+        # spectral->sRGB conversion uniformly (SPECTRAL_AOVS) so S1..S3
+        # stay on the same radiometric scale as S0
         S0 = stokes[..., 0]
-        if nch != 3:
-            S0 = jnp.repeat(S0[..., :1], 3, -1) if nch == 1 else S0[..., :3]
-        aovs = []
-        for comp in (1, 2, 3):
-            Sx = stokes[..., comp]
-            if nch == 1:
-                Sx = jnp.repeat(Sx, 3, -1)
-            for c in range(3):
-                aovs.append(Sx[..., min(c, Sx.shape[-1] - 1)])
+        aovs = [stokes[..., comp] for comp in (1, 2, 3)]
         return S0, valid_ray, aovs
+
+    # aovs returned by sample() are spectra on S0's radiometric scale
+    SPECTRAL_AOVS = True
 
     # masked per-instance polarized dispatch
     def _bsdf_eval_pol(self, scene, ctx, si, wo, active):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core.object import register_plugin
 from ..core import math as m
 from ..core.frame import cos_theta
-from ..render.bsdf import BSDF, BSDFFlags
+from ..render.bsdf import BSDF, BSDFFlags, TransportMode
 from ..render.records import BSDFSample
 from ..variants import current as current_variant
 from ..ops.gather import gather_rows
@@ -371,3 +371,232 @@ class MeasuredBSDF(BSDF):
 
     def to_string(self):
         return f"MeasuredBSDF[{self.n_theta} incident angles]"
+
+
+# =============================================================================
+# Polarized measured pBRDF (measured_polarized.cpp:100-396)
+# =============================================================================
+
+def _rot_z(v, angle):
+    """Rotate vectors around +z (measured_polarized.cpp rotate_vector with
+    the z axis)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([c * x - s * y, s * x + c * y, z], -1)
+
+
+def _rusinkiewicz(i, o):
+    """(phi_d, theta_h, theta_d) of the isotropic Rusinkiewicz
+    parameterization (measured_polarized.cpp directions_to_rusinkiewicz).
+    i/o are unit vectors in the local +z hemisphere."""
+    h = m.normalize(i + o)
+    z = jnp.zeros_like(h).at[..., 2].set(1.0)
+    bxn = m.cross(z, h)
+    deg = m.squared_norm(bxn) < 1e-12            # h ~ +z: phi_d ill-defined
+    b = m.normalize(jnp.where(deg[..., None],
+                              jnp.zeros_like(h).at[..., 1].set(1.0), bxn))
+    t = m.normalize(m.cross(b, h))
+    td = m.safe_acos(jnp.clip(m.dot(h, i), -1.0, 1.0))
+    th = m.safe_acos(jnp.clip(h[..., 2], -1.0, 1.0))
+    i_prj = m.normalize(i - m.dot(i, h, keepdims=True) * h)
+    pd = jnp.arctan2(jnp.clip(m.dot(b, i_prj), -1.0, 1.0),
+                     jnp.clip(m.dot(t, i_prj), -1.0, 1.0))
+    return pd, th, td
+
+
+_COS_LOBE_WEIGHT = 0.1   # COSINE_HEMISPHERE_PDF_WEIGHT
+
+
+@register_plugin("bsdf", "measured_polarized")
+class MeasuredPolarizedBSDF(BSDF):
+    """(measured_polarized.cpp) pBRDF from the Baek et al. 2020 KAIST
+    dataset: 4x4 Mueller matrices tabulated over the Rusinkiewicz angles
+    (phi_d, theta_d, theta_h) and 5 wavelength bands. eval() interpolates
+    multilinearly over the four axes; in polarized variants the matrix is
+    re-expressed from the measurement's reflection-plane Stokes bases into
+    the transport bases (rotate_mueller_basis). Sampling is the reference's
+    fixed 0.1 cosine + 0.9 GGX(alpha_sample) mixture."""
+
+    def __init__(self, props=None, filename=None):
+        super().__init__(props)
+        var = current_variant()
+        wavelength = -1.0
+        alpha = 0.1
+        if props is not None:
+            filename = props.string("filename")
+            alpha = props.float_("alpha_sample", 0.1)
+            wavelength = props.float_("wavelength", -1.0)
+        if not var.is_spectral and wavelength < 0:
+            raise RuntimeError(
+                "measured_polarized: non-spectral variants require the "
+                "`wavelength` parameter (measured_polarized.cpp:110)")
+        self.alpha_sample = float(alpha)
+        self.wavelength = float(wavelength)
+        from ..utils.tensorfile import TensorFile
+        from ..core.fresolver import file_resolver
+        tf = TensorFile(file_resolver().resolve(filename))
+        theta_h = tf.field("theta_h").astype(np.float32).reshape(-1)
+        theta_d = tf.field("theta_d").astype(np.float32).reshape(-1)
+        phi_d = tf.field("phi_d").astype(np.float32).reshape(-1)
+        wvls = tf.field("wvls").astype(np.float32).reshape(-1)
+        M = tf.field("M").astype(np.float32)
+        P, D, H, W = (len(phi_d), len(theta_d), len(theta_h), len(wvls))
+        if M.shape != (P, D, H, W, 4, 4):
+            raise RuntimeError(
+                f"measured_polarized: invalid file structure {M.shape}")
+        # NaNs mark invalid configurations; zero them here and let the
+        # M00>=0 clamp handle the rest (reference zeroes on NaN at eval)
+        self._nan_mask = jnp.asarray(
+            np.isnan(M[..., 0, 0]).astype(np.float32))
+        self.table = jnp.asarray(np.nan_to_num(M).reshape(P, D, H, W, 16))
+        self.grid_p = jnp.asarray(phi_d)
+        self.grid_d = jnp.asarray(theta_d)
+        self.grid_h = jnp.asarray(theta_h)
+        self.grid_w = jnp.asarray(wvls)
+        self.m_components = [BSDFFlags.GlossyReflection | BSDFFlags.FrontSide]
+        self.m_flags = self.m_components[0]
+
+    # ---- 4-axis multilinear interpolation --------------------------------
+    @staticmethod
+    def _locate(grid, x):
+        from ..ops.gather import searchsorted_small
+        k = grid.shape[0]
+        i = jnp.clip(searchsorted_small(grid, x) - 1, 0, k - 2)
+        g0 = grid[i]
+        g1 = grid[i + 1]
+        w = jnp.clip((x - g0) / jnp.maximum(g1 - g0, 1e-9), 0.0, 1.0)
+        return i, w
+
+    def _interp(self, pd, td, th, wav):
+        """pd/td/th: (N,), wav: (N,C) -> Mueller (N, C, 4, 4) + valid."""
+        ip, wp = self._locate(self.grid_p, pd)
+        id_, wd = self._locate(self.grid_d, td)
+        ih, wh = self._locate(self.grid_h, th)
+        iw, ww = self._locate(self.grid_w, wav.reshape(-1))
+        C = wav.shape[-1]
+        n = pd.shape[0]
+        # broadcast (N,) axes over the channel axis
+        rep = lambda a: jnp.repeat(a, C)
+        ip, wp, id_, wd, ih, wh = (rep(a) for a in (ip, wp, id_, wd, ih, wh))
+        P, D, H, W = (self.grid_p.shape[0], self.grid_d.shape[0],
+                      self.grid_h.shape[0], self.grid_w.shape[0])
+        flat = self.table.reshape(-1, 16)
+        nan_flat = self._nan_mask.reshape(-1)
+        out = 0.0
+        bad = 0.0
+        for ap in (0, 1):
+            for ad in (0, 1):
+                for ah in (0, 1):
+                    for aw in (0, 1):
+                        idx = (((ip + ap) * D + (id_ + ad)) * H
+                               + (ih + ah)) * W + (iw + aw)
+                        w = (jnp.where(ap, wp, 1 - wp)
+                             * jnp.where(ad, wd, 1 - wd)
+                             * jnp.where(ah, wh, 1 - wh)
+                             * jnp.where(aw, ww, 1 - ww))
+                        out = out + w[:, None] * jnp.take(flat, idx, axis=0)
+                        bad = bad + w * jnp.take(nan_flat, idx, axis=0)
+        M = out.reshape(n, C, 4, 4)
+        valid = (bad.reshape(n, C) < 1e-6)
+        return jnp.where(valid[..., None, None], M, 0.0)
+
+    def _mueller(self, ctx, si, wo, active):
+        """Interpolated + basis-rotated Mueller spectrum (N, C, 4, 4)."""
+        from ..render import mueller as mm
+        cos_i = si.wi[..., 2]
+        cos_o = wo[..., 2]
+        act = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0)
+        # light arrives along -wo_hat, leaves along +wi_hat
+        radiance = ctx.mode == TransportMode.Radiance
+        wo_hat = wo if radiance else si.wi
+        wi_hat = si.wi if radiance else wo
+        phi_std = jnp.arctan2(wi_hat[..., 1], wi_hat[..., 0])
+        wo_std = _rot_z(wo_hat, -phi_std)
+        wi_std = _rot_z(wi_hat, -phi_std)
+        pd, th, td = _rusinkiewicz(wo_std, wi_std)
+        pd = jnp.where(pd < 0, pd + 2 * jnp.pi, pd)
+        var = current_variant()
+        if var.is_spectral:
+            wav = si.wavelengths
+        else:
+            nch = var.n_channels
+            wav = jnp.full(si.t.shape + (nch,), self.wavelength,
+                           si.t.dtype)
+        M = self._interp(pd, td, th, wav)
+        M = M.at[..., 0, 0].set(jnp.maximum(M[..., 0, 0], 0.0))
+
+        # Stokes frames of the measurement lie in the reflection plane
+        zo = -wo_std
+        to = m.normalize(m.cross(wo_std - wi_std, zo))
+        yo = m.normalize(m.cross(to, zo))
+        xo = m.cross(yo, zo)
+        zi = wi_std
+        ti = m.normalize(m.cross(wi_std - wo_std, zi))
+        yi = m.normalize(m.cross(ti, zi))
+        xi = m.cross(yi, zi)
+        xo_hat = _rot_z(xo, phi_std)
+        xi_hat = _rot_z(xi, phi_std)
+        R_in = mm.rotate_stokes_basis(-wo_hat, mm.stokes_basis(-wo_hat),
+                                      xo_hat)
+        R_out = mm.rotate_stokes_basis(wi_hat, xi_hat,
+                                       mm.stokes_basis(wi_hat))
+        M = R_out[:, None] @ M @ R_in[:, None]
+        M = M * (cos_o * act)[..., None, None, None]
+        return M, act
+
+    def eval_pol(self, ctx, si, wo, active=True):
+        M, _ = self._mueller(ctx, si, wo, active)
+        return M
+
+    def eval(self, ctx, si, wo, active=True):
+        M, _ = self._mueller(ctx, si, wo, active)
+        return M[..., 0, 0]
+
+    def pdf(self, ctx, si, wo, active=True):
+        from ..core import warp
+        from ..render.microfacet import MicrofacetDistribution
+        cos_i = si.wi[..., 2]
+        cos_o = wo[..., 2]
+        act = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0)
+        a = jnp.asarray(self.alpha_sample, si.t.dtype)
+        distr = MicrofacetDistribution("ggx", a, a, True)
+        h = m.normalize(si.wi + wo)
+        pdf_d = warp.square_to_cosine_hemisphere_pdf(wo)
+        pdf_m = m.safe_div(distr.pdf(si.wi, h),
+                           4.0 * jnp.abs(m.dot(wo, h)), 0.0)
+        pdf = (_COS_LOBE_WEIGHT * pdf_d
+               + (1.0 - _COS_LOBE_WEIGHT) * pdf_m)
+        return jnp.where(act, pdf, 0.0)
+
+    def sample(self, ctx, si, sample1, sample2, active=True):
+        bs, M = self.sample_pol(ctx, si, sample1, sample2, active)
+        return bs, M[..., 0, 0]
+
+    def sample_pol(self, ctx, si, sample1, sample2, active=True):
+        from ..core import warp
+        from ..render.microfacet import MicrofacetDistribution
+        n = si.t.shape[0]
+        dt = si.t.dtype
+        cos_i = si.wi[..., 2]
+        act = jnp.asarray(active) & (cos_i > 0)
+        a = jnp.asarray(self.alpha_sample, si.t.dtype)
+        distr = MicrofacetDistribution("ggx", a, a, True)
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        mh, _ = distr.sample(si.wi, sample2)
+        from ..render.fresnel import reflect
+        wo_spec = reflect(si.wi, mh)
+        use_diff = sample1 < _COS_LOBE_WEIGHT
+        wo = jnp.where(use_diff[..., None], wo_diff, wo_spec)
+        pdf = self.pdf(ctx, si, wo, act)
+        M, act_e = self._mueller(ctx, si, wo, act)
+        ok = act & (pdf > 0)
+        weight = jnp.where(ok[..., None, None, None],
+                           M / jnp.maximum(pdf, 1e-12)[..., None, None,
+                                                       None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones((n,), dt),
+            sampled_type=jnp.where(
+                ok, jnp.uint32(int(self.m_flags)), jnp.uint32(0)),
+            sampled_component=jnp.where(ok, 0, -1))
+        return bs, weight

@@ -134,13 +134,23 @@ class SamplingIntegrator(Integrator):
         spec = spec * ray_weight
 
         # -> working RGB (integrator.cpp:269-277)
-        if var.is_spectral:
-            xyz = spec_mod.spectrum_to_xyz(spec, ray.wavelengths)
-            rgb = spec_mod.xyz_to_srgb(xyz)
-        elif var.is_monochromatic:
-            rgb = jnp.repeat(spec, 3, axis=-1)
-        else:
-            rgb = spec
+        def to_rgb(s):
+            if var.is_spectral:
+                return spec_mod.xyz_to_srgb(
+                    spec_mod.spectrum_to_xyz(s, ray.wavelengths))
+            if var.is_monochromatic:
+                return jnp.repeat(s, 3, axis=-1)
+            return s
+
+        rgb = to_rgb(spec)
+        if aovs and getattr(self, "SPECTRAL_AOVS", False):
+            # radiometric aovs (e.g. Stokes components): same ray weight
+            # and color conversion as the main spectrum
+            conv = []
+            for a in aovs:
+                a_rgb = to_rgb(a * ray_weight)
+                conv.extend(a_rgb[..., c] for c in range(3))
+            aovs = conv
         values = rgb if not aovs else jnp.concatenate(
             [rgb] + [a[..., None] for a in aovs], axis=-1)
 

@@ -58,7 +58,7 @@ def write_image(filename: str, image, channel_names=None):
         write_exr(filename, image, channel_names)
     elif ext == ".pfm":
         write_pfm(filename, image)
-    elif ext in (".png", ".jpg", ".jpeg", ".bmp", ".tga"):
+    elif ext in (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".ppm"):
         write_png(filename, image)
     else:
         raise ValueError(f"unsupported image format {ext}")

@@ -208,3 +208,24 @@ def validate_bvh(bvh: BVH, v0, e1, e2) -> None:
             for c in (ints[i, _LEFT], ints[i, _RIGHT]):
                 assert (bvh.nodes[c, _LO] >= bvh.nodes[i, _LO] - 1e-4).all()
                 assert (bvh.nodes[c, _HI] <= bvh.nodes[i, _HI] + 1e-4).all()
+
+
+def chunk_bounds(v0, e1, e2, chunk: int) -> np.ndarray:
+    """Per-face-chunk AABBs (n_chunks, 6) = [lo, hi] over each contiguous
+    `chunk` of (BVH-ordered) faces — consumed by the intersectors' slab
+    culling. Padding slots get inverted boxes so they never extend a
+    chunk."""
+    v0 = np.asarray(v0, np.float32)
+    p = np.stack([v0, v0 + np.asarray(e1, np.float32),
+                  v0 + np.asarray(e2, np.float32)], 1)       # (F,3,3)
+    lo = p.min(1)
+    hi = p.max(1)
+    f = len(v0)
+    pad = (-f) % chunk
+    if pad:
+        lo = np.concatenate([lo, np.full((pad, 3), np.inf, np.float32)])
+        hi = np.concatenate([hi, np.full((pad, 3), -np.inf, np.float32)])
+    n_chunks = len(lo) // chunk
+    lo = lo.reshape(n_chunks, chunk, 3).min(1)
+    hi = hi.reshape(n_chunks, chunk, 3).max(1)
+    return np.concatenate([lo, hi], -1)

@@ -58,7 +58,7 @@ def build_woop(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
 
 
 def _isect_kernel(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref, wv_ref,
-                  wz_ref, tuv_ref, idx_ref, n_faces_ref):
+                  wz_ref, aabb_ref, tuv_ref, idx_ref, n_faces_ref):
     j = pl.program_id(1)
     C = wu_ref.shape[1]
 
@@ -69,48 +69,70 @@ def _isect_kernel(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref, wv_ref,
 
     oh = oh_ref[:]            # (R, 4)
     dh = dh_ref[:]            # (R, 4)
-    wu = wu_ref[:]            # (4, C)
-    wv = wv_ref[:]
-    wz = wz_ref[:]
-    U = jnp.dot(oh, wu, preferred_element_type=jnp.float32)
-    V = jnp.dot(oh, wv, preferred_element_type=jnp.float32)
-    Z = jnp.dot(oh, wz, preferred_element_type=jnp.float32)
-    DU = jnp.dot(dh, wu, preferred_element_type=jnp.float32)
-    DV = jnp.dot(dh, wv, preferred_element_type=jnp.float32)
-    DZ = jnp.dot(dh, wz, preferred_element_type=jnp.float32)
-
-    dz_ok = jnp.abs(DZ) > 1e-12
-    inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(DZ == 0, 1.0, DZ), 0.0)
-    t = -Z * inv_dz
-    u = U + t * DU
-    v = V + t * DV
     mint = mint_ref[:]        # (R, 1)
     maxt = maxt_ref[:]
-    face_ids = j * C + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    valid = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-             & (t >= mint) & (t <= maxt)
-             & (face_ids < n_faces_ref[0]))
-    t = jnp.where(valid, t, _BIG)
 
-    best_prev = tuv_ref[:, 0:1]                     # (R, 1)
-    tmin = jnp.min(t, axis=1, keepdims=True)        # (R, 1)
-    improved = tmin < best_prev
-    # index of the chunk minimum (first match)
-    is_min = (t <= tmin) & valid
-    big_idx = jnp.where(is_min, face_ids, jnp.int32(0x7FFFFFFF))
-    k = jnp.min(big_idx, axis=1, keepdims=True)     # global face id
-    pick = face_ids == k
-    u_best = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
-    v_best = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
+    # --- chunk-AABB slab culling (kd-tree node test, VPU prologue):
+    # if NO ray in this tile reaches this BVH-leaf chunk's box within its
+    # live [mint, min(maxt, best)] segment, skip the 6 MXU passes entirely
+    box = aabb_ref[:]                                # (1, 8)
+    best_prev = tuv_ref[:, 0:1]
+    cap = jnp.minimum(maxt, best_prev)               # (R, 1)
+    t_near = mint * 0.0 - _BIG
+    t_far = mint * 0.0 + _BIG
+    for ax in range(3):
+        o_a = oh[:, ax:ax + 1]
+        d_a = dh[:, ax:ax + 1]
+        inv = 1.0 / jnp.where(jnp.abs(d_a) > 1e-12, d_a, 1e-12)
+        ta = (box[0, ax] - o_a) * inv
+        tb = (box[0, 3 + ax] - o_a) * inv
+        t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
+        t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
+    box_hit = (t_far >= t_near) & (t_far >= mint) & (t_near <= cap)
+    n_live = jnp.sum(box_hit.astype(jnp.float32))
 
-    old = tuv_ref[:]
-    new_tuv = jnp.concatenate([tmin, u_best, v_best], axis=1)
-    tuv_ref[:] = jnp.where(improved, new_tuv, old)
-    idx_ref[:] = jnp.where(improved, k, idx_ref[:])
+    @pl.when(n_live > 0.0)
+    def _():
+        wu = wu_ref[:]            # (4, C)
+        wv = wv_ref[:]
+        wz = wz_ref[:]
+        U = jnp.dot(oh, wu, preferred_element_type=jnp.float32)
+        V = jnp.dot(oh, wv, preferred_element_type=jnp.float32)
+        Z = jnp.dot(oh, wz, preferred_element_type=jnp.float32)
+        DU = jnp.dot(dh, wu, preferred_element_type=jnp.float32)
+        DV = jnp.dot(dh, wv, preferred_element_type=jnp.float32)
+        DZ = jnp.dot(dh, wz, preferred_element_type=jnp.float32)
+
+        dz_ok = jnp.abs(DZ) > 1e-12
+        inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(DZ == 0, 1.0, DZ), 0.0)
+        t = -Z * inv_dz
+        u = U + t * DU
+        v = V + t * DV
+        face_ids = j * C + jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        valid = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                 & (t >= mint) & (t <= maxt)
+                 & (face_ids < n_faces_ref[0]))
+        t = jnp.where(valid, t, _BIG)
+
+        best = tuv_ref[:, 0:1]                          # (R, 1)
+        tmin = jnp.min(t, axis=1, keepdims=True)        # (R, 1)
+        improved = tmin < best
+        # index of the chunk minimum (first match)
+        is_min = (t <= tmin) & valid
+        big_idx = jnp.where(is_min, face_ids, jnp.int32(0x7FFFFFFF))
+        k = jnp.min(big_idx, axis=1, keepdims=True)     # global face id
+        pick = face_ids == k
+        u_best = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
+        v_best = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
+
+        old = tuv_ref[:]
+        new_tuv = jnp.concatenate([tmin, u_best, v_best], axis=1)
+        tuv_ref[:] = jnp.where(improved, new_tuv, old)
+        idx_ref[:] = jnp.where(improved, k, idx_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("n_faces", "interpret"))
-def _pallas_intersect(oh, dh, mint, maxt, wu, wv, wz, n_faces: int,
+def _pallas_intersect(oh, dh, mint, maxt, wu, wv, wz, aabb, n_faces: int,
                       interpret: bool = False):
     n = oh.shape[0]
     n_tiles = n // RAY_TILE
@@ -127,6 +149,7 @@ def _pallas_intersect(oh, dh, mint, maxt, wu, wv, wz, n_faces: int,
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
+            pl.BlockSpec((1, 8), lambda i, j: (j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((RAY_TILE, 3), lambda i, j: (i, 0)),
@@ -137,17 +160,18 @@ def _pallas_intersect(oh, dh, mint, maxt, wu, wv, wz, n_faces: int,
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(oh, dh, mint[:, None], maxt[:, None], wu, wv, wz)
+    )(oh, dh, mint[:, None], maxt[:, None], wu, wv, wz, aabb)
     return tuv, idx
 
 
 def _isect_kernel_wrapped(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref,
-                          wv_ref, wz_ref, tuv_ref, idx_ref, *, n_faces):
+                          wv_ref, wz_ref, aabb_ref, tuv_ref, idx_ref, *,
+                          n_faces):
     class _Const:
         def __getitem__(self, _):
             return n_faces
     _isect_kernel(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref, wv_ref,
-                  wz_ref, tuv_ref, idx_ref, _Const())
+                  wz_ref, aabb_ref, tuv_ref, idx_ref, _Const())
 
 
 class WoopIntersector:
@@ -169,6 +193,14 @@ class WoopIntersector:
         self.wu = jnp.asarray(wu)
         self.wv = jnp.asarray(wv)
         self.wz = jnp.asarray(wz)
+        # chunk AABBs for the in-kernel slab culling (BVH-leaf order);
+        # padded with inverted boxes so pad chunks are always skipped
+        from .bvh import chunk_bounds
+        cb = chunk_bounds(np.asarray(v0), np.asarray(e1), np.asarray(e2),
+                          FACE_CHUNK)
+        aabb = np.concatenate(
+            [cb, np.zeros((cb.shape[0], 2), np.float32)], -1)
+        self.aabb = jnp.asarray(aabb)
         self.interpret = interpret
 
     def __call__(self, ray_o, ray_d, mint, maxt):
@@ -188,7 +220,8 @@ class WoopIntersector:
         oh = jnp.concatenate([o, jnp.ones((o.shape[0], 1), jnp.float32)], 1)
         dh = jnp.concatenate([d, jnp.zeros((d.shape[0], 1), jnp.float32)], 1)
         tuv, idx = _pallas_intersect(oh, dh, mn, mx, self.wu, self.wv,
-                                     self.wz, n_faces=self.n_faces,
+                                     self.wz, self.aabb,
+                                     n_faces=self.n_faces,
                                      interpret=self.interpret)
         t = tuv[:n, 0]
         t = jnp.where(t >= _BIG * 0.5, jnp.inf, t).astype(dt)

@@ -343,6 +343,16 @@ class Scene(Object):
             self.mesh_attr_tables[nm] = (
                 k, jnp.asarray(tab.reshape(len(tab), 3 * k)))
 
+        # BVH-leaf chunk AABBs for slab culling in the chunked intersector
+        # (faces are already BVH-ordered, so chunks are spatially compact)
+        self._chunk_bounds = None
+        if self.bvh is not None \
+                and self.geom.v0.shape[0] > isect_ops.FACE_CHUNK:
+            from ..ops.bvh import chunk_bounds
+            self._chunk_bounds = jnp.asarray(chunk_bounds(
+                np.asarray(self.geom.v0), np.asarray(self.geom.e1),
+                np.asarray(self.geom.e2), isect_ops.FACE_CHUNK))
+
         # intersector backend: fused Pallas/MXU kernel on TPU, the XLA scan
         # path elsewhere (ops/intersect_pallas.py design note)
         self._woop = None
@@ -449,7 +459,8 @@ class Scene(Object):
                 shape_idx=jnp.full_like(prim, -1), prim_idx=prim)
         else:
             pi = isect_ops.ray_intersect_packets(
-                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt,
+                chunk_bounds=self._chunk_bounds)
         n_faces = int(g.v0.shape[0])
         if self.n_spheres:
             ts, s_idx = self._sphere_closest_hit(ray.o, ray.d, ray.mint,
@@ -568,7 +579,8 @@ class Scene(Object):
             hit = jnp.isfinite(t)
         else:
             hit = isect_ops.ray_test_packets(
-                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt)
+                g.v0, g.e1, g.e2, ray.o, ray.d, ray.mint, maxt,
+                chunk_bounds=self._chunk_bounds)
         if self.n_spheres:
             ts, _ = self._sphere_closest_hit(ray.o, ray.d, ray.mint, maxt)
             hit = hit | jnp.isfinite(ts)

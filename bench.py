@@ -1,56 +1,125 @@
 #!/usr/bin/env python
-"""Benchmark: Cornell box path tracing throughput on one chip.
+"""Benchmark: path-tracing throughput on one chip.
 
-Prints ONE JSON line:
+Default (driver contract) prints ONE JSON line for the Cornell box:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`--scene {cornell,matpreview,volpath,spectral,all}` covers the remaining
+BASELINE.json configs (matpreview GGX+envmap+MIS, heterogeneous volpath,
+hero-wavelength spectral) — each prints its own JSON line.
 
 Baseline (BASELINE.json): >= 50 Mpaths/s/chip at 256^2 @ 64 spp, path
 integrator, scalar_rgb. A "path" = one camera sample (up to max_depth
 bounces + NEE shadow rays), matching the north-star metric definition.
 """
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
 
+WIDTH = HEIGHT = 256
+SPP = 64
 
-def main():
-    import jax
-    import mitsuba2_tpu as mi
-    mi.set_variant("scalar_rgb")
-    from mitsuba2_tpu import load_dict
-    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
 
-    width = height = 256
-    spp = 64
-    max_depth = 6
-
-    d = cornell_box_dict(width=width, height=height, spp=spp,
-                         max_depth=max_depth)
-    scene = load_dict(d)
+def _throughput(scene, spp, n_runs=3):
     integrator = scene.integrator
-
-    # warmup / compile
-    img = scene.integrator.render(scene, seed=0, spp=spp)
-    np.asarray(img)
-
-    n_runs = 3
+    img = integrator.render(scene, seed=0, spp=spp)
+    np.asarray(img)                      # warmup / compile + sync
     t0 = time.perf_counter()
     for i in range(n_runs):
         img = integrator.render(scene, seed=i + 1, spp=spp)
-    np.asarray(img)  # sync
+    np.asarray(img)                      # sync
     dt = (time.perf_counter() - t0) / n_runs
+    w, h = scene.sensors[0].film.crop_size
+    return w * h * spp / dt / 1e6
 
-    n_paths = width * height * spp
-    mpaths = n_paths / dt / 1e6
-    print(json.dumps({
-        "metric": "cornell_box_path_throughput",
-        "value": round(mpaths, 3),
-        "unit": "Mpaths/s/chip",
-        "vs_baseline": round(mpaths / 50.0, 4),
-    }))
+
+def bench_cornell():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    scene = mi.load_dict(cornell_box_dict(width=WIDTH, height=HEIGHT,
+                                          spp=SPP, max_depth=6))
+    mpaths = _throughput(scene, SPP)
+    return {"metric": "cornell_box_path_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4)}
+
+
+def bench_matpreview():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.python.test.scenes import matpreview_dict
+    scene = mi.load_dict(matpreview_dict(width=WIDTH, height=HEIGHT,
+                                         spp=SPP, max_depth=6))
+    mpaths = _throughput(scene, SPP)
+    return {"metric": "matpreview_path_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4)}
+
+
+def bench_spectral():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_spectral")
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    scene = mi.load_dict(cornell_box_dict(width=WIDTH, height=HEIGHT,
+                                          spp=SPP, max_depth=6))
+    mpaths = _throughput(scene, SPP)
+    mi.set_variant("scalar_rgb")
+    return {"metric": "cornell_spectral_path_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4)}
+
+
+def bench_volpath():
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.core.transform import Transform as T
+    grid = np.random.default_rng(0).uniform(
+        0.2, 2.0, (16, 16, 16)).astype(np.float32)
+    d = {"type": "scene",
+         "integrator": {"type": "volpath", "max_depth": 16},
+         "slab": {"type": "cube", "bsdf": {"type": "null"},
+                  "interior": {"type": "heterogeneous",
+                               "sigma_t": {"type": "grid3d", "data": grid},
+                               "albedo": {"type": "rgb", "value": [0.8] * 3},
+                               "to_world": (T.translate([-1, -1, -1])
+                                            @ T.scale(2.0)),
+                               "phase": {"type": "hg", "g": 0.3}}},
+         "light": {"type": "rectangle",
+                   "to_world": T.translate([0, 0, -2.5]) @ T.scale(2.0),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb",
+                                            "value": [4.0] * 3}}},
+         "sensor": {"type": "perspective", "fov": 35.0,
+                    "to_world": T.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+                    "film": {"type": "hdrfilm", "width": WIDTH,
+                             "height": HEIGHT,
+                             "rfilter": {"type": "box"}},
+                    "sampler": {"type": "independent",
+                                "sample_count": 16}}}
+    scene = mi.load_dict(d)
+    mpaths = _throughput(scene, 16)
+    return {"metric": "volpath_hetero_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4)}
+
+
+BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,
+           "spectral": bench_spectral, "volpath": bench_volpath}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell",
+                    choices=list(BENCHES) + ["all"])
+    args = ap.parse_args()
+    names = list(BENCHES) if args.scene == "all" else [args.scene]
+    for name in names:
+        print(json.dumps(BENCHES[name]()))
     return 0
 
 

@@ -108,3 +108,65 @@ def furnace_dict(albedo=0.6, env_radiance=1.0, width=32, height=32, spp=64,
         "env": {"type": "constant",
                 "radiance": {"type": "rgb", "value": [env_radiance] * 3}},
     }
+
+
+def _sky_exr_path():
+    """Synthesized lat-long sky HDR (cached): gradient dome + sun blob —
+    stands in for the matpreview envmap asset."""
+    import os
+    import tempfile
+    import numpy as np
+    path = os.path.join(tempfile.gettempdir(), "mitsuba2_tpu_sky_v1.exr")
+    if not os.path.exists(path):
+        h, w = 64, 128
+        th = np.linspace(0, np.pi, h)[:, None]
+        ph = np.linspace(0, 2 * np.pi, w)[None, :]
+        sky = np.stack([
+            0.25 + 0.35 * np.cos(th / 2) ** 2 + 0 * ph,
+            0.35 + 0.40 * np.cos(th / 2) ** 2 + 0 * ph,
+            0.55 + 0.45 * np.cos(th / 2) ** 2 + 0 * ph], -1)
+        # sun: bright blob at theta=60deg, phi=45deg
+        ang = (np.sin(th) * np.sin(np.pi / 3)
+               * np.cos(ph - np.pi / 4)
+               + np.cos(th) * np.cos(np.pi / 3))
+        sun = np.clip(ang, 0, 1) ** 400
+        sky = sky + sun[..., None] * np.asarray([900.0, 800.0, 600.0])
+        from mitsuba2_tpu.utils.io_exr import write_exr
+        write_exr(path, sky.astype(np.float32))
+    return path
+
+
+def matpreview_dict(width=256, height=256, spp=64, max_depth=6,
+                    alpha=0.1, material="Au"):
+    """Matpreview-class benchmark config (BASELINE.json configs[1]):
+    rough-conductor hero object under an importance-sampled envmap with
+    MIS, a rough-plastic stand, and a checkerboard floor."""
+    T = Transform
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": max_depth},
+        "envmap": {"type": "envmap", "filename": _sky_exr_path()},
+        "hero": {"type": "sphere", "radius": 1.0, "center": [0, 0, 1.35],
+                 "bsdf": {"type": "roughconductor", "alpha": alpha,
+                          "material": material}},
+        "stand": {"type": "cube",
+                  "to_world": (T.translate([0, 0, 0.175])
+                               @ T.scale([0.6, 0.6, 0.175])),
+                  "bsdf": {"type": "roughplastic", "alpha": 0.2,
+                           "diffuse_reflectance":
+                               {"type": "rgb", "value": [0.1, 0.1, 0.12]}}},
+        "floor": {"type": "rectangle", "to_world": T.scale([8, 8, 1]),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {
+                               "type": "checkerboard",
+                               "color0": {"type": "rgb", "value": 0.4},
+                               "color1": {"type": "rgb", "value": 0.2},
+                               "to_uv": T.scale([8, 8, 1])}}},
+        "sensor": {
+            "type": "perspective", "fov": 34.0,
+            "to_world": T.look_at(origin=[3.2, -3.8, 2.4],
+                                  target=[0, 0, 1.0], up=[0, 0, 1]),
+            "film": {"type": "hdrfilm", "width": width, "height": height,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp}},
+    }

@@ -37,6 +37,43 @@ class SurfaceInteraction(NamedTuple):
     bsdf_idx: jnp.ndarray = None
     emitter_idx: jnp.ndarray = None
     prim_uv: jnp.ndarray = None  # (N,2) barycentrics (mesh_attribute interp)
+    duv_dx: jnp.ndarray = None   # (N,2) uv footprint (compute_uv_partials)
+    duv_dy: jnp.ndarray = None
+
+    def compute_uv_partials(self, rd) -> "SurfaceInteraction":
+        """Screen-space uv footprint from a RayDifferential
+        (interaction.h:217-249): intersect the offset rays with the
+        tangent plane, least-squares-project onto (dp_du, dp_dv)."""
+        if not rd.has_differentials:
+            return self
+        dist = m.dot(self.n, self.p)
+        t_x = (dist - m.dot(self.n, rd.o_x)) / m.dot(self.n, rd.d_x)
+        t_y = (dist - m.dot(self.n, rd.o_y)) / m.dot(self.n, rd.d_y)
+        dp_dx = rd.o_x + rd.d_x * t_x[..., None] - self.p
+        dp_dy = rd.o_y + rd.d_y * t_y[..., None] - self.p
+        a00 = m.dot(self.dp_du, self.dp_du)
+        a01 = m.dot(self.dp_du, self.dp_dv)
+        a11 = m.dot(self.dp_dv, self.dp_dv)
+        det = a00 * a11 - a01 * a01
+        inv_det = jnp.where(jnp.abs(det) > 1e-20,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        inv_det = jnp.where(jnp.isfinite(inv_det), inv_det, 0.0)
+        b0x = m.dot(self.dp_du, dp_dx)
+        b1x = m.dot(self.dp_dv, dp_dx)
+        b0y = m.dot(self.dp_du, dp_dy)
+        b1y = m.dot(self.dp_dv, dp_dy)
+        duv_dx = jnp.stack([(a11 * b0x - a01 * b1x) * inv_det,
+                            (a00 * b1x - a01 * b0x) * inv_det], -1)
+        duv_dy = jnp.stack([(a11 * b0y - a01 * b1y) * inv_det,
+                            (a00 * b1y - a01 * b0y) * inv_det], -1)
+        # offset rays parallel to the tangent plane / missed lanes: zero
+        # footprint instead of NaN
+        duv_dx = jnp.where(jnp.isfinite(duv_dx), duv_dx, 0.0)
+        duv_dy = jnp.where(jnp.isfinite(duv_dy), duv_dy, 0.0)
+        return self._replace(duv_dx=duv_dx, duv_dy=duv_dy)
+
+    def has_uv_partials(self):
+        return self.duv_dx is not None
 
     def is_valid(self):
         return jnp.isfinite(self.t)

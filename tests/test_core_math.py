@@ -237,3 +237,48 @@ def test_sample_shifted():
 def test_luminance():
     lum = float(spec.luminance(jnp.asarray([1.0, 1.0, 1.0])))
     assert np.isclose(lum, 1.0, atol=1e-5)
+
+
+def test_uv_partials(variant_scalar_rgb):
+    """compute_uv_partials (interaction.h:217): for a camera looking at a
+    unit-uv rectangle one pixel's footprint in uv equals 1/resolution."""
+    import numpy as np
+    import jax.numpy as jnp
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.transform import Transform as T
+    from mitsuba2_tpu.render.scene import Scene
+
+    rect = mi.load_dict({"type": "rectangle"})
+    mesh = (rect.expand() if hasattr(rect, "expand") else [rect])[0]
+    scene = Scene(shapes=[mesh])
+    sensor = mi.load_dict({
+        "type": "perspective", "fov": 45.0,
+        "to_world": T.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+        "film": {"type": "hdrfilm", "width": 64, "height": 64,
+                 "rfilter": {"type": "box"}},
+        "sampler": {"type": "independent", "sample_count": 1}})
+    pos01 = jnp.asarray([[0.5, 0.5], [0.3, 0.6]])
+    rd, _ = sensor.sample_ray_differential(
+        0.0, jnp.zeros(2), pos01, jnp.zeros((2, 2)), True)
+    si = scene.ray_intersect(rd.ray)
+    assert bool(si.is_valid().all())
+    si = si.compute_uv_partials(rd)
+    assert si.has_uv_partials()
+    duv_dx = np.asarray(si.duv_dx)
+    duv_dy = np.asarray(si.duv_dy)
+    # quad spans x in [-1,1] -> u in [0,1]; at distance 3, fov 45:
+    # screen width = 2*3*tan(22.5deg) = 2.485 world units = 1.243 in u;
+    # one pixel = 1.243/64 in u
+    expect = 2 * 3 * np.tan(np.radians(22.5)) / 2 / 64
+    assert abs(abs(duv_dx[0, 0]) - expect) < 0.1 * expect, \
+        (duv_dx[0], expect)
+    assert abs(abs(duv_dy[0, 1]) - expect) < 0.1 * expect
+    # x-offset moves mostly in u, y-offset mostly in v
+    assert abs(duv_dx[0, 0]) > 5 * abs(duv_dx[0, 1])
+    assert abs(duv_dy[0, 1]) > 5 * abs(duv_dy[0, 0])
+
+    # scale_differential: spp spreading shrinks the footprint
+    rd4 = rd.scale_differential(0.5)
+    si4 = scene.ray_intersect(rd4.ray).compute_uv_partials(rd4)
+    np.testing.assert_allclose(np.asarray(si4.duv_dx), duv_dx * 0.5,
+                               rtol=2e-3, atol=1e-6)

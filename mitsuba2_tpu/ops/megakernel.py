@@ -2,16 +2,23 @@
 
 The profiled wavefront renderer is HBM-bound: every XLA fusion boundary
 writes full wavefront state (~13 KB/lane/render). This kernel keeps the
-ENTIRE path loop — camera ray generation, Woop/MXU intersection, MIS NEE,
-cosine BSDF sampling, RNG, Russian roulette — in VMEM and writes only the
-final radiance (16 B/lane). It is the logical endpoint of the reference's
-GPU wavefront design (integrator.cpp:140-172) on a TPU memory hierarchy.
+ENTIRE path loop — camera ray generation, Woop/MXU intersection, analytic
+sphere quadrics, MIS NEE, diffuse + GGX-conductor shading, envmap lookups,
+RNG, Russian roulette — in VMEM and writes only the final radiance
+(16 B/lane). It is the logical endpoint of the reference's GPU wavefront
+design (integrator.cpp:140-172) on a TPU memory hierarchy.
 
 Fast-path scope (selected automatically by the path integrator, general
-wavefront otherwise): diffuse BSDFs, area emitters, flat shading, rgb mode,
-perspective pinhole camera, box filter, <= 2048 faces resident in VMEM.
-Estimator semantics match path.cpp:92-234 (NEE + power-2 MIS + RR after
-rr_depth) on the same TEA sampler substrate.
+wavefront otherwise):
+- BSDFs: diffuse (constant/per-shape albedo) and rough conductors
+  (GGX, isotropic alpha >= 0.01, constant IOR/specular scale),
+- emitters: area lights (NEE + power-2 MIS) and ONE lat-long envmap
+  (identity to_world, evaluated on escape with weight 1 — no env NEE;
+  a different but equally unbiased estimator than the wavefront's),
+- shapes: triangles (<= 2048 faces in VMEM) + analytic spheres,
+- rgb mode, perspective pinhole camera, box filter, flat shading.
+Estimator semantics otherwise match path.cpp:92-234 (NEE + power-2 MIS +
+RR after rr_depth) on the same TEA sampler substrate.
 """
 
 from __future__ import annotations
@@ -26,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 512
 MAX_FACES = 2048
+MAX_SPHERES = 64
+MAX_ENV_W = 256          # env block (H, 3W) must stay VMEM-friendly
 _BIG = 3.0e38
 _PI = 3.141592653589793
 
@@ -76,6 +85,38 @@ def _mis(a, b):
     return jnp.where(a2 > 0, a2 / jnp.maximum(a2 + b2, 1e-30), 0.0)
 
 
+def _fresnel_cond(c, eta, k):
+    """Exact unpolarized conductor Fresnel (fresnel.h fresnel_conductor)."""
+    c2 = c * c
+    s2 = 1.0 - c2
+    eta2 = eta * eta - k * k
+    etak2 = 2.0 * eta * k
+    t0 = eta2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + etak2 * etak2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * c
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rp + rs)
+
+
+def _ggx_d(hz, a):
+    a2 = a * a
+    d = hz * hz * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(_PI * d * d, 1e-20)
+
+
+def _ggx_g1(cz, a):
+    """Smith G1 for isotropic GGX from the cosine alone."""
+    cz = jnp.maximum(cz, 1e-6)
+    a2 = a * a
+    t2 = (1.0 - cz * cz) / (cz * cz)
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
+
+
 def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
     """Woop intersection against all resident faces.
     Returns (t, pick) with pick (R,F) the one-hot float of the hit face."""
@@ -103,17 +144,89 @@ def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
     return tmin[:, 0], pick
 
 
+def _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt):
+    """Closest analytic-sphere hit. sph (S,8): cx cy cz r valid pad.
+    Returns (t, spick (R,S))."""
+    cx = sph[:, 0][None, :]
+    cy = sph[:, 1][None, :]
+    cz = sph[:, 2][None, :]
+    r = sph[:, 3][None, :]
+    alive = sph[:, 4][None, :] > 0.5
+    lx = ox[:, None] - cx
+    ly = oy[:, None] - cy
+    lz = oz[:, None] - cz
+    b = lx * dx[:, None] + ly * dy[:, None] + lz * dz[:, None]
+    c = lx * lx + ly * ly + lz * lz - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > mint[:, None], t0, t1)
+    ok = alive & (disc > 0) & (t > mint[:, None]) & (t < maxt[:, None])
+    t = jnp.where(ok, t, _BIG)
+    tmin = jnp.min(t, axis=1, keepdims=True)
+    ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    cand = jnp.where((t <= tmin) & ok, ids, jnp.int32(0x7FFFFFFF))
+    ksel = jnp.min(cand, axis=1, keepdims=True)
+    spick = ((ids == ksel) & ok).astype(jnp.float32)
+    return tmin[:, 0], spick
+
+
+def _env_lookup(dx, dy, dz, env, env_w, env_h):
+    """Lat-long bilinear radiance fetch (envmap.cpp uv convention:
+    u = atan2(x, -z)/2pi + .5, v = acos(y)/pi; wrap-u, wrap-v like
+    BitmapTexture). env is (H, 3W) row-major rgb-interleaved-by-column.
+    Factorized: rows via a weighted one-hot matmul, columns via a
+    weighted mask-reduce — no per-lane gathers."""
+    u = jnp.arctan2(dx, -dz) * (0.5 / _PI) + 0.5
+    v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / _PI)
+    fu = u * env_w - 0.5
+    fv = v * env_h - 0.5
+    u0 = jnp.floor(fu)
+    v0 = jnp.floor(fv)
+    wu_ = fu - u0
+    wv_ = fv - v0
+    iu0 = jnp.mod(u0.astype(jnp.int32), env_w)
+    iv0 = jnp.mod(v0.astype(jnp.int32), env_h)
+    iu1 = jnp.mod(iu0 + 1, env_w)
+    iv1 = jnp.mod(iv0 + 1, env_h)
+    R = dx.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, env_h), 1)
+    wrow = (jnp.where(rows == iv0[:, None], 1.0 - wv_[:, None], 0.0)
+            + jnp.where(rows == iv1[:, None], wv_[:, None], 0.0))
+    mixed = jnp.dot(wrow, env, preferred_element_type=jnp.float32)
+    # (R, 3W) -> per-channel column interp
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, env_w), 1)
+    wcol = (jnp.where(cols == iu0[:, None], 1.0 - wu_[:, None], 0.0)
+            + jnp.where(cols == iu1[:, None], wu_[:, None], 0.0))
+    out = []
+    for ch in range(3):
+        plane = mixed[:, ch * env_w:(ch + 1) * env_w]
+        out.append(jnp.sum(plane * wcol, axis=1))
+    return out[0], out[1], out[2]
+
+
+# fattr layout (F, 24):
+#   ng 0:3 | albedo/spec 3:6 | Le 6:9 | lpdf_w 9 | kind 10 (0 diff, 1 ggx)
+#   alpha 11 | eta 12:15 | k 15:18 | pad 18:24
+_FA_COLS = 24
+
+
 def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
-                 lt_ref, out_ref, *, max_depth, rr_depth, n_faces, spp_pass,
-                 width, height):
+                 lt_ref, sph_ref, sattr_ref, env_ref, out_ref, *,
+                 max_depth, rr_depth, n_faces, spp_pass, width, height,
+                 has_spheres, has_env, env_w, env_h):
     """One program = RAY_TILE full camera paths resident in VMEM.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
-        axes), origin(3), tan_half_fov, seed, sample_base, pad]
-    wu/wv/wz (4,F): Woop transforms.
-    fattr (F,16): ng(0:3) albedo(3:6) Le(6:9) light_pdf_w(9) pad.
+        axes), origin(3), tan_half_fov, pad]
+    meta_ref (1,2) SMEM int32: [seed, sample_base]
+    wu/wv/wz (4,F): Woop transforms. fattr (F,24): see _FA_COLS comment.
     lt (L,24): light faces: v0(0:3) e1(3:6) e2(6:9) n(9:12) cdf(12)
         weight(13) radiance(14:17) pad.
+    sph (S,8): analytic spheres cx cy cz r valid. sattr (S,24): fattr-layout
+        shading attributes per sphere.
+    env (H, 3W): lat-long radiance (channel-blocked columns).
     out (R,4): rgb + valid flag.
     """
     i = pl.program_id(0)
@@ -151,9 +264,51 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
     wz = wz_ref[:]
     fattr = fattr_ref[:]
     lt = lt_ref[:]
+    sph = sph_ref[:]
+    sattr = sattr_ref[:]
+    env = env_ref[:]
     F = wu.shape[1]
     L = lt.shape[0]
     face_valid = jax.lax.broadcasted_iota(jnp.int32, (F,), 0) < n_faces
+
+    def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
+        """Merged triangle + sphere closest hit. Returns
+        (t, hit, attrs A (R,24), ng override for spheres)."""
+        t, pick = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz,
+                         mint, maxt, face_valid)
+        A = jnp.dot(pick, fattr, preferred_element_type=jnp.float32)
+        if has_spheres:
+            ts, spick = _isect_spheres(ox, oy, oz, dx, dy, dz, sph,
+                                       mint, maxt)
+            closer = ts < t
+            SA = jnp.dot(spick, sattr, preferred_element_type=jnp.float32)
+            SC = jnp.dot(spick, sph, preferred_element_type=jnp.float32)
+            # analytic normal (p - c) / r
+            tsafe = jnp.where(closer, ts, t)
+            hx = ox + tsafe * dx
+            hy = oy + tsafe * dy
+            hz = oz + tsafe * dz
+            inv_r = 1.0 / jnp.maximum(SC[:, 3], 1e-20)
+            snx = (hx - SC[:, 0]) * inv_r
+            sny = (hy - SC[:, 1]) * inv_r
+            snz = (hz - SC[:, 2]) * inv_r
+            colid = jax.lax.broadcasted_iota(jnp.int32, SA.shape, 1)
+            SA = jnp.where(colid == 0, snx[:, None],
+                           jnp.where(colid == 1, sny[:, None],
+                                     jnp.where(colid == 2, snz[:, None],
+                                               SA)))
+            A = jnp.where(closer[:, None], SA, A)
+            t = jnp.where(closer, ts, t)
+        return t, A
+
+    def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
+        ts, _ = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
+                       face_valid)
+        hit = ts < _BIG * 0.5
+        if has_spheres:
+            t2, _ = _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt)
+            hit = hit | (t2 < _BIG * 0.5)
+        return hit
 
     zero = jnp.zeros((R,))
     one = jnp.ones((R,))
@@ -169,15 +324,29 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
          res_r, res_g, res_b, active, prev_pdf, valid) = state
         dim0 = 2 + depth * 8
 
-        t, pick = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz,
-                         zero, jnp.full((R,), _BIG), face_valid)
+        t, A = closest_hit(ox, oy, oz, dx, dy, dz,
+                           zero, jnp.full((R,), _BIG))
         hit = t < _BIG * 0.5
         valid = valid | jnp.where(depth == 0, hit, jnp.zeros_like(hit))
-        A = jnp.dot(pick, fattr, preferred_element_type=jnp.float32)
+
+        # --- environment on escape (weight 1: env has no NEE arm here) ---
+        if has_env:
+            er, eg, eb = _env_lookup(dx, dy, dz, env, env_w, env_h)
+            esc = active & ~hit
+            res_r = res_r + jnp.where(esc, thr_r * er, 0.0)
+            res_g = res_g + jnp.where(esc, thr_g * eg, 0.0)
+            res_b = res_b + jnp.where(esc, thr_b * eb, 0.0)
+            valid = valid | jnp.where(depth == 0, esc,
+                                      jnp.zeros_like(esc))
+
         ngx, ngy, ngz = A[:, 0], A[:, 1], A[:, 2]
         alb_r, alb_g, alb_b = A[:, 3], A[:, 4], A[:, 5]
         le_r, le_g, le_b = A[:, 6], A[:, 7], A[:, 8]
         lpdf_w = A[:, 9]
+        is_ggx = A[:, 10] > 0.5
+        alpha = jnp.maximum(A[:, 11], 1e-3)
+        eta_r, eta_g, eta_b = A[:, 12], A[:, 13], A[:, 14]
+        k_r, k_g, k_b = A[:, 15], A[:, 16], A[:, 17]
 
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
@@ -200,6 +369,27 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         eps = (1.0 + jnp.maximum(jnp.abs(pxx),
                                  jnp.maximum(jnp.abs(pyy),
                                              jnp.abs(pzz)))) * 1.8e-4
+
+        # branchless ONB around n (Duff et al.)
+        s = jnp.where(nz >= 0, 1.0, -1.0)
+        oa = -1.0 / (s + nz)
+        ob = nx * ny * oa
+        txx, txy, txz = 1.0 + s * nx * nx * oa, s * ob, -s * nx
+        tyx, tyy, tyz = ob, s + ny * ny * oa, -ny
+        # local frame columns: X=(txx,txy,txz), Y=(tyx,tyy,tyz), Z=n
+
+        def to_local(vx, vy, vz):
+            return (vx * txx + vy * txy + vz * txz,
+                    vx * tyx + vy * tyy + vz * tyz,
+                    vx * nx + vy * ny + vz * nz)
+
+        def to_world(vx, vy, vz):
+            return (vx * txx + vy * tyx + vz * nx,
+                    vx * txy + vy * tyy + vz * ny,
+                    vx * txz + vy * tyz + vz * nz)
+
+        wix, wiy, wiz = to_local(-dx, -dy, -dz)
+        wiz = jnp.maximum(wiz, 1e-6)
 
         # --- russian roulette (path.cpp:133-141) ---
         rr_u, _ = _rng2(key, dim0 + 0)
@@ -244,38 +434,114 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         pdf_l = jnp.where(cos_l > 1e-6,
                           dist2 * lw / jnp.maximum(cos_l, 1e-6), 0.0)
         # NEE at vertex k+1 creates a path of length k+2: allowed only while
-        # k+2 <= max_depth (matches path.cpp's loop structure: max_depth
-        # emissions, max_depth-1 NEE terms)
+        # k+2 <= max_depth (matches path.cpp's loop structure)
         nee_ok = active & (pdf_l > 0) & (cos_s > 0) \
             & (depth < max_depth - 1)
-        ts, _ = _isect(pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
-                       dxl, dyl, dzl, wu, wv, wz,
-                       zero, dist * (1.0 - 1e-3), face_valid)
-        unoccluded = ts >= _BIG * 0.5
-        bsdf_pdf_l = cos_s / _PI
-        w_nee = _mis(pdf_l, bsdf_pdf_l)
-        scale = jnp.where(nee_ok & unoccluded,
-                          w_nee * cos_s
-                          / (_PI * jnp.maximum(pdf_l, 1e-20)), 0.0)
-        res_r = res_r + thr_r * alb_r * scale * lrad_r
-        res_g = res_g + thr_g * alb_g * scale * lrad_g
-        res_b = res_b + thr_b * alb_b * scale * lrad_b
+        occluded = any_hit(pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
+                           dxl, dyl, dzl, zero, dist * (1.0 - 1e-3))
 
-        # --- cosine-hemisphere BSDF sample ---
+        # BSDF eval toward the light: diffuse and GGX lobes, blended
+        wox, woy, woz = to_local(dxl, dyl, dzl)
+        # diffuse: f*cos = alb/pi * cos_s ; pdf = cos_s/pi
+        pdf_diff_l = jnp.maximum(woz, 0.0) / _PI
+        # GGX: h = normalize(wi + wo)
+        hx_ = wix + wox
+        hy_ = wiy + woy
+        hz_ = wiz + woz
+        hinv = jax.lax.rsqrt(jnp.maximum(
+            hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
+        hx_, hy_, hz_ = hx_ * hinv, hy_ * hinv, hz_ * hinv
+        ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
+        D = _ggx_d(hz_, alpha)
+        G = _ggx_g1(wiz, alpha) * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
+        spec_common = D * G / jnp.maximum(4.0 * wiz, 1e-20)  # f*cos/cos_o*cos_o... = f*cos_o
+        # NOTE: f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
+        pdf_ggx_l = _ggx_g1(wiz, alpha) * D / jnp.maximum(4.0 * wiz, 1e-20)
+        F_r = _fresnel_cond(ci_h, eta_r, k_r)
+        F_g = _fresnel_cond(ci_h, eta_g, k_g)
+        F_b = _fresnel_cond(ci_h, eta_b, k_b)
+
+        pdf_bsdf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_diff_l)
+        w_nee = _mis(pdf_l, pdf_bsdf_l)
+        base = w_nee / jnp.maximum(pdf_l, 1e-20)
+        fcos_diff = cos_s / _PI
+        ggx_ok = (woz > 0).astype(jnp.float32)
+        f_r = jnp.where(is_ggx, spec_common * F_r * ggx_ok, fcos_diff)
+        f_g = jnp.where(is_ggx, spec_common * F_g * ggx_ok, fcos_diff)
+        f_b = jnp.where(is_ggx, spec_common * F_b * ggx_ok, fcos_diff)
+        # gate the WHOLE product: miss lanes carry inf/NaN intermediates
+        # (t = BIG positions) that must never touch the accumulator
+        gate = nee_ok & ~occluded
+        res_r = res_r + jnp.where(gate, thr_r * alb_r * base * f_r
+                                  * lrad_r, 0.0)
+        res_g = res_g + jnp.where(gate, thr_g * alb_g * base * f_g
+                                  * lrad_g, 0.0)
+        res_b = res_b + jnp.where(gate, thr_b * alb_b * base * f_b
+                                  * lrad_b, 0.0)
+
+        # --- BSDF sampling: cosine (diffuse) / GGX VNDF (Heitz 2018) ---
         u_c1, u_c2 = _rng2(key, dim0 + 4)
+        # diffuse candidate
         cx_, cy_ = _concentric(u_c1, u_c2)
         cz_ = jnp.sqrt(jnp.maximum(1.0 - cx_ * cx_ - cy_ * cy_, 0.0))
-        s = jnp.where(nz >= 0, 1.0, -1.0)
-        a = -1.0 / (s + nz)
-        b = nx * ny * a
-        ndx = (1.0 + s * nx * nx * a) * cx_ + b * cy_ + nx * cz_
-        ndy = (s * b) * cx_ + (s + ny * ny * a) * cy_ + ny * cz_
-        ndz = (-s * nx) * cx_ + (-ny) * cy_ + nz * cz_
-        bsdf_pdf = cz_ / _PI
-        thr_r = thr_r * jnp.where(active, alb_r, 1.0)
-        thr_g = thr_g * jnp.where(active, alb_g, 1.0)
-        thr_b = thr_b * jnp.where(active, alb_b, 1.0)
-        active = active & (bsdf_pdf > 0) \
+        pdf_diff = cz_ / _PI
+        # GGX VNDF candidate
+        vhx = alpha * wix
+        vhy = alpha * wiy
+        vhz = wiz
+        vinv = jax.lax.rsqrt(jnp.maximum(
+            vhx * vhx + vhy * vhy + vhz * vhz, 1e-20))
+        vhx, vhy, vhz = vhx * vinv, vhy * vinv, vhz * vinv
+        lensq = vhx * vhx + vhy * vhy
+        linv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+        t1x = jnp.where(lensq > 1e-12, -vhy * linv, 1.0)
+        t1y = jnp.where(lensq > 1e-12, vhx * linv, 0.0)
+        t1z = jnp.zeros_like(t1x)
+        t2x = vhy * t1z - vhz * t1y
+        t2y = vhz * t1x - vhx * t1z
+        t2z = vhx * t1y - vhy * t1x
+        rr = jnp.sqrt(jnp.maximum(u_c1, 0.0))
+        phi = 2.0 * _PI * u_c2
+        p1 = rr * jnp.cos(phi)
+        p2 = rr * jnp.sin(phi)
+        s_ = 0.5 * (1.0 + vhz)
+        p2 = (1.0 - s_) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+            + s_ * p2
+        pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+        nhx = p1 * t1x + p2 * t2x + pz * vhx
+        nhy = p1 * t1y + p2 * t2y + pz * vhy
+        nhz = p1 * t1z + p2 * t2z + pz * vhz
+        mhx = alpha * nhx
+        mhy = alpha * nhy
+        mhz = jnp.maximum(nhz, 1e-6)
+        minv = jax.lax.rsqrt(mhx * mhx + mhy * mhy + mhz * mhz)
+        mhx, mhy, mhz = mhx * minv, mhy * minv, mhz * minv
+        wm_dot = wix * mhx + wiy * mhy + wiz * mhz
+        gox = 2.0 * wm_dot * mhx - wix
+        goy = 2.0 * wm_dot * mhy - wiy
+        goz = 2.0 * wm_dot * mhz - wiz
+        ggx_valid = (goz > 1e-6) & (wm_dot > 0)
+        pdf_ggx = _ggx_g1(wiz, alpha) * _ggx_d(mhz, alpha) \
+            / jnp.maximum(4.0 * wiz, 1e-20)
+        Fs_r = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_r, k_r)
+        Fs_g = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_g, k_g)
+        Fs_b = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_b, k_b)
+        g1o = _ggx_g1(jnp.maximum(goz, 1e-6), alpha)
+        # VNDF weight = F * G1(wo) (separable Smith)
+        wsel_x = jnp.where(is_ggx, gox, cx_)
+        wsel_y = jnp.where(is_ggx, goy, cy_)
+        wsel_z = jnp.where(is_ggx, goz, cz_)
+        bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
+        ok_lobe = jnp.where(is_ggx, ggx_valid, cz_ > 0)
+        wt_r = jnp.where(is_ggx, Fs_r * g1o, 1.0)
+        wt_g = jnp.where(is_ggx, Fs_g * g1o, 1.0)
+        wt_b = jnp.where(is_ggx, Fs_b * g1o, 1.0)
+
+        ndx, ndy, ndz = to_world(wsel_x, wsel_y, wsel_z)
+        thr_r = thr_r * jnp.where(active, alb_r * wt_r, 1.0)
+        thr_g = thr_g * jnp.where(active, alb_g * wt_g, 1.0)
+        thr_b = thr_b * jnp.where(active, alb_b * wt_b, 1.0)
+        active = active & ok_lobe & (bsdf_pdf > 0) \
             & ((thr_r + thr_g + thr_b) > 0)
         prev_pdf = bsdf_pdf
 
@@ -298,6 +564,31 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
 # ----------------------------------------------------------------------------
 # host-side wrapper
 # ----------------------------------------------------------------------------
+
+def _bsdf_columns(bsdf):
+    """-> (kind, albedo_tex_or_None, alpha, eta_rgb, k_rgb) for eligible
+    BSDFs; None if unsupported."""
+    from ..models.bsdfs import SmoothDiffuse, RoughConductor
+    from ..models.textures import ConstantTexture
+    from ..render.scene import _PerShapeTexture
+    if type(bsdf) is SmoothDiffuse and isinstance(
+            bsdf.reflectance, (ConstantTexture, _PerShapeTexture)):
+        return ("diffuse", bsdf)
+    if type(bsdf) is RoughConductor:
+        if bsdf.dist_type != "ggx" or bsdf.alpha_u != bsdf.alpha_v:
+            return None
+        try:
+            alpha = float(bsdf.alpha_u)
+        except TypeError:
+            return None
+        if alpha < 0.01:
+            return None
+        for tex in (bsdf.eta_tex, bsdf.k_tex, bsdf.specular_reflectance):
+            if not isinstance(tex, ConstantTexture):
+                return None
+        return ("ggx", bsdf)
+    return None
+
 
 class DiffusePathMegakernel:
     """Builds device tables once and renders pixel-major wavefronts."""
@@ -326,7 +617,6 @@ class DiffusePathMegakernel:
         # face attribute table (static parts as numpy; albedo/Le traced)
         fs = np.asarray(g.face_shape)
         ng = np.asarray(g.ng)
-        # per-shape albedo from the (merged or plain) diffuse instances
         self._scene = scene
         self._fs = fs
         self._F = F
@@ -345,7 +635,6 @@ class DiffusePathMegakernel:
             ne = np.asarray(e.tn)
             rad = np.asarray(e.radiance._rgb_np, np.float32).reshape(3)
             w_e = 1.0 / (e.total_area * n_em)
-            # per-face pdf weight + radiance on the global face table
             sidx = scene.shapes.index(e.shape)
             mask = fs == sidx
             le_face[mask] = rad
@@ -355,7 +644,6 @@ class DiffusePathMegakernel:
                     v0e[k], e1e[k], e2e[k], ne[k],
                     [0.0, w_e], rad, [0.0] * 7]))
         lights = np.asarray(lights, np.float32)
-        # cdf over light faces with weights area_f/(area_e*n_em)
         wts = np.asarray([
             0.5 * np.linalg.norm(np.cross(l[3:6], l[6:9])) * l[13]
             for l in lights]) if len(lights) else np.ones(1)
@@ -372,26 +660,100 @@ class DiffusePathMegakernel:
             lights = np.concatenate([lights, padl])
         self.lights = jnp.asarray(lights)
 
-        fattr = np.zeros((F, 16), np.float32)
+        # per-shape BSDF static columns (kind/alpha/eta/k)
+        shp_kind = np.zeros(max(len(scene.shapes), 1), np.float32)
+        shp_alpha = np.zeros_like(shp_kind)
+        shp_eta = np.zeros((len(shp_kind), 3), np.float32)
+        shp_k = np.zeros_like(shp_eta)
+        for s_idx, s in enumerate(scene.shapes):
+            info = _bsdf_columns(s.bsdf)
+            if info is None:
+                continue
+            kind, b = info
+            if kind == "ggx":
+                shp_kind[s_idx] = 1.0
+                shp_alpha[s_idx] = float(b.alpha_u)
+                shp_eta[s_idx] = np.asarray(b.eta_tex._rgb_np,
+                                            np.float32).reshape(3)
+                shp_k[s_idx] = np.asarray(b.k_tex._rgb_np,
+                                          np.float32).reshape(3)
+
+        fattr = np.zeros((F, _FA_COLS), np.float32)
         fattr[:self.n_faces, 0:3] = ng
         fattr[:self.n_faces, 6:9] = le_face
         fattr[:self.n_faces, 9] = lpdf_w
+        fattr[:self.n_faces, 10] = shp_kind[fs]
+        fattr[:self.n_faces, 11] = shp_alpha[fs]
+        fattr[:self.n_faces, 12:15] = shp_eta[fs]
+        fattr[:self.n_faces, 15:18] = shp_k[fs]
         self._fattr_static = fattr
+
+        # analytic spheres (sph geometry + sattr shading rows)
+        self.has_spheres = bool(getattr(scene, "n_spheres", 0))
+        S = 8
+        sph = np.zeros((S, 8), np.float32)
+        sattr = np.zeros((S, _FA_COLS), np.float32)
+        self._sph_shape_idx = []
+        if self.has_spheres:
+            tab = np.asarray(scene.sph_table)
+            ns = tab.shape[0]
+            S = max(8, int(np.ceil(ns / 8)) * 8)
+            sph = np.zeros((S, 8), np.float32)
+            sattr = np.zeros((S, _FA_COLS), np.float32)
+            sph[:ns, 0:4] = tab[:, 0:4]
+            sph[:ns, 4] = 1.0
+            for si in range(ns):
+                s_idx = int(tab[si, 4])
+                self._sph_shape_idx.append(s_idx)
+                sattr[si, 10] = shp_kind[s_idx]
+                sattr[si, 11] = shp_alpha[s_idx]
+                sattr[si, 12:15] = shp_eta[s_idx]
+                sattr[si, 15:18] = shp_k[s_idx]
+        self.sph = jnp.asarray(sph)
+        self._sattr_static = sattr
+
+        # envmap (identity to_world, checked by eligibility)
+        env_e = scene.environment_emitter
+        self.has_env = env_e is not None
+        if self.has_env:
+            data = np.asarray(env_e.bitmap._rgb_np, np.float32)
+            scale = 1.0  # scale baked into bitmap at construction
+            h, w = data.shape[0], data.shape[1]
+            env = np.concatenate([data[..., c] for c in range(3)],
+                                 axis=1) * scale                  # (H, 3W)
+            self.env_w, self.env_h = w, h
+            self.env = jnp.asarray(env)
+        else:
+            self.env_w, self.env_h = 8, 8
+            self.env = jnp.zeros((8, 24), jnp.float32)
         self.interpret = interpret
 
+    def _shape_albedo(self, s):
+        b = s.bsdf
+        tex = getattr(b, "reflectance", None)
+        if tex is None:
+            tex = getattr(b, "specular_reflectance", None)
+        return tex.data.rgb if tex is not None else jnp.zeros(3)
+
     def _fattr(self):
-        """(F,16) with traced per-shape albedo columns (differentiable)."""
+        """(F,24) with traced per-shape albedo columns (differentiable)."""
         scene = self._scene
-        alb_by_shape = []
-        for s in scene.shapes:
-            tex = s.bsdf.reflectance if hasattr(s.bsdf, "reflectance") \
-                else None
-            alb_by_shape.append(tex.data.rgb if tex is not None
-                                else jnp.zeros(3))
-        alb = jnp.stack([jnp.broadcast_to(a, (3,)) for a in alb_by_shape])
+        alb = jnp.stack([jnp.broadcast_to(self._shape_albedo(s), (3,))
+                         for s in scene.shapes])
         face_alb = alb[self._fs]  # static indices -> cheap
         static = jnp.asarray(self._fattr_static)
         return static.at[:self.n_faces, 3:6].set(face_alb)
+
+    def _sattr(self):
+        static = jnp.asarray(self._sattr_static)
+        if not self._sph_shape_idx:
+            return static
+        scene = self._scene
+        alb = jnp.stack([
+            jnp.broadcast_to(
+                self._shape_albedo(scene.shapes[s_idx]), (3,))
+            for s_idx in self._sph_shape_idx])
+        return static.at[:len(self._sph_shape_idx), 3:6].set(alb)
 
     def render_pass(self, sensor, seed, sample_base, spp_pass):
         film = sensor.film
@@ -411,7 +773,9 @@ class DiffusePathMegakernel:
         kernel = functools.partial(
             _path_kernel,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
-            n_faces=self.n_faces, spp_pass=spp_pass, width=w, height=h)
+            n_faces=self.n_faces, spp_pass=spp_pass, width=w, height=h,
+            has_spheres=self.has_spheres, has_env=self.has_env,
+            env_w=self.env_w, env_h=self.env_h)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -423,13 +787,18 @@ class DiffusePathMegakernel:
                 pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
                 pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
                 pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-                pl.BlockSpec((self._F, 16), lambda i: (0, 0)),
+                pl.BlockSpec((self._F, _FA_COLS), lambda i: (0, 0)),
                 pl.BlockSpec((self.lights.shape[0], 24), lambda i: (0, 0)),
+                pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
+                pl.BlockSpec((self.sph.shape[0], _FA_COLS),
+                             lambda i: (0, 0)),
+                pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
             interpret=self.interpret,
-        )(cam, meta, self.wu, self.wv, self.wz, self._fattr(), self.lights)
+        )(cam, meta, self.wu, self.wv, self.wz, self._fattr(), self.lights,
+          self.sph, self._sattr(), self.env)
         # pixel-major box-filter reduction; filter weight = 1 per sample
         out = out.at[:, 3].set(1.0)
         img = out.reshape(w * h, spp_pass, 4).sum(axis=1)
@@ -438,33 +807,33 @@ class DiffusePathMegakernel:
 
 def scene_supports_megakernel(scene) -> bool:
     """Fast-path eligibility check."""
-    from ..models.bsdfs import SmoothDiffuse
-    from ..models.textures import ConstantTexture
-    from ..models.emitters import AreaEmitter
-    from ..render.scene import _PerShapeTexture
+    from ..models.emitters import AreaEmitter, EnvironmentMap
     from ..variants import current
+    import numpy as _np
     if not current().is_rgb:
         return False
-    if scene.has_media or scene.environment_emitter is not None:
+    if scene.has_media:
         return False
-    if getattr(scene, "n_spheres", 0):
-        return False   # analytic quadrics take the wavefront path
-    if scene.geom.v0.shape[0] > MAX_FACES or scene.geom.v0.shape[0] == 0:
+    if scene.geom.v0.shape[0] > MAX_FACES or not scene.shapes:
+        return False
+    if getattr(scene, "n_spheres", 0) > MAX_SPHERES:
         return False
     for b in scene.bsdfs:
-        if type(b) is not SmoothDiffuse:
+        if _bsdf_columns(b) is None:
             return False
-        if not isinstance(b.reflectance, (ConstantTexture, _PerShapeTexture)):
-            return False
+    env = scene.environment_emitter
     for e in scene.emitters:
+        if isinstance(e, EnvironmentMap):
+            if e is not env:
+                return False
+            if e.res[0] > MAX_ENV_W or e.res[1] > MAX_ENV_W:
+                return False
+            if not _np.allclose(_np.asarray(e.to_world.matrix),
+                                _np.eye(4), atol=1e-6):
+                return False
+            continue
         if type(e) is not AreaEmitter:
             return False
         if e.radiance.is_spatially_varying():
-            return False
-    for s in scene.shapes:
-        if s.bsdf is None or not hasattr(s.bsdf, "reflectance"):
-            return False
-        tex = getattr(s.bsdf, "reflectance", None)
-        if tex is not None and not isinstance(tex, ConstantTexture):
             return False
     return True

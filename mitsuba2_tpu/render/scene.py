@@ -564,6 +564,34 @@ class Scene(Object):
             prim_uv=pi.prim_uv)
         return si
 
+    def normal_derivative(self, si, active=True):
+        """(mesh.cpp:521-539 / sphere.cpp:399) derivative of the shading
+        normal w.r.t. the local triangle parameterization -> (dn_du,
+        dn_dv), each (N, 3). Flat-shaded faces yield zero."""
+        from ..ops.gather import gather_rows
+        n_faces = int(self.geom.v0.shape[0])
+        f = jnp.clip(si.prim_idx, 0, n_faces - 1)
+        A = gather_rows(self.attr_table[:, 12:21], f)
+        n0, n1, n2 = A[:, 0:3], A[:, 3:6], A[:, 6:9]
+        bu = si.prim_uv[..., 0:1]
+        bv = si.prim_uv[..., 1:2]
+        N = bu * n1 + bv * n2 + (1.0 - bu - bv) * n0
+        il = 1.0 / jnp.maximum(m.norm(N), 1e-20)[..., None]
+        N = N * il
+        dn_du = (n1 - n0) * il
+        dn_dv = (n2 - n0) * il
+        dn_du = dn_du - N * m.dot(N, dn_du, keepdims=True)
+        dn_dv = dn_dv - N * m.dot(N, dn_dv, keepdims=True)
+        if self.n_spheres:
+            is_sph = (si.prim_idx >= n_faces)[..., None]
+            s_i = jnp.clip(si.prim_idx - n_faces, 0, self.n_spheres - 1)
+            r = gather_rows(self.sph_table[:, 3:4], s_i)
+            inv_r = 1.0 / jnp.maximum(r, 1e-20)
+            dn_du = jnp.where(is_sph, si.dp_du * inv_r, dn_du)
+            dn_dv = jnp.where(is_sph, si.dp_dv * inv_r, dn_dv)
+        ok = jnp.asarray(active)[..., None] & si.is_valid()[..., None]
+        return jnp.where(ok, dn_du, 0.0), jnp.where(ok, dn_dv, 0.0)
+
     def ray_intersect(self, ray, active=None) -> SurfaceInteraction:
         """(scene.h:38) closest-hit query returning a full interaction."""
         pi = self.ray_intersect_preliminary(ray, active)

@@ -1,0 +1,133 @@
+"""Path megakernel v2 (ops/megakernel.py): interpret-mode radiometry vs the
+general wavefront across its widened scope (diffuse + GGX conductors,
+analytic spheres, envmap escapes)."""
+
+import numpy as np
+import pytest
+
+import mitsuba2_tpu as mi
+from mitsuba2_tpu.core.transform import Transform as T
+from mitsuba2_tpu.ops.megakernel import (DiffusePathMegakernel,
+                                         scene_supports_megakernel)
+
+
+def _mk_render(scene, sensor, spp, seed=0, max_depth=4):
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    mk.max_depth = max_depth
+    mk.rr_depth = 1000
+    img = np.asarray(mk.render_pass(sensor, seed, 0, spp))
+    return img[..., :3] / spp
+
+
+def _ref_render(scene, spp, seed=0):
+    return np.asarray(scene.integrator.render(scene, seed=seed, spp=spp))
+
+
+def _base(width=24, spp=32, max_depth=4):
+    return {"type": "scene",
+            "integrator": {"type": "path", "max_depth": max_depth},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": T.look_at([0, 0, 4], [0, 0, 0],
+                                             [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": width,
+                                "height": width,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": spp}}}
+
+
+def _arealight(y=2.5, scale=0.8, radiance=8.0):
+    # overhead light facing down (-y): lights the scene without blocking
+    # the camera's view
+    return {"type": "rectangle",
+            "to_world": (T.translate([0, y, 0.5]) @ T.scale(scale)
+                         @ T.rotate([1, 0, 0], 90)),
+            "emitter": {"type": "area",
+                        "radiance": {"type": "rgb", "value": radiance}}}
+
+
+def _cmp(scene, spp=64, max_depth=4, tol=0.05, seed=3):
+    assert scene_supports_megakernel(scene), "scene should be eligible"
+    a = _mk_render(scene, scene.sensors[0], spp, seed=seed,
+                   max_depth=max_depth)
+    b = _ref_render(scene, spp, seed=seed + 7)
+    ma, mb = a.mean(), b.mean()
+    assert abs(ma - mb) <= tol * max(mb, 1e-3), (ma, mb)
+    return a, b
+
+
+def test_ggx_conductor(variant_scalar_rgb):
+    d = _base(max_depth=4)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -1, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "diffuse"}}
+    d["slab"] = {"type": "rectangle",
+                 "to_world": T.rotate([1, 0, 0], -60),
+                 "bsdf": {"type": "roughconductor", "alpha": 0.15,
+                          "distribution": "ggx",
+                          "material": "Au"}}
+    scene = mi.load_dict(d)
+    a, b = _cmp(scene, spp=96, max_depth=4, tol=0.06)
+    # gold tint survives: R channel above B on the slab region
+    assert a[..., 0].mean() > a[..., 2].mean()
+
+
+def test_analytic_sphere_in_kernel(variant_scalar_rgb):
+    d = _base(max_depth=3)
+    d["light"] = _arealight()
+    d["ball"] = {"type": "sphere", "radius": 0.8,
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {"type": "rgb",
+                                          "value": [0.6, 0.3, 0.2]}}}
+    scene = mi.load_dict(d)
+    assert scene.n_spheres == 1
+    _cmp(scene, spp=64, max_depth=3, tol=0.06)
+
+
+def test_envmap_escape(variant_scalar_rgb):
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base(max_depth=3)
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path()}
+    d["ball"] = {"type": "sphere", "radius": 0.8,
+                 "bsdf": {"type": "roughconductor", "alpha": 0.2,
+                          "distribution": "ggx", "material": "Cu"}}
+    scene = mi.load_dict(d)
+    # different (both unbiased) env estimators: compare at higher spp with
+    # a looser mean tolerance
+    _cmp(scene, spp=128, max_depth=3, tol=0.08)
+
+
+def test_cornell_regression(variant_scalar_rgb):
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    scene = mi.load_dict(cornell_box_dict(width=24, height=24, spp=64,
+                                          max_depth=4))
+    _cmp(scene, spp=64, max_depth=4, tol=0.05)
+
+
+def test_eligibility_gates(variant_scalar_rgb):
+    # smooth (delta) conductor -> fall back
+    d = _base()
+    d["light"] = _arealight()
+    d["m"] = {"type": "rectangle", "bsdf": {"type": "conductor"}}
+    assert not scene_supports_megakernel(mi.load_dict(d))
+    # rough dielectric -> fall back
+    d["m"] = {"type": "rectangle",
+              "bsdf": {"type": "roughdielectric", "alpha": 0.2}}
+    assert not scene_supports_megakernel(mi.load_dict(d))
+    # rotated envmap -> fall back
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base()
+    d["m"] = {"type": "rectangle", "bsdf": {"type": "diffuse"}}
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path(),
+                "to_world": T.rotate([0, 1, 0], 30)}
+    assert not scene_supports_megakernel(mi.load_dict(d))
+    # media -> fall back
+    d = _base()
+    d["light"] = _arealight()
+    d["s"] = {"type": "cube", "bsdf": {"type": "null"},
+              "interior": {"type": "homogeneous",
+                           "sigma_t": {"type": "rgb", "value": [1.0] * 3},
+                           "albedo": {"type": "rgb", "value": [0.5] * 3}}}
+    assert not scene_supports_megakernel(mi.load_dict(d))

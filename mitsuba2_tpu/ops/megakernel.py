@@ -141,7 +141,9 @@ def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
     cand = jnp.where((t <= tmin) & ok, face_ids, jnp.int32(0x7FFFFFFF))
     k = jnp.min(cand, axis=1, keepdims=True)
     pick = ((face_ids == k) & ok).astype(jnp.float32)
-    return tmin[:, 0], pick
+    bu = jnp.sum(jnp.where(pick > 0, u, 0.0), axis=1)
+    bv = jnp.sum(jnp.where(pick > 0, v, 0.0), axis=1)
+    return tmin[:, 0], pick, bu, bv
 
 
 def _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt):
@@ -206,16 +208,18 @@ def _env_lookup(dx, dy, dz, env, env_w, env_h):
     return out[0], out[1], out[2]
 
 
-# fattr layout (F, 24):
-#   ng 0:3 | albedo/spec 3:6 | Le 6:9 | lpdf_w 9 | kind 10 (0 diff, 1 ggx)
-#   alpha 11 | eta 12:15 | k 15:18 | pad 18:24
-_FA_COLS = 24
+# fattr layout (F, 40):
+#   ng 0:3 | albedo/c0 3:6 | Le 6:9 | lpdf_w 9
+#   kind 10 (0 diffuse, 1 ggx, 2 diffuse-checkerboard) | alpha 11
+#   eta 12:15 | k 15:18 | checker c1 18:21 | uv0 21:23 | duv1 23:25
+#   duv2 25:27 | to_uv affine [m00 m01 m03 m10 m11 m13] 27:33 | pad 33:40
+_FA_COLS = 40
 
 
 def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
                  lt_ref, sph_ref, sattr_ref, env_ref, out_ref, *,
                  max_depth, rr_depth, n_faces, spp_pass, width, height,
-                 has_spheres, has_env, env_w, env_h):
+                 has_spheres, has_env, has_checker, env_w, env_h):
     """One program = RAY_TILE full camera paths resident in VMEM.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -274,8 +278,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Merged triangle + sphere closest hit. Returns
         (t, hit, attrs A (R,24), ng override for spheres)."""
-        t, pick = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz,
-                         mint, maxt, face_valid)
+        t, pick, bu, bv = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz,
+                                 mint, maxt, face_valid)
         A = jnp.dot(pick, fattr, preferred_element_type=jnp.float32)
         if has_spheres:
             ts, spick = _isect_spheres(ox, oy, oz, dx, dy, dz, sph,
@@ -298,12 +302,14 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
                                      jnp.where(colid == 2, snz[:, None],
                                                SA)))
             A = jnp.where(closer[:, None], SA, A)
+            bu = jnp.where(closer, 0.0, bu)
+            bv = jnp.where(closer, 0.0, bv)
             t = jnp.where(closer, ts, t)
-        return t, A
+        return t, A, bu, bv
 
     def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
-        ts, _ = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
-                       face_valid)
+        ts, _, _, _ = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint,
+                             maxt, face_valid)
         hit = ts < _BIG * 0.5
         if has_spheres:
             t2, _ = _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt)
@@ -324,8 +330,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
          res_r, res_g, res_b, active, prev_pdf, valid) = state
         dim0 = 2 + depth * 8
 
-        t, A = closest_hit(ox, oy, oz, dx, dy, dz,
-                           zero, jnp.full((R,), _BIG))
+        t, A, bu_h, bv_h = closest_hit(ox, oy, oz, dx, dy, dz,
+                                       zero, jnp.full((R,), _BIG))
         hit = t < _BIG * 0.5
         valid = valid | jnp.where(depth == 0, hit, jnp.zeros_like(hit))
 
@@ -343,10 +349,22 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         alb_r, alb_g, alb_b = A[:, 3], A[:, 4], A[:, 5]
         le_r, le_g, le_b = A[:, 6], A[:, 7], A[:, 8]
         lpdf_w = A[:, 9]
-        is_ggx = A[:, 10] > 0.5
+        kind = A[:, 10]
+        is_ggx = (kind > 0.5) & (kind < 1.5)
         alpha = jnp.maximum(A[:, 11], 1e-3)
         eta_r, eta_g, eta_b = A[:, 12], A[:, 13], A[:, 14]
         k_r, k_g, k_b = A[:, 15], A[:, 16], A[:, 17]
+        if has_checker:
+            # uv from barycentrics -> affine to_uv -> parity select
+            uu = A[:, 21] + bu_h * A[:, 23] + bv_h * A[:, 25]
+            vv = A[:, 22] + bu_h * A[:, 24] + bv_h * A[:, 26]
+            u2 = A[:, 27] * uu + A[:, 28] * vv + A[:, 29]
+            v2 = A[:, 30] * uu + A[:, 31] * vv + A[:, 32]
+            par = jnp.mod(jnp.floor(u2) + jnp.floor(v2), 2.0)
+            use_c1 = (kind > 1.5) & (par > 0.5)
+            alb_r = jnp.where(use_c1, A[:, 18], alb_r)
+            alb_g = jnp.where(use_c1, A[:, 19], alb_g)
+            alb_b = jnp.where(use_c1, A[:, 20], alb_b)
 
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
@@ -569,11 +587,18 @@ def _bsdf_columns(bsdf):
     """-> (kind, albedo_tex_or_None, alpha, eta_rgb, k_rgb) for eligible
     BSDFs; None if unsupported."""
     from ..models.bsdfs import SmoothDiffuse, RoughConductor
-    from ..models.textures import ConstantTexture
+    from ..models.textures import ConstantTexture, CheckerboardTexture
     from ..render.scene import _PerShapeTexture
     if type(bsdf) is SmoothDiffuse and isinstance(
             bsdf.reflectance, (ConstantTexture, _PerShapeTexture)):
         return ("diffuse", bsdf)
+    if type(bsdf) is SmoothDiffuse and isinstance(
+            bsdf.reflectance, CheckerboardTexture):
+        t = bsdf.reflectance
+        if isinstance(t.color0, ConstantTexture) \
+                and isinstance(t.color1, ConstantTexture):
+            return ("checker", bsdf)
+        return None
     if type(bsdf) is RoughConductor:
         if bsdf.dist_type != "ggx" or bsdf.alpha_u != bsdf.alpha_v:
             return None
@@ -665,6 +690,9 @@ class DiffusePathMegakernel:
         shp_alpha = np.zeros_like(shp_kind)
         shp_eta = np.zeros((len(shp_kind), 3), np.float32)
         shp_k = np.zeros_like(shp_eta)
+        shp_touv = np.zeros((len(shp_kind), 6), np.float32)
+        shp_touv[:, 0] = 1.0
+        shp_touv[:, 4] = 1.0
         for s_idx, s in enumerate(scene.shapes):
             info = _bsdf_columns(s.bsdf)
             if info is None:
@@ -677,6 +705,13 @@ class DiffusePathMegakernel:
                                             np.float32).reshape(3)
                 shp_k[s_idx] = np.asarray(b.k_tex._rgb_np,
                                           np.float32).reshape(3)
+            elif kind == "checker":
+                shp_kind[s_idx] = 2.0
+                tex = b.reflectance
+                if tex.to_uv is not None:
+                    M = np.asarray(tex.to_uv.matrix, np.float32)
+                    shp_touv[s_idx] = [M[0, 0], M[0, 1], M[0, 3],
+                                       M[1, 0], M[1, 1], M[1, 3]]
 
         fattr = np.zeros((F, _FA_COLS), np.float32)
         fattr[:self.n_faces, 0:3] = ng
@@ -686,6 +721,14 @@ class DiffusePathMegakernel:
         fattr[:self.n_faces, 11] = shp_alpha[fs]
         fattr[:self.n_faces, 12:15] = shp_eta[fs]
         fattr[:self.n_faces, 15:18] = shp_k[fs]
+        uv0 = np.asarray(g.uv0)
+        uv1 = np.asarray(g.uv1)
+        uv2 = np.asarray(g.uv2)
+        fattr[:self.n_faces, 21:23] = uv0
+        fattr[:self.n_faces, 23:25] = uv1 - uv0
+        fattr[:self.n_faces, 25:27] = uv2 - uv0
+        fattr[:self.n_faces, 27:33] = shp_touv[fs]
+        self.has_checker = bool((shp_kind == 2.0).any())
         self._fattr_static = fattr
 
         # analytic spheres (sph geometry + sattr shading rows)
@@ -729,11 +772,21 @@ class DiffusePathMegakernel:
         self.interpret = interpret
 
     def _shape_albedo(self, s):
+        from ..models.textures import CheckerboardTexture
         b = s.bsdf
         tex = getattr(b, "reflectance", None)
+        if isinstance(tex, CheckerboardTexture):
+            return tex.color0.data.rgb
         if tex is None:
             tex = getattr(b, "specular_reflectance", None)
         return tex.data.rgb if tex is not None else jnp.zeros(3)
+
+    def _shape_c1(self, s):
+        from ..models.textures import CheckerboardTexture
+        tex = getattr(s.bsdf, "reflectance", None)
+        if isinstance(tex, CheckerboardTexture):
+            return tex.color1.data.rgb
+        return jnp.zeros(3)
 
     def _fattr(self):
         """(F,24) with traced per-shape albedo columns (differentiable)."""
@@ -742,7 +795,12 @@ class DiffusePathMegakernel:
                          for s in scene.shapes])
         face_alb = alb[self._fs]  # static indices -> cheap
         static = jnp.asarray(self._fattr_static)
-        return static.at[:self.n_faces, 3:6].set(face_alb)
+        static = static.at[:self.n_faces, 3:6].set(face_alb)
+        if self.has_checker:
+            c1 = jnp.stack([jnp.broadcast_to(self._shape_c1(s), (3,))
+                            for s in scene.shapes])
+            static = static.at[:self.n_faces, 18:21].set(c1[self._fs])
+        return static
 
     def _sattr(self):
         static = jnp.asarray(self._sattr_static)
@@ -775,7 +833,8 @@ class DiffusePathMegakernel:
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_faces=self.n_faces, spp_pass=spp_pass, width=w, height=h,
             has_spheres=self.has_spheres, has_env=self.has_env,
-            env_w=self.env_w, env_h=self.env_h)
+            has_checker=self.has_checker, env_w=self.env_w,
+            env_h=self.env_h)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -821,6 +880,11 @@ def scene_supports_megakernel(scene) -> bool:
     for b in scene.bsdfs:
         if _bsdf_columns(b) is None:
             return False
+    for sh in scene.shapes:
+        if sh.is_analytic():
+            info = _bsdf_columns(sh.bsdf)
+            if info is None or info[0] == "checker":
+                return False
     env = scene.environment_emitter
     for e in scene.emitters:
         if isinstance(e, EnvironmentMap):

@@ -148,13 +148,12 @@ def matpreview_dict(width=256, height=256, spp=64, max_depth=6,
         "envmap": {"type": "envmap", "filename": _sky_exr_path()},
         "hero": {"type": "sphere", "radius": 1.0, "center": [0, 0, 1.35],
                  "bsdf": {"type": "roughconductor", "alpha": alpha,
-                          "material": material}},
+                          "distribution": "ggx", "material": material}},
         "stand": {"type": "cube",
                   "to_world": (T.translate([0, 0, 0.175])
                                @ T.scale([0.6, 0.6, 0.175])),
-                  "bsdf": {"type": "roughplastic", "alpha": 0.2,
-                           "diffuse_reflectance":
-                               {"type": "rgb", "value": [0.1, 0.1, 0.12]}}},
+                  "bsdf": {"type": "roughconductor", "alpha": 0.3,
+                           "distribution": "ggx", "material": "Al"}},
         "floor": {"type": "rectangle", "to_world": T.scale([8, 8, 1]),
                   "bsdf": {"type": "diffuse",
                            "reflectance": {

@@ -131,3 +131,28 @@ def test_eligibility_gates(variant_scalar_rgb):
                            "sigma_t": {"type": "rgb", "value": [1.0] * 3},
                            "albedo": {"type": "rgb", "value": [0.5] * 3}}}
     assert not scene_supports_megakernel(mi.load_dict(d))
+
+
+def test_checkerboard_floor(variant_scalar_rgb):
+    d = _base(max_depth=3)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle", "to_world": T.scale(2),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {
+                               "type": "checkerboard",
+                               "color0": {"type": "rgb", "value": 0.7},
+                               "color1": {"type": "rgb", "value": 0.1},
+                               "to_uv": T.scale([6, 6, 1])}}}
+    scene = mi.load_dict(d)
+    a, b = _cmp(scene, spp=64, max_depth=3, tol=0.05)
+    # checker visible in the megakernel image (spatial variance)
+    assert a[..., 0].std() > 0.01
+
+
+def test_matpreview_eligible_and_matches(variant_scalar_rgb):
+    """The matpreview bench config itself rides the megakernel."""
+    from mitsuba2_tpu.python.test.scenes import matpreview_dict
+    scene = mi.load_dict(matpreview_dict(width=24, height=24, spp=64,
+                                         max_depth=4))
+    assert scene_supports_megakernel(scene)
+    _cmp(scene, spp=96, max_depth=4, tol=0.08)

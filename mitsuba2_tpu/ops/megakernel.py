@@ -376,11 +376,10 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         res_r = res_r + wgt * thr_r * le_r
         res_g = res_g + wgt * thr_g * le_g
         res_b = res_b + wgt * thr_b * le_b
-        active = active & hit
-
-        # shading point + front-side normal
-        sgn = jnp.where(cos_hit >= 0, 1.0, -1.0)
-        nx, ny, nz = ngx * sgn, ngy * sgn, ngz * sgn
+        # FrontSide-only BSDFs (diffuse/conductor flags in the wavefront):
+        # backside hits terminate the path — no normal flipping
+        active = active & hit & (cos_hit > 0)
+        nx, ny, nz = ngx, ngy, ngz
         pxx = ox + t * dx
         pyy = oy + t * dy
         pzz = oz + t * dz
@@ -649,9 +648,9 @@ class DiffusePathMegakernel:
         le_face = np.zeros((self.n_faces, 3), np.float32)
         lpdf_w = np.zeros((self.n_faces,), np.float32)
         lights = []
+        light_shape = []
         emitters = [e for e in scene.emitters
                     if getattr(e, "_packed", False)]
-        n_em = len(scene.emitters)
         for e in emitters:
             areas = np.asarray(e.face_distr.pmf)
             v0e = np.asarray(e.tv0)
@@ -659,25 +658,32 @@ class DiffusePathMegakernel:
             e2e = np.asarray(e.te2)
             ne = np.asarray(e.tn)
             rad = np.asarray(e.radiance._rgb_np, np.float32).reshape(3)
-            w_e = 1.0 / (e.total_area * n_em)
             sidx = scene.shapes.index(e.shape)
-            mask = fs == sidx
-            le_face[mask] = rad
-            lpdf_w[mask] = w_e
             for k in range(len(areas)):
                 lights.append(np.concatenate([
                     v0e[k], e1e[k], e2e[k], ne[k],
-                    [0.0, w_e], rad, [0.0] * 7]))
+                    [0.0, 0.0], rad, [0.0] * 7]))
+                light_shape.append(sidx)
         lights = np.asarray(lights, np.float32)
-        wts = np.asarray([
-            0.5 * np.linalg.norm(np.cross(l[3:6], l[6:9])) * l[13]
-            for l in lights]) if len(lights) else np.ones(1)
-        cdf = np.cumsum(wts / max(wts.sum(), 1e-20))
-        if len(lights) == 0:
+        if len(lights):
+            # the kernel's NEE samples area faces with probability 1
+            # (env gets no NEE arm), area-weighted; the claimed density
+            # MUST be the actual renormalized one — a 1/n_em uniform-pick
+            # factor here makes mixed area+env scenes ~n_em x too bright
+            tri_area = 0.5 * np.linalg.norm(
+                np.cross(lights[:, 3:6], lights[:, 6:9]), axis=1)
+            sel = tri_area / max(tri_area.sum(), 1e-20)
+            dens = sel / np.maximum(tri_area, 1e-20)   # per-area density
+            lights[:, 13] = dens
+            cdf = np.cumsum(sel)
+            lights[:, 12] = cdf
+            for row, sidx in enumerate(light_shape):
+                mask = fs == sidx
+                le_face[mask] = lights[row, 14:17]
+                lpdf_w[mask] = dens[row]
+        else:
             lights = np.zeros((1, 24), np.float32)
             lights[0, 12] = 1.0
-        else:
-            lights[:, 12] = cdf
         Lp = max(8, int(np.ceil(len(lights) / 8)) * 8)
         if Lp > len(lights):
             padl = np.zeros((Lp - len(lights), 24), np.float32)

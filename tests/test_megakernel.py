@@ -156,3 +156,34 @@ def test_matpreview_eligible_and_matches(variant_scalar_rgb):
                                          max_depth=4))
     assert scene_supports_megakernel(scene)
     _cmp(scene, spp=96, max_depth=4, tol=0.08)
+
+
+def test_mixed_emitters_and_backface(variant_scalar_rgb):
+    """Regressions: (1) area+env NEE density must be the renormalized
+    area-face density, not 1/n_em-scaled (was ~2x too bright); (2)
+    backside hits terminate FrontSide BSDFs instead of two-sided shading
+    (a camera-blocking plate exposed a 3x mismatch)."""
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = {"type": "scene",
+         "integrator": {"type": "path", "max_depth": 2},
+         "env": {"type": "envmap", "filename": _sky_exr_path()},
+         # plate blocking most of the camera's view, seen from its BACK
+         "light2": {"type": "rectangle",
+                    "to_world": T.translate([0, 0, 2.5]) @ T.scale(0.4)
+                    @ T.rotate([1, 0, 0], 180),
+                    "emitter": {"type": "area",
+                                "radiance": {"type": "rgb",
+                                             "value": 30.0}}},
+         "floor": {"type": "rectangle", "to_world": T.scale(2),
+                   "bsdf": {"type": "diffuse",
+                            "reflectance": {"type": "rgb",
+                                            "value": 0.6}}},
+         "sensor": {"type": "perspective", "fov": 50,
+                    "to_world": T.look_at([0, 0, 3.5], [0, 0, 0],
+                                          [0, 1, 0]),
+                    "film": {"type": "hdrfilm", "width": 16,
+                             "height": 16, "rfilter": {"type": "box"}},
+                    "sampler": {"type": "independent",
+                                "sample_count": 256}}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=256, max_depth=2, tol=0.06, seed=9)

@@ -31,3 +31,18 @@ def load_string(s, **kwargs):
     """Load a scene from an XML string (parity: xml.load_string, xml.h:39)."""
     from .core.xmlio import load_string as _ls
     return _ls(s, **kwargs)
+
+# NOTE: no top-level `render` — the name belongs to the render/ subpackage;
+# use scene.integrator.render(...) or python.autodiff.render(...).
+
+
+def traverse(obj):
+    """Top-level traverse (util.py traverse): differentiable-parameter
+    discovery -> ParameterMap."""
+    from .python.util import traverse as _traverse
+    return _traverse(obj)
+
+
+from .core.transform import Transform  # noqa: E402 (mi.Transform.look_at)
+
+__all__ += ["traverse", "Transform"]

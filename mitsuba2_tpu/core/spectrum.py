@@ -144,22 +144,27 @@ _D65 = np.array([
 
 assert _D65.shape == (MTS_CIE_SAMPLES,)
 
-CIE_XYZ_TABLE = jnp.asarray(_CIE1931_XYZ)
-CIE_D65_TABLE = jnp.asarray(_D65 / 100.0)
+# NOTE: kept as NUMPY at module scope — creating device arrays at import
+# time initializes (and locks) the JAX backend before user code can pick
+# a platform (python -m imports the package before __main__ runs). JAX
+# converts them at trace time.
+CIE_XYZ_TABLE = _CIE1931_XYZ
+CIE_D65_TABLE = (_D65 / 100.0).astype(np.float32)
 
 # BT.709 / sRGB linear matrices (spectrum.h:220-236)
-XYZ_TO_SRGB = jnp.asarray(np.array([
+XYZ_TO_SRGB = np.array([
     [3.240479, -1.537150, -0.498535],
     [-0.969256, 1.875991, 0.041556],
-    [0.055648, -0.204043, 1.057311]], dtype=np.float32))
-SRGB_TO_XYZ = jnp.asarray(np.array([
+    [0.055648, -0.204043, 1.057311]], dtype=np.float32)
+SRGB_TO_XYZ = np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
-    [0.019334, 0.119193, 0.950227]], dtype=np.float32))
+    [0.019334, 0.119193, 0.950227]], dtype=np.float32)
 
 
 def _cie_interp(table, wavelength):
     """Linear interpolation of a per-5nm CIE table (spectrum.h:148-205)."""
+    table = jnp.asarray(table)  # tables live as numpy at module scope
     t = (wavelength - MTS_CIE_MIN) * ((MTS_CIE_SAMPLES - 1)
                                       / (MTS_CIE_MAX - MTS_CIE_MIN))
     active = (wavelength >= MTS_CIE_MIN) & (wavelength <= MTS_CIE_MAX)

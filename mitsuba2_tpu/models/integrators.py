@@ -35,7 +35,8 @@ class PathIntegrator(MonteCarloIntegrator):
         (ops/megakernel.py) — whole-path-in-VMEM; general wavefront
         otherwise."""
         mk = self._megakernel_for(scene, sensor)
-        if mk is not None and not getattr(self, "_differentiable", False):
+        if mk is not None and not getattr(self, "_differentiable", False) \
+                and not getattr(self, "_disable_megakernel", False):
             return mk.render_pass(sensor, seed, sample_base, spp_pass)
         return super().render_wavefront(scene, sensor, sampler, seed,
                                         sample_base, spp_pass, spp_total)

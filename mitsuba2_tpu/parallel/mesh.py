@@ -58,7 +58,17 @@ def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
         return jax.lax.psum(data, axis_name)
 
     dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
-    data = jax.jit(shard_fn)(dev_ids)
+    # the pallas megakernel is not shard_map-compatible yet; force the
+    # general wavefront inside the sharded region
+    # pallas kernels (megakernel, Woop intersector) are not
+    # shard_map-compatible yet; force XLA paths inside the sharded region
+    integrator._disable_megakernel = True
+    scene._disable_pallas = True
+    try:
+        data = jax.jit(shard_fn)(dev_ids)
+    finally:
+        integrator._disable_megakernel = False
+        scene._disable_pallas = False
 
     from ..render.film import ImageBlock
     w, h = film.crop_size
@@ -103,7 +113,13 @@ def render_multichip_pixel_sharded(scene, sensor=0, seed=0, spp=None,
         return data[None]
 
     dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
-    bands = jax.jit(shard_fn)(dev_ids)     # (n_dev, band_h+2b, w+2b, ch)
+    integrator._disable_megakernel = True
+    scene._disable_pallas = True
+    try:
+        bands = jax.jit(shard_fn)(dev_ids)  # (n_dev, band_h+2b, w+2b, ch)
+    finally:
+        integrator._disable_megakernel = False
+        scene._disable_pallas = False
     # assemble with overlap-add of the borders
     full = np.zeros((h + 2 * b, w + 2 * b, bands.shape[-1]), np.float32)
     bands = np.asarray(bands)

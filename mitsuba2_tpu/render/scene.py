@@ -452,7 +452,8 @@ class Scene(Object):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
                                                          -jnp.inf)
-        if self._woop is not None:
+        if self._woop is not None \
+                and not getattr(self, "_disable_pallas", False):
             t, uv, prim = self._woop(ray.o, ray.d, ray.mint, maxt)
             pi = PreliminaryIntersection(
                 t=t, prim_uv=uv,
@@ -602,7 +603,8 @@ class Scene(Object):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
                                                          -jnp.inf)
-        if self._woop is not None:
+        if self._woop is not None \
+                and not getattr(self, "_disable_pallas", False):
             t, _, _ = self._woop(ray.o, ray.d, ray.mint, maxt)
             hit = jnp.isfinite(t)
         else:

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512
+RAY_TILE = 256
 MAX_FACES = 2048
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env block (H, 3W) must stay VMEM-friendly
@@ -120,14 +120,15 @@ def _ggx_g1(cz, a):
 def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
     """Woop intersection against all resident faces.
     Returns (t, pick) with pick (R,F) the one-hot float of the hit face."""
+    F = wu.shape[1]
+    # single fused table (4, 3F): one matmul pair instead of six thin ones
+    wcat = jnp.concatenate([wu, wv, wz], axis=1)
     oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)     # (R,4)
     dh = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=1)
-    U = jnp.dot(oh, wu, preferred_element_type=jnp.float32)      # (R,F)
-    V = jnp.dot(oh, wv, preferred_element_type=jnp.float32)
-    Z = jnp.dot(oh, wz, preferred_element_type=jnp.float32)
-    DU = jnp.dot(dh, wu, preferred_element_type=jnp.float32)
-    DV = jnp.dot(dh, wv, preferred_element_type=jnp.float32)
-    DZ = jnp.dot(dh, wz, preferred_element_type=jnp.float32)
+    O3 = jnp.dot(oh, wcat, preferred_element_type=jnp.float32)   # (R,3F)
+    D3 = jnp.dot(dh, wcat, preferred_element_type=jnp.float32)
+    U, V, Z = O3[:, :F], O3[:, F:2 * F], O3[:, 2 * F:]
+    DU, DV, DZ = D3[:, :F], D3[:, F:2 * F], D3[:, 2 * F:]
     dz_ok = jnp.abs(DZ) > 1e-12
     t = -Z / jnp.where(dz_ok, DZ, 1.0)
     u = U + t * DU
@@ -144,6 +145,28 @@ def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
     bu = jnp.sum(jnp.where(pick > 0, u, 0.0), axis=1)
     bv = jnp.sum(jnp.where(pick > 0, v, 0.0), axis=1)
     return tmin[:, 0], pick, bu, bv
+
+
+def _isect_any(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
+               face_valid):
+    """Shadow-ray any-hit: the Woop products without the argmin/pick
+    epilogue (roughly halves the per-NEE elementwise work)."""
+    F = wu.shape[1]
+    wcat = jnp.concatenate([wu, wv, wz], axis=1)
+    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)
+    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=1)
+    O3 = jnp.dot(oh, wcat, preferred_element_type=jnp.float32)
+    D3 = jnp.dot(dh, wcat, preferred_element_type=jnp.float32)
+    U, V, Z = O3[:, :F], O3[:, F:2 * F], O3[:, 2 * F:]
+    DU, DV, DZ = D3[:, :F], D3[:, F:2 * F], D3[:, 2 * F:]
+    dz_ok = jnp.abs(DZ) > 1e-12
+    t = -Z / jnp.where(dz_ok, DZ, 1.0)
+    u = U + t * DU
+    v = V + t * DV
+    ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= mint[:, None]) & (t <= maxt[:, None])
+          & face_valid[None, :])
+    return jnp.sum(ok.astype(jnp.float32), axis=1) > 0.0
 
 
 def _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt):
@@ -217,10 +240,16 @@ _FA_COLS = 40
 
 
 def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
-                 lt_ref, sph_ref, sattr_ref, env_ref, out_ref, *,
-                 max_depth, rr_depth, n_faces, spp_pass, width, height,
-                 has_spheres, has_env, has_checker, env_w, env_h):
-    """One program = RAY_TILE full camera paths resident in VMEM.
+                 lt_ref, sph_ref, sattr_ref, env_ref, st_in_ref,
+                 st_out_ref, *, max_depth, rr_depth, n_faces, spp_pass,
+                 width, height, has_spheres, has_env, has_checker, env_w,
+                 env_h, seg_start, seg_len):
+    """One program = RAY_TILE paths for `seg_len` bounces starting at
+    bounce `seg_start`; compact path state (st: (R,16) = o d thr res
+    prev_pdf active valid) carries between segment launches through HBM
+    (64 B/lane vs the wavefront's ~13 KB/lane). Segmenting keeps each
+    compiled module at ~2 unrolled bounces — full unrolling broke the
+    AOT compiler past depth 3 and fori_loop-in-pallas crashes it.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
         axes), origin(3), tan_half_fov, pad]
@@ -231,10 +260,9 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
     sph (S,8): analytic spheres cx cy cz r valid. sattr (S,24): fattr-layout
         shading attributes per sphere.
     env (H, 3W): lat-long radiance (channel-blocked columns).
-    out (R,4): rgb + valid flag.
     """
     i = pl.program_id(0)
-    R = out_ref.shape[0]
+    R = st_out_ref.shape[0]
 
     lane = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
     pixel = lane // spp_pass
@@ -245,23 +273,24 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
     seed_vec = jnp.full_like(mixed, meta_ref[0, 0].astype(jnp.uint32))
     key, _ = _tea(seed_vec, mixed, 4)
 
-    # film jitter = sampler dims (0,1), like the general wavefront
-    jx, jy = _rng2(key, 0)
-    sx = (px + jx) / width
-    sy = (py + jy) / height
-    cam = [cam_ref[0, k] for k in range(13)]  # SMEM: scalar loads only
-    tan_half = cam[12]
-    aspect = width / height
-    cx = -(2.0 * sx - 1.0) * tan_half
-    cy = (1.0 - 2.0 * sy) * tan_half / aspect
-    inv_len = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-    lx, ly, lz = cx * inv_len, cy * inv_len, inv_len
-    dx = cam[0] * lx + cam[1] * ly + cam[2] * lz
-    dy = cam[3] * lx + cam[4] * ly + cam[5] * lz
-    dz = cam[6] * lx + cam[7] * ly + cam[8] * lz
-    ox = jnp.full((R,), cam[9])
-    oy = jnp.full((R,), cam[10])
-    oz = jnp.full((R,), cam[11])
+    if seg_start == 0:
+        # film jitter = sampler dims (0,1), like the general wavefront
+        jx, jy = _rng2(key, 0)
+        sx = (px + jx) / width
+        sy = (py + jy) / height
+        cam = [cam_ref[0, k] for k in range(13)]  # SMEM: scalars only
+        tan_half = cam[12]
+        aspect = width / height
+        cx = -(2.0 * sx - 1.0) * tan_half
+        cy = (1.0 - 2.0 * sy) * tan_half / aspect
+        inv_len = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        lx, ly, lz = cx * inv_len, cy * inv_len, inv_len
+        dx = cam[0] * lx + cam[1] * ly + cam[2] * lz
+        dy = cam[3] * lx + cam[4] * ly + cam[5] * lz
+        dz = cam[6] * lx + cam[7] * ly + cam[8] * lz
+        ox = jnp.full((R,), cam[9])
+        oy = jnp.full((R,), cam[10])
+        oz = jnp.full((R,), cam[11])
 
     wu = wu_ref[:]
     wv = wv_ref[:]
@@ -308,9 +337,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         return t, A, bu, bv
 
     def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
-        ts, _, _, _ = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint,
-                             maxt, face_valid)
-        hit = ts < _BIG * 0.5
+        hit = _isect_any(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
+                         face_valid)
         if has_spheres:
             t2, _ = _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt)
             hit = hit | (t2 < _BIG * 0.5)
@@ -318,14 +346,21 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
 
     zero = jnp.zeros((R,))
     one = jnp.ones((R,))
-    state = (ox, oy, oz, dx, dy, dz,
-             one, one, one,            # throughput
-             zero, zero, zero,         # result
-             jnp.ones((R,), bool),     # active
-             zero,                     # prev bsdf pdf (0 => camera ray)
-             jnp.zeros((R,), bool))    # valid (first hit)
+    if seg_start == 0:
+        state = (ox, oy, oz, dx, dy, dz,
+                 one, one, one,            # throughput
+                 zero, zero, zero,         # result
+                 jnp.ones((R,), bool),     # active
+                 zero,                     # prev bsdf pdf (0 => camera ray)
+                 jnp.zeros((R,), bool))    # valid (first hit)
+    else:
+        st = st_in_ref[:]
+        state = (st[:, 0], st[:, 1], st[:, 2], st[:, 3], st[:, 4],
+                 st[:, 5], st[:, 6], st[:, 7], st[:, 8], st[:, 9],
+                 st[:, 10], st[:, 11], st[:, 13] > 0.5, st[:, 12],
+                 st[:, 14] > 0.5)
 
-    def bounce(depth, state):
+    def bounce(depth, state, first=False):
         (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
          res_r, res_g, res_b, active, prev_pdf, valid) = state
         dim0 = 2 + depth * 8
@@ -333,7 +368,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         t, A, bu_h, bv_h = closest_hit(ox, oy, oz, dx, dy, dz,
                                        zero, jnp.full((R,), _BIG))
         hit = t < _BIG * 0.5
-        valid = valid | jnp.where(depth == 0, hit, jnp.zeros_like(hit))
+        if first:            # static: only the peeled bounce sets valid
+            valid = valid | hit
 
         # --- environment on escape (weight 1: env has no NEE arm here) ---
         if has_env:
@@ -342,8 +378,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
             res_r = res_r + jnp.where(esc, thr_r * er, 0.0)
             res_g = res_g + jnp.where(esc, thr_g * eg, 0.0)
             res_b = res_b + jnp.where(esc, thr_b * eb, 0.0)
-            valid = valid | jnp.where(depth == 0, esc,
-                                      jnp.zeros_like(esc))
+            if first:
+                valid = valid | esc
 
         ngx, ngy, ngz = A[:, 0], A[:, 1], A[:, 2]
         alb_r, alb_g, alb_b = A[:, 3], A[:, 4], A[:, 5]
@@ -549,7 +585,7 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         wsel_y = jnp.where(is_ggx, goy, cy_)
         wsel_z = jnp.where(is_ggx, goz, cz_)
         bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
-        ok_lobe = jnp.where(is_ggx, ggx_valid, cz_ > 0)
+        ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & (cz_ > 0))
         wt_r = jnp.where(is_ggx, Fs_r * g1o, 1.0)
         wt_g = jnp.where(is_ggx, Fs_g * g1o, 1.0)
         wt_b = jnp.where(is_ggx, Fs_b * g1o, 1.0)
@@ -566,16 +602,27 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
                 ndx, ndy, ndz, thr_r, thr_g, thr_b,
                 res_r, res_g, res_b, active, prev_pdf, valid)
 
-    # unrolled bounce loop (static max_depth keeps Mosaic happy and lets
-    # the compiler schedule across bounces)
-    for depth in range(max_depth):
-        state = bounce(depth, state)
-    (_, _, _, _, _, _, _, _, _,
-     res_r, res_g, res_b, _, _, valid) = state
-    out_ref[:, 0] = res_r
-    out_ref[:, 1] = res_g
-    out_ref[:, 2] = res_b
-    out_ref[:, 3] = valid.astype(jnp.float32)
+    for k in range(seg_len):
+        depth = seg_start + k                  # static python int
+        state = bounce(depth, state, first=(depth == 0))
+    (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_,
+     rr_, rg_, rb_, act, pp, val) = state
+    st_out_ref[:, 0] = ox
+    st_out_ref[:, 1] = oy
+    st_out_ref[:, 2] = oz
+    st_out_ref[:, 3] = dx
+    st_out_ref[:, 4] = dy
+    st_out_ref[:, 5] = dz
+    st_out_ref[:, 6] = tr_
+    st_out_ref[:, 7] = tg_
+    st_out_ref[:, 8] = tb_
+    st_out_ref[:, 9] = rr_
+    st_out_ref[:, 10] = rg_
+    st_out_ref[:, 11] = rb_
+    st_out_ref[:, 12] = pp
+    st_out_ref[:, 13] = act.astype(jnp.float32)
+    st_out_ref[:, 14] = val.astype(jnp.float32)
+    st_out_ref[:, 15] = zero
 
 
 # ----------------------------------------------------------------------------
@@ -819,6 +866,11 @@ class DiffusePathMegakernel:
             for s_idx in self._sph_shape_idx])
         return static.at[:len(self._sph_shape_idx), 3:6].set(alb)
 
+    # bounces per pallas launch: each compiled module stays ~2 bounces
+    # deep (larger unrolls broke the AOT compiler); the carried state is
+    # 64 B/lane through HBM per segment boundary
+    SEG_BOUNCES = 2
+
     def render_pass(self, sensor, seed, sample_base, spp_pass):
         film = sensor.film
         w, h = film.crop_size
@@ -834,39 +886,49 @@ class DiffusePathMegakernel:
             jnp.zeros(3, jnp.float32)])[None]
         meta = jnp.stack([jnp.asarray(seed, jnp.int32),
                           jnp.asarray(sample_base, jnp.int32)])[None]
-        kernel = functools.partial(
-            _path_kernel,
-            max_depth=self.max_depth, rr_depth=self.rr_depth,
-            n_faces=self.n_faces, spp_pass=spp_pass, width=w, height=h,
-            has_spheres=self.has_spheres, has_env=self.has_env,
-            has_checker=self.has_checker, env_w=self.env_w,
-            env_h=self.env_h)
-        out = pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, 16), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-                pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-                pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-                pl.BlockSpec((self._F, _FA_COLS), lambda i: (0, 0)),
-                pl.BlockSpec((self.lights.shape[0], 24), lambda i: (0, 0)),
-                pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
-                pl.BlockSpec((self.sph.shape[0], _FA_COLS),
-                             lambda i: (0, 0)),
-                pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
-            interpret=self.interpret,
-        )(cam, meta, self.wu, self.wv, self.wz, self._fattr(), self.lights,
-          self.sph, self._sattr(), self.env)
+        in_specs = [
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((self._F, _FA_COLS), lambda i: (0, 0)),
+            pl.BlockSpec((self.lights.shape[0], 24), lambda i: (0, 0)),
+            pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
+            pl.BlockSpec((self.sph.shape[0], _FA_COLS),
+                         lambda i: (0, 0)),
+            pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
+            pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0)),
+        ]
+        tables = (cam, meta, self.wu, self.wv, self.wz, self._fattr(),
+                  self.lights, self.sph, self._sattr(), self.env)
+        state = jnp.zeros((n, 16), jnp.float32)
+        d0 = 0
+        while d0 < self.max_depth:
+            seg = min(self.SEG_BOUNCES, self.max_depth - d0)
+            kernel = functools.partial(
+                _path_kernel,
+                max_depth=self.max_depth, rr_depth=self.rr_depth,
+                n_faces=self.n_faces, spp_pass=spp_pass, width=w,
+                height=h, has_spheres=self.has_spheres,
+                has_env=self.has_env, has_checker=self.has_checker,
+                env_w=self.env_w, env_h=self.env_h,
+                seg_start=d0, seg_len=seg)
+            state = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+                interpret=self.interpret,
+            )(*tables, state)
+            d0 += seg
         # pixel-major box-filter reduction; filter weight = 1 per sample
-        out = out.at[:, 3].set(1.0)
-        img = out.reshape(w * h, spp_pass, 4).sum(axis=1)
+        rgbw = jnp.concatenate(
+            [state[:, 9:12], jnp.ones((n, 1), jnp.float32)], axis=1)
+        img = rgbw.reshape(w * h, spp_pass, 4).sum(axis=1)
         return img.reshape(h, w, 4)
 
 

@@ -34,7 +34,8 @@ def _throughput(scene, spp, n_runs=3):
     np.asarray(img)                      # sync
     dt = (time.perf_counter() - t0) / n_runs
     w, h = scene.sensors[0].film.crop_size
-    return w * h * spp / dt / 1e6
+    engine = getattr(integrator, "last_engine", "wavefront")
+    return w * h * spp / dt / 1e6, engine
 
 
 def bench_cornell():
@@ -43,10 +44,10 @@ def bench_cornell():
     from mitsuba2_tpu.python.test.scenes import cornell_box_dict
     scene = mi.load_dict(cornell_box_dict(width=WIDTH, height=HEIGHT,
                                           spp=SPP, max_depth=6))
-    mpaths = _throughput(scene, SPP)
+    mpaths, engine = _throughput(scene, SPP)
     return {"metric": "cornell_box_path_throughput",
             "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
-            "vs_baseline": round(mpaths / 50.0, 4)}
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
 def bench_matpreview():
@@ -55,10 +56,10 @@ def bench_matpreview():
     from mitsuba2_tpu.python.test.scenes import matpreview_dict
     scene = mi.load_dict(matpreview_dict(width=WIDTH, height=HEIGHT,
                                          spp=SPP, max_depth=6))
-    mpaths = _throughput(scene, SPP)
+    mpaths, engine = _throughput(scene, SPP)
     return {"metric": "matpreview_path_throughput",
             "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
-            "vs_baseline": round(mpaths / 50.0, 4)}
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
 def bench_spectral():
@@ -67,11 +68,11 @@ def bench_spectral():
     from mitsuba2_tpu.python.test.scenes import cornell_box_dict
     scene = mi.load_dict(cornell_box_dict(width=WIDTH, height=HEIGHT,
                                           spp=SPP, max_depth=6))
-    mpaths = _throughput(scene, SPP)
+    mpaths, engine = _throughput(scene, SPP)
     mi.set_variant("scalar_rgb")
     return {"metric": "cornell_spectral_path_throughput",
             "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
-            "vs_baseline": round(mpaths / 50.0, 4)}
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
 def bench_volpath():
@@ -102,10 +103,10 @@ def bench_volpath():
                     "sampler": {"type": "independent",
                                 "sample_count": 16}}}
     scene = mi.load_dict(d)
-    mpaths = _throughput(scene, 16)
+    mpaths, engine = _throughput(scene, 16)
     return {"metric": "volpath_hetero_throughput",
             "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
-            "vs_baseline": round(mpaths / 50.0, 4)}
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
 BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,

@@ -29,6 +29,17 @@ from ..variants import current as current_variant
 class PathIntegrator(MonteCarloIntegrator):
     """MIS path tracer (path.cpp:92-234)."""
 
+    # the megakernel carries 64 B/lane (vs ~13 KB/lane for the XLA
+    # wavefront), so the whole 256^2@64spp wavefront fits in one launch
+    MAX_WAVEFRONT_MEGAKERNEL = 1 << 23
+
+    def wavefront_cap(self, scene, sensor):
+        if self._megakernel_for(scene, sensor) is not None \
+                and not getattr(self, "_differentiable", False) \
+                and not getattr(self, "_disable_megakernel", False):
+            return self.MAX_WAVEFRONT_MEGAKERNEL
+        return self.MAX_WAVEFRONT
+
     def render_wavefront(self, scene, sensor, sampler, seed, sample_base,
                          spp_pass, spp_total):
         """Route eligible scenes through the fused Pallas megakernel
@@ -37,7 +48,9 @@ class PathIntegrator(MonteCarloIntegrator):
         mk = self._megakernel_for(scene, sensor)
         if mk is not None and not getattr(self, "_differentiable", False) \
                 and not getattr(self, "_disable_megakernel", False):
+            self.last_engine = "megakernel"
             return mk.render_pass(sensor, seed, sample_base, spp_pass)
+        self.last_engine = "wavefront"
         return super().render_wavefront(scene, sensor, sampler, seed,
                                         sample_base, spp_pass, spp_total)
 
@@ -46,24 +59,40 @@ class PathIntegrator(MonteCarloIntegrator):
         if cached is not None and cached[0] == (id(scene), id(sensor)):
             return cached[1]
         mk = None
-        try:
-            import jax as _jax
-            from ..ops.megakernel import (DiffusePathMegakernel,
-                                          scene_supports_megakernel)
-            from ..models.sensors import PerspectiveCamera
-            from ..models.rfilters import BoxFilter
-            interpret = _jax.default_backend() != "tpu"
-            if (type(self) is PathIntegrator
-                    and type(sensor) is PerspectiveCamera
-                    and isinstance(sensor.film.rfilter, BoxFilter)
-                    and sensor.shutter_open == sensor.shutter_close
-                    and scene_supports_megakernel(scene)
-                    and not interpret):  # interpret mode: tests opt in
+        reason = None
+        import jax as _jax
+        from ..core import logger as _log
+        from ..ops.megakernel import (DiffusePathMegakernel,
+                                      megakernel_ineligibility)
+        from ..models.sensors import PerspectiveCamera
+        from ..models.rfilters import BoxFilter
+        interpret = _jax.default_backend() != "tpu"
+        if type(self) is not PathIntegrator:
+            reason = "non-path integrator subclass"
+        elif type(sensor) is not PerspectiveCamera:
+            reason = f"sensor {type(sensor).__name__}"
+        elif not isinstance(sensor.film.rfilter, BoxFilter):
+            reason = f"rfilter {type(sensor.film.rfilter).__name__}"
+        elif sensor.shutter_open != sensor.shutter_close:
+            reason = "motion blur (open shutter)"
+        elif interpret:
+            reason = "non-TPU backend (tests opt in via interpret)"
+        else:
+            reason = megakernel_ineligibility(scene)
+        if reason is None:
+            try:
                 mk = DiffusePathMegakernel(scene)
                 mk.max_depth = self.max_depth
                 mk.rr_depth = self.rr_depth
-        except Exception:
-            mk = None
+            except Exception as exc:  # observable, never silent
+                mk = None
+                reason = f"megakernel build failed: {exc!r}"
+        if reason is not None and reason.startswith("megakernel build"):
+            _log.Log(_log.Warn, f"path: falling back to the XLA wavefront "
+                     f"({reason})")
+        elif reason is not None:
+            _log.Log(_log.Debug, f"path: XLA wavefront engine ({reason})")
+        self.engine_reason = reason
         self._mk_cache = ((id(scene), id(sensor)), mk)
         return mk
 

@@ -1,12 +1,25 @@
-"""Fused path-tracing megakernel.
+"""Fused path-tracing megakernel (v3, transposed).
 
 The profiled wavefront renderer is HBM-bound: every XLA fusion boundary
-writes full wavefront state (~13 KB/lane/render). This kernel keeps the
-ENTIRE path loop — camera ray generation, Woop/MXU intersection, analytic
-sphere quadrics, MIS NEE, diffuse + GGX-conductor shading, envmap lookups,
-RNG, Russian roulette — in VMEM and writes only the final radiance
-(16 B/lane). It is the logical endpoint of the reference's GPU wavefront
-design (integrator.cpp:140-172) on a TPU memory hierarchy.
+writes full wavefront state (~13 KB/lane/render). This kernel keeps one
+whole path bounce — Woop/MXU intersection, analytic sphere quadrics, MIS
+NEE, diffuse + GGX-conductor shading, envmap lookups, RNG, Russian
+roulette — in VMEM, carrying only 64 B/lane of compact path state through
+HBM between bounces. It is the logical endpoint of the reference's GPU
+wavefront design (integrator.cpp:140-172) on a TPU memory hierarchy.
+
+v3 layout (the v2 kernel measured ~10% VPU utilization):
+- face-major intermediates ``(F, R)``: faces ride the 8-sublane axis
+  (padded to 8, not 128 — Cornell's 36 faces waste 10% instead of 72%),
+  rays ride the 128-lane axis, and the closest-hit argmin is a cheap
+  sublane reduction instead of a cross-lane one;
+- one bounce per ``pallas_call`` with the full spp wavefront in a single
+  launch (RAY_TILE=1024 -> 4k grid steps for 256^2@64spp, not 65k);
+- path state lives as ``(16, n)`` so a tile block is ``(16, R)`` — fully
+  tiled, no (R,16) lane-padding waste;
+- dead tiles (all lanes terminated) copy state through and skip all
+  compute, which pairs with the alive-first lane compaction the
+  integrator applies between bounces.
 
 Fast-path scope (selected automatically by the path integrator, general
 wavefront otherwise):
@@ -15,7 +28,7 @@ wavefront otherwise):
 - emitters: area lights (NEE + power-2 MIS) and ONE lat-long envmap
   (identity to_world, evaluated on escape with weight 1 — no env NEE;
   a different but equally unbiased estimator than the wavefront's),
-- shapes: triangles (<= 2048 faces in VMEM) + analytic spheres,
+- shapes: triangles (<= MAX_FACES in VMEM) + analytic spheres,
 - rgb mode, perspective pinhole camera, box filter, flat shading.
 Estimator semantics otherwise match path.cpp:92-234 (NEE + power-2 MIS +
 RR after rr_depth) on the same TEA sampler substrate.
@@ -31,12 +44,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 256
-MAX_FACES = 2048
+RAY_TILE = 2048
+VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
+FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
+MAX_FACES = 4096
 MAX_SPHERES = 64
-MAX_ENV_W = 256          # env block (H, 3W) must stay VMEM-friendly
+MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
 _BIG = 3.0e38
 _PI = 3.141592653589793
+
+# state rows (HBM layout (16, n) float32)
+_ROWS = 16
+# 0:3 o | 3:6 d | 6:9 throughput | 9:12 result | 12 prev_pdf
+# 13 active | 14 rng key (uint32 bits) | 15 pixel id
 
 
 # ----------------------------------------------------------------------------
@@ -117,121 +137,7 @@ def _ggx_g1(cz, a):
     return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
 
 
-def _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt, face_valid):
-    """Woop intersection against all resident faces.
-    Returns (t, pick) with pick (R,F) the one-hot float of the hit face."""
-    F = wu.shape[1]
-    # single fused table (4, 3F): one matmul pair instead of six thin ones
-    wcat = jnp.concatenate([wu, wv, wz], axis=1)
-    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)     # (R,4)
-    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=1)
-    O3 = jnp.dot(oh, wcat, preferred_element_type=jnp.float32)   # (R,3F)
-    D3 = jnp.dot(dh, wcat, preferred_element_type=jnp.float32)
-    U, V, Z = O3[:, :F], O3[:, F:2 * F], O3[:, 2 * F:]
-    DU, DV, DZ = D3[:, :F], D3[:, F:2 * F], D3[:, 2 * F:]
-    dz_ok = jnp.abs(DZ) > 1e-12
-    t = -Z / jnp.where(dz_ok, DZ, 1.0)
-    u = U + t * DU
-    v = V + t * DV
-    ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t >= mint[:, None]) & (t <= maxt[:, None])
-          & face_valid[None, :])
-    t = jnp.where(ok, t, _BIG)
-    tmin = jnp.min(t, axis=1, keepdims=True)
-    face_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    cand = jnp.where((t <= tmin) & ok, face_ids, jnp.int32(0x7FFFFFFF))
-    k = jnp.min(cand, axis=1, keepdims=True)
-    pick = ((face_ids == k) & ok).astype(jnp.float32)
-    bu = jnp.sum(jnp.where(pick > 0, u, 0.0), axis=1)
-    bv = jnp.sum(jnp.where(pick > 0, v, 0.0), axis=1)
-    return tmin[:, 0], pick, bu, bv
-
-
-def _isect_any(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
-               face_valid):
-    """Shadow-ray any-hit: the Woop products without the argmin/pick
-    epilogue (roughly halves the per-NEE elementwise work)."""
-    F = wu.shape[1]
-    wcat = jnp.concatenate([wu, wv, wz], axis=1)
-    oh = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=1)
-    dh = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=1)
-    O3 = jnp.dot(oh, wcat, preferred_element_type=jnp.float32)
-    D3 = jnp.dot(dh, wcat, preferred_element_type=jnp.float32)
-    U, V, Z = O3[:, :F], O3[:, F:2 * F], O3[:, 2 * F:]
-    DU, DV, DZ = D3[:, :F], D3[:, F:2 * F], D3[:, 2 * F:]
-    dz_ok = jnp.abs(DZ) > 1e-12
-    t = -Z / jnp.where(dz_ok, DZ, 1.0)
-    u = U + t * DU
-    v = V + t * DV
-    ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t >= mint[:, None]) & (t <= maxt[:, None])
-          & face_valid[None, :])
-    return jnp.sum(ok.astype(jnp.float32), axis=1) > 0.0
-
-
-def _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt):
-    """Closest analytic-sphere hit. sph (S,8): cx cy cz r valid pad.
-    Returns (t, spick (R,S))."""
-    cx = sph[:, 0][None, :]
-    cy = sph[:, 1][None, :]
-    cz = sph[:, 2][None, :]
-    r = sph[:, 3][None, :]
-    alive = sph[:, 4][None, :] > 0.5
-    lx = ox[:, None] - cx
-    ly = oy[:, None] - cy
-    lz = oz[:, None] - cz
-    b = lx * dx[:, None] + ly * dy[:, None] + lz * dz[:, None]
-    c = lx * lx + ly * ly + lz * lz - r * r
-    disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = -b - sq
-    t1 = -b + sq
-    t = jnp.where(t0 > mint[:, None], t0, t1)
-    ok = alive & (disc > 0) & (t > mint[:, None]) & (t < maxt[:, None])
-    t = jnp.where(ok, t, _BIG)
-    tmin = jnp.min(t, axis=1, keepdims=True)
-    ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    cand = jnp.where((t <= tmin) & ok, ids, jnp.int32(0x7FFFFFFF))
-    ksel = jnp.min(cand, axis=1, keepdims=True)
-    spick = ((ids == ksel) & ok).astype(jnp.float32)
-    return tmin[:, 0], spick
-
-
-def _env_lookup(dx, dy, dz, env, env_w, env_h):
-    """Lat-long bilinear radiance fetch (envmap.cpp uv convention:
-    u = atan2(x, -z)/2pi + .5, v = acos(y)/pi; wrap-u, wrap-v like
-    BitmapTexture). env is (H, 3W) row-major rgb-interleaved-by-column.
-    Factorized: rows via a weighted one-hot matmul, columns via a
-    weighted mask-reduce — no per-lane gathers."""
-    u = jnp.arctan2(dx, -dz) * (0.5 / _PI) + 0.5
-    v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / _PI)
-    fu = u * env_w - 0.5
-    fv = v * env_h - 0.5
-    u0 = jnp.floor(fu)
-    v0 = jnp.floor(fv)
-    wu_ = fu - u0
-    wv_ = fv - v0
-    iu0 = jnp.mod(u0.astype(jnp.int32), env_w)
-    iv0 = jnp.mod(v0.astype(jnp.int32), env_h)
-    iu1 = jnp.mod(iu0 + 1, env_w)
-    iv1 = jnp.mod(iv0 + 1, env_h)
-    R = dx.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, env_h), 1)
-    wrow = (jnp.where(rows == iv0[:, None], 1.0 - wv_[:, None], 0.0)
-            + jnp.where(rows == iv1[:, None], wv_[:, None], 0.0))
-    mixed = jnp.dot(wrow, env, preferred_element_type=jnp.float32)
-    # (R, 3W) -> per-channel column interp
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, env_w), 1)
-    wcol = (jnp.where(cols == iu0[:, None], 1.0 - wu_[:, None], 0.0)
-            + jnp.where(cols == iu1[:, None], wu_[:, None], 0.0))
-    out = []
-    for ch in range(3):
-        plane = mixed[:, ch * env_w:(ch + 1) * env_w]
-        out.append(jnp.sum(plane * wcol, axis=1))
-    return out[0], out[1], out[2]
-
-
-# fattr layout (F, 40):
+# fattr layout (F, 40) built row-major, fed to the kernel transposed (40, F):
 #   ng 0:3 | albedo/c0 3:6 | Le 6:9 | lpdf_w 9
 #   kind 10 (0 diffuse, 1 ggx, 2 diffuse-checkerboard) | alpha 11
 #   eta 12:15 | k 15:18 | checker c1 18:21 | uv0 21:23 | duv1 23:25
@@ -239,41 +145,207 @@ def _env_lookup(dx, dy, dz, env, env_w, env_h):
 _FA_COLS = 40
 
 
-def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
-                 lt_ref, sph_ref, sattr_ref, env_ref, st_in_ref,
-                 st_out_ref, *, max_depth, rr_depth, n_faces, spp_pass,
-                 width, height, has_spheres, has_env, has_checker, env_w,
-                 env_h, seg_start, seg_len):
-    """One program = RAY_TILE paths for `seg_len` bounces starting at
-    bounce `seg_start`; compact path state (st: (R,16) = o d thr res
-    prev_pdf active valid) carries between segment launches through HBM
-    (64 B/lane vs the wavefront's ~13 KB/lane). Segmenting keeps each
-    compiled module at ~2 unrolled bounces — full unrolling broke the
-    AOT compiler past depth 3 and fori_loop-in-pallas crashes it.
+def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
+                 sattr_ref, env_ref, st_in_ref, st_out_ref, *, depth,
+                 max_depth, rr_depth, n_faces, chunk, spp_pass, width,
+                 height, n_lanes, has_spheres, has_env, has_checker,
+                 env_w, env_h):
+    """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
         axes), origin(3), tan_half_fov, pad]
     meta_ref (1,2) SMEM int32: [seed, sample_base]
-    wu/wv/wz (4,F): Woop transforms. fattr (F,24): see _FA_COLS comment.
-    lt (L,24): light faces: v0(0:3) e1(3:6) e2(6:9) n(9:12) cdf(12)
+    woop_ref (n_chunks*3C, 4): per-chunk [Wu; Wv; Wz] row blocks; padded
+        faces carry the never-hit transform (Z=1, DZ=0).
+    fattr (40, F): transposed face attributes (_FA_COLS comment above).
+    lt (24, L): light faces: v0(0:3) e1(3:6) e2(6:9) n(9:12) cdf(12)
         weight(13) radiance(14:17) pad.
-    sph (S,8): analytic spheres cx cy cz r valid. sattr (S,24): fattr-layout
-        shading attributes per sphere.
-    env (H, 3W): lat-long radiance (channel-blocked columns).
+    sph (8, S): analytic spheres cx cy cz r valid. sattr (40, S):
+        fattr-layout shading attributes per sphere.
+    env (3W, H): lat-long radiance, channel-blocked rows, transposed.
+    st (16, R) block of the (16, n) state; see _ROWS comment.
     """
     i = pl.program_id(0)
-    R = st_out_ref.shape[0]
+    R = st_out_ref.shape[1]
+    C = chunk
+    n_chunks = woop_ref.shape[0] // (3 * C)
+    zero = jnp.zeros((R,), jnp.float32)
+    one = jnp.ones((R,), jnp.float32)
 
-    lane = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
-    pixel = lane // spp_pass
-    samp = lane % spp_pass + meta_ref[0, 1]
-    px = (pixel % width).astype(jnp.float32)
-    py = (pixel // width).astype(jnp.float32)
-    mixed, _ = _tea(pixel.astype(jnp.uint32), samp.astype(jnp.uint32), 4)
-    seed_vec = jnp.full_like(mixed, meta_ref[0, 0].astype(jnp.uint32))
-    key, _ = _tea(seed_vec, mixed, 4)
+    def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
+        """Chunked triangle + sphere closest hit over face-major (C, R)
+        tiles. Returns (t, A (40,R) attrs, bary u, bary v)."""
+        oh = jnp.stack([ox, oy, oz, one], axis=0)        # (4, R)
+        dh = jnp.stack([dx, dy, dz, zero], axis=0)
+        t_best = jnp.full((R,), _BIG, jnp.float32)
+        A_best = jnp.zeros((_FA_COLS, R), jnp.float32)
+        bu_best = zero
+        bv_best = zero
+        for c in range(n_chunks):
+            W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]   # (3C, 4)
+            O3 = jnp.dot(W, oh, preferred_element_type=jnp.float32)
+            D3 = jnp.dot(W, dh, preferred_element_type=jnp.float32)
+            U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
+            DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
+            dz_ok = jnp.abs(DZ) > 1e-12
+            t = -Z / jnp.where(dz_ok, DZ, 1.0)
+            u = U + t * DU
+            v = V + t * DV
+            ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= mint[None, :]) & (t <= maxt[None, :]))
+            t = jnp.where(ok, t, _BIG)
+            tmin = jnp.min(t, axis=0)                     # (R,)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
+            cand = jnp.where((t <= tmin[None, :]) & ok, ids,
+                             jnp.int32(0x7FFFFFFF))
+            kmin = jnp.min(cand, axis=0)
+            pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
+            A = jnp.dot(fattr_ref[:, c * C:(c + 1) * C], pick,
+                        preferred_element_type=jnp.float32)   # (40, R)
+            bu = jnp.sum(pick * u, axis=0)
+            bv = jnp.sum(pick * v, axis=0)
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            A_best = jnp.where(closer[None, :], A, A_best)
+            bu_best = jnp.where(closer, bu, bu_best)
+            bv_best = jnp.where(closer, bv, bv_best)
+        if has_spheres:
+            sph = sph_ref[:]                               # (8, S)
+            S = sph.shape[1]
+            cx = sph[0][:, None]
+            cy = sph[1][:, None]
+            cz = sph[2][:, None]
+            r = sph[3][:, None]
+            alive = sph[4][:, None] > 0.5
+            lx = ox[None, :] - cx                          # (S, R)
+            ly = oy[None, :] - cy
+            lz = oz[None, :] - cz
+            b = lx * dx[None, :] + ly * dy[None, :] + lz * dz[None, :]
+            cc = lx * lx + ly * ly + lz * lz - r * r
+            disc = b * b - cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            ts = jnp.where(t0 > mint[None, :], t0, t1)
+            oks = alive & (disc > 0) & (ts > mint[None, :]) \
+                & (ts < maxt[None, :])
+            ts = jnp.where(oks, ts, _BIG)
+            tsmin = jnp.min(ts, axis=0)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+            cand = jnp.where((ts <= tsmin[None, :]) & oks, ids,
+                             jnp.int32(0x7FFFFFFF))
+            kmin = jnp.min(cand, axis=0)
+            spick = ((ids == kmin[None, :]) & oks).astype(jnp.float32)
+            SA = jnp.dot(sattr_ref[:], spick,
+                         preferred_element_type=jnp.float32)  # (40, R)
+            SC = jnp.dot(sph, spick,
+                         preferred_element_type=jnp.float32)  # (8, R)
+            closer = tsmin < t_best
+            tsafe = jnp.where(closer, tsmin, t_best)
+            hx = ox + tsafe * dx
+            hy = oy + tsafe * dy
+            hz = oz + tsafe * dz
+            inv_r = 1.0 / jnp.maximum(SC[3], 1e-20)
+            sn = jnp.stack([(hx - SC[0]) * inv_r, (hy - SC[1]) * inv_r,
+                            (hz - SC[2]) * inv_r], axis=0)   # (3, R)
+            SA = jnp.concatenate([sn, SA[3:]], axis=0)
+            t_best = jnp.where(closer, tsmin, t_best)
+            A_best = jnp.where(closer[None, :], SA, A_best)
+            bu_best = jnp.where(closer, 0.0, bu_best)
+            bv_best = jnp.where(closer, 0.0, bv_best)
+        return t_best, A_best, bu_best, bv_best
 
-    if seg_start == 0:
+    def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
+        """Shadow-ray any-hit: the Woop products without the argmin/pick
+        epilogue (roughly halves the per-NEE elementwise work)."""
+        oh = jnp.stack([ox, oy, oz, one], axis=0)
+        dh = jnp.stack([dx, dy, dz, zero], axis=0)
+        cnt = zero
+        for c in range(n_chunks):
+            W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]
+            O3 = jnp.dot(W, oh, preferred_element_type=jnp.float32)
+            D3 = jnp.dot(W, dh, preferred_element_type=jnp.float32)
+            U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
+            DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
+            dz_ok = jnp.abs(DZ) > 1e-12
+            t = -Z / jnp.where(dz_ok, DZ, 1.0)
+            u = U + t * DU
+            v = V + t * DV
+            ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= mint[None, :]) & (t <= maxt[None, :]))
+            cnt = cnt + jnp.sum(ok.astype(jnp.float32), axis=0)
+        hit = cnt > 0.0
+        if has_spheres:
+            sph = sph_ref[:]
+            cx = sph[0][:, None]
+            cy = sph[1][:, None]
+            cz = sph[2][:, None]
+            r = sph[3][:, None]
+            alive = sph[4][:, None] > 0.5
+            lx = ox[None, :] - cx
+            ly = oy[None, :] - cy
+            lz = oz[None, :] - cz
+            b = lx * dx[None, :] + ly * dy[None, :] + lz * dz[None, :]
+            cc = lx * lx + ly * ly + lz * lz - r * r
+            disc = b * b - cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            ts = jnp.where(t0 > mint[None, :], t0, t1)
+            oks = alive & (disc > 0) & (ts > mint[None, :]) \
+                & (ts < maxt[None, :])
+            hit = hit | (jnp.sum(oks.astype(jnp.float32), axis=0) > 0.0)
+        return hit
+
+    def env_lookup(dx, dy, dz):
+        """Lat-long bilinear radiance fetch (envmap.cpp uv convention:
+        u = atan2(x, -z)/2pi + .5, v = acos(y)/pi; wrap-u, wrap-v like
+        BitmapTexture). env is (3W, H) channel-blocked rows; rows via a
+        weighted one-hot matmul, columns via a weighted mask-reduce."""
+        env = env_ref[:]
+        u = jnp.arctan2(dx, -dz) * (0.5 / _PI) + 0.5
+        v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / _PI)
+        fu = u * env_w - 0.5
+        fv = v * env_h - 0.5
+        u0 = jnp.floor(fu)
+        v0 = jnp.floor(fv)
+        wu_ = fu - u0
+        wv_ = fv - v0
+        iu0 = jnp.mod(u0.astype(jnp.int32), env_w)
+        iv0 = jnp.mod(v0.astype(jnp.int32), env_h)
+        iu1 = jnp.mod(iu0 + 1, env_w)
+        iv1 = jnp.mod(iv0 + 1, env_h)
+        H = env.shape[1]
+        Wp = env.shape[0] // 3
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
+        wrow = (jnp.where(rows == iv0[None, :], 1.0 - wv_[None, :], 0.0)
+                + jnp.where(rows == iv1[None, :], wv_[None, :], 0.0))
+        mixed = jnp.dot(env, wrow,
+                        preferred_element_type=jnp.float32)  # (3W, R)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
+        wcol = (jnp.where(cols == iu0[None, :], 1.0 - wu_[None, :], 0.0)
+                + jnp.where(cols == iu1[None, :], wu_[None, :], 0.0))
+        out = []
+        for ch in range(3):
+            plane = mixed[ch * Wp:(ch + 1) * Wp]
+            out.append(jnp.sum(plane * wcol, axis=0))
+        return out[0], out[1], out[2]
+
+    # ------------------------------------------------------------------
+    # load / init state
+    # ------------------------------------------------------------------
+    if depth == 0:
+        # lane-axis iota: an (R,1) sublane iota would force a catastrophic
+        # cross-lane relayout (measured 10x the whole bounce cost)
+        lane = i * R + jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)[0]
+        lane_ok = lane < n_lanes
+        pixel = lane // spp_pass
+        samp = lane % spp_pass + meta_ref[0, 1]
+        px = (pixel % width).astype(jnp.float32)
+        py = (pixel // width).astype(jnp.float32)
+        mixed, _ = _tea(pixel.astype(jnp.uint32), samp.astype(jnp.uint32), 4)
+        seed_vec = jnp.full_like(mixed, meta_ref[0, 0].astype(jnp.uint32))
+        key, _ = _tea(seed_vec, mixed, 4)
         # film jitter = sampler dims (0,1), like the general wavefront
         jx, jy = _rng2(key, 0)
         sx = (px + jx) / width
@@ -281,126 +353,74 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         cam = [cam_ref[0, k] for k in range(13)]  # SMEM: scalars only
         tan_half = cam[12]
         aspect = width / height
-        cx = -(2.0 * sx - 1.0) * tan_half
-        cy = (1.0 - 2.0 * sy) * tan_half / aspect
-        inv_len = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        lx, ly, lz = cx * inv_len, cy * inv_len, inv_len
+        cxs = -(2.0 * sx - 1.0) * tan_half
+        cys = (1.0 - 2.0 * sy) * tan_half / aspect
+        inv_len = jax.lax.rsqrt(cxs * cxs + cys * cys + 1.0)
+        lx, ly, lz = cxs * inv_len, cys * inv_len, inv_len
         dx = cam[0] * lx + cam[1] * ly + cam[2] * lz
         dy = cam[3] * lx + cam[4] * ly + cam[5] * lz
         dz = cam[6] * lx + cam[7] * ly + cam[8] * lz
         ox = jnp.full((R,), cam[9])
         oy = jnp.full((R,), cam[10])
         oz = jnp.full((R,), cam[11])
-
-    wu = wu_ref[:]
-    wv = wv_ref[:]
-    wz = wz_ref[:]
-    fattr = fattr_ref[:]
-    lt = lt_ref[:]
-    sph = sph_ref[:]
-    sattr = sattr_ref[:]
-    env = env_ref[:]
-    F = wu.shape[1]
-    L = lt.shape[0]
-    face_valid = jax.lax.broadcasted_iota(jnp.int32, (F,), 0) < n_faces
-
-    def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
-        """Merged triangle + sphere closest hit. Returns
-        (t, hit, attrs A (R,24), ng override for spheres)."""
-        t, pick, bu, bv = _isect(ox, oy, oz, dx, dy, dz, wu, wv, wz,
-                                 mint, maxt, face_valid)
-        A = jnp.dot(pick, fattr, preferred_element_type=jnp.float32)
-        if has_spheres:
-            ts, spick = _isect_spheres(ox, oy, oz, dx, dy, dz, sph,
-                                       mint, maxt)
-            closer = ts < t
-            SA = jnp.dot(spick, sattr, preferred_element_type=jnp.float32)
-            SC = jnp.dot(spick, sph, preferred_element_type=jnp.float32)
-            # analytic normal (p - c) / r
-            tsafe = jnp.where(closer, ts, t)
-            hx = ox + tsafe * dx
-            hy = oy + tsafe * dy
-            hz = oz + tsafe * dz
-            inv_r = 1.0 / jnp.maximum(SC[:, 3], 1e-20)
-            snx = (hx - SC[:, 0]) * inv_r
-            sny = (hy - SC[:, 1]) * inv_r
-            snz = (hz - SC[:, 2]) * inv_r
-            colid = jax.lax.broadcasted_iota(jnp.int32, SA.shape, 1)
-            SA = jnp.where(colid == 0, snx[:, None],
-                           jnp.where(colid == 1, sny[:, None],
-                                     jnp.where(colid == 2, snz[:, None],
-                                               SA)))
-            A = jnp.where(closer[:, None], SA, A)
-            bu = jnp.where(closer, 0.0, bu)
-            bv = jnp.where(closer, 0.0, bv)
-            t = jnp.where(closer, ts, t)
-        return t, A, bu, bv
-
-    def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
-        hit = _isect_any(ox, oy, oz, dx, dy, dz, wu, wv, wz, mint, maxt,
-                         face_valid)
-        if has_spheres:
-            t2, _ = _isect_spheres(ox, oy, oz, dx, dy, dz, sph, mint, maxt)
-            hit = hit | (t2 < _BIG * 0.5)
-        return hit
-
-    zero = jnp.zeros((R,))
-    one = jnp.ones((R,))
-    if seg_start == 0:
-        state = (ox, oy, oz, dx, dy, dz,
-                 one, one, one,            # throughput
-                 zero, zero, zero,         # result
-                 jnp.ones((R,), bool),     # active
-                 zero,                     # prev bsdf pdf (0 => camera ray)
-                 jnp.zeros((R,), bool))    # valid (first hit)
+        thr_r = thr_g = thr_b = one
+        res_r = res_g = res_b = zero
+        active = lane_ok
+        prev_pdf = zero              # 0 => camera ray (no MIS at hit)
+        pix_f = pixel.astype(jnp.float32)
+        any_alive = jnp.asarray(True)
     else:
         st = st_in_ref[:]
-        state = (st[:, 0], st[:, 1], st[:, 2], st[:, 3], st[:, 4],
-                 st[:, 5], st[:, 6], st[:, 7], st[:, 8], st[:, 9],
-                 st[:, 10], st[:, 11], st[:, 13] > 0.5, st[:, 12],
-                 st[:, 14] > 0.5)
+        ox, oy, oz = st[0], st[1], st[2]
+        dx, dy, dz = st[3], st[4], st[5]
+        thr_r, thr_g, thr_b = st[6], st[7], st[8]
+        res_r, res_g, res_b = st[9], st[10], st[11]
+        prev_pdf = st[12]
+        active = st[13] > 0.5
+        key = st[14].view(jnp.uint32)
+        pix_f = st[15]
+        any_alive = jnp.sum(st[13]) > 0.0
 
-    def bounce(depth, state, first=False):
-        (ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
-         res_r, res_g, res_b, active, prev_pdf, valid) = state
+    def run_bounce():
+        lt = lt_ref[:]                                    # (24, L)
+        L = lt.shape[1]
         dim0 = 2 + depth * 8
 
         t, A, bu_h, bv_h = closest_hit(ox, oy, oz, dx, dy, dz,
                                        zero, jnp.full((R,), _BIG))
         hit = t < _BIG * 0.5
-        if first:            # static: only the peeled bounce sets valid
-            valid = valid | hit
 
-        # --- environment on escape (weight 1: env has no NEE arm here) ---
+        res_r_, res_g_, res_b_ = res_r, res_g, res_b
+        act = active
+
+        # --- environment on escape (weight 1: env has no NEE arm) ---
         if has_env:
-            er, eg, eb = _env_lookup(dx, dy, dz, env, env_w, env_h)
-            esc = active & ~hit
-            res_r = res_r + jnp.where(esc, thr_r * er, 0.0)
-            res_g = res_g + jnp.where(esc, thr_g * eg, 0.0)
-            res_b = res_b + jnp.where(esc, thr_b * eb, 0.0)
-            if first:
-                valid = valid | esc
+            er, eg, eb = env_lookup(dx, dy, dz)
+            esc = act & ~hit
+            res_r_ = res_r_ + jnp.where(esc, thr_r * er, 0.0)
+            res_g_ = res_g_ + jnp.where(esc, thr_g * eg, 0.0)
+            res_b_ = res_b_ + jnp.where(esc, thr_b * eb, 0.0)
 
-        ngx, ngy, ngz = A[:, 0], A[:, 1], A[:, 2]
-        alb_r, alb_g, alb_b = A[:, 3], A[:, 4], A[:, 5]
-        le_r, le_g, le_b = A[:, 6], A[:, 7], A[:, 8]
-        lpdf_w = A[:, 9]
-        kind = A[:, 10]
+        ngx, ngy, ngz = A[0], A[1], A[2]
+        alb_r, alb_g, alb_b = A[3], A[4], A[5]
+        le_r, le_g, le_b = A[6], A[7], A[8]
+        lpdf_w = A[9]
+        kind = A[10]
         is_ggx = (kind > 0.5) & (kind < 1.5)
-        alpha = jnp.maximum(A[:, 11], 1e-3)
-        eta_r, eta_g, eta_b = A[:, 12], A[:, 13], A[:, 14]
-        k_r, k_g, k_b = A[:, 15], A[:, 16], A[:, 17]
+        alpha = jnp.maximum(A[11], 1e-3)
+        eta_r, eta_g, eta_b = A[12], A[13], A[14]
+        k_r, k_g, k_b = A[15], A[16], A[17]
         if has_checker:
             # uv from barycentrics -> affine to_uv -> parity select
-            uu = A[:, 21] + bu_h * A[:, 23] + bv_h * A[:, 25]
-            vv = A[:, 22] + bu_h * A[:, 24] + bv_h * A[:, 26]
-            u2 = A[:, 27] * uu + A[:, 28] * vv + A[:, 29]
-            v2 = A[:, 30] * uu + A[:, 31] * vv + A[:, 32]
+            uu = A[21] + bu_h * A[23] + bv_h * A[25]
+            vv = A[22] + bu_h * A[24] + bv_h * A[26]
+            u2 = A[27] * uu + A[28] * vv + A[29]
+            v2 = A[30] * uu + A[31] * vv + A[32]
             par = jnp.mod(jnp.floor(u2) + jnp.floor(v2), 2.0)
             use_c1 = (kind > 1.5) & (par > 0.5)
-            alb_r = jnp.where(use_c1, A[:, 18], alb_r)
-            alb_g = jnp.where(use_c1, A[:, 19], alb_g)
-            alb_b = jnp.where(use_c1, A[:, 20], alb_b)
+            alb_r = jnp.where(use_c1, A[18], alb_r)
+            alb_g = jnp.where(use_c1, A[19], alb_g)
+            alb_b = jnp.where(use_c1, A[20], alb_b)
 
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
@@ -408,13 +428,13 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
                               t * t * lpdf_w / jnp.maximum(cos_hit, 1e-6),
                               0.0)
         em_w = jnp.where(prev_pdf > 0.0, _mis(prev_pdf, pdf_l_hit), 1.0)
-        wgt = jnp.where(active & hit & (cos_hit > 0), em_w, 0.0)
-        res_r = res_r + wgt * thr_r * le_r
-        res_g = res_g + wgt * thr_g * le_g
-        res_b = res_b + wgt * thr_b * le_b
+        wgt = jnp.where(act & hit & (cos_hit > 0), em_w, 0.0)
+        res_r_ = res_r_ + wgt * thr_r * le_r
+        res_g_ = res_g_ + wgt * thr_g * le_g
+        res_b_ = res_b_ + wgt * thr_b * le_b
         # FrontSide-only BSDFs (diffuse/conductor flags in the wavefront):
         # backside hits terminate the path — no normal flipping
-        active = active & hit & (cos_hit > 0)
+        act = act & hit & (cos_hit > 0)
         nx, ny, nz = ngx, ngy, ngz
         pxx = ox + t * dx
         pyy = oy + t * dy
@@ -450,30 +470,31 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         q = jnp.minimum(mx, 0.95)
         do_rr = depth + 1 > rr_depth
         cont = jnp.logical_or(jnp.logical_not(do_rr), rr_u < q)
-        active = active & cont
+        act = act & cont
         inv_q = jnp.where(do_rr, 1.0 / jnp.maximum(q, 1e-8), 1.0)
-        thr_r = thr_r * inv_q
-        thr_g = thr_g * inv_q
-        thr_b = thr_b * inv_q
+        thr_r_ = thr_r * inv_q
+        thr_g_ = thr_g * inv_q
+        thr_b_ = thr_b * inv_q
 
         # --- NEE over the light-face CDF ---
         u_sel, u_b1 = _rng2(key, dim0 + 1)
         u_b2, _ = _rng2(key, dim0 + 2)
-        cdf = lt[:, 12]
-        li = jnp.sum((cdf[None, :] <= u_sel[:, None]).astype(jnp.int32),
-                     axis=1)
-        lids = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
-        lpick = (lids == jnp.minimum(li, L - 1)[:, None]).astype(jnp.float32)
-        LT = jnp.dot(lpick, lt, preferred_element_type=jnp.float32)
+        cdf = lt[12]                                       # (L,)
+        li = jnp.sum((cdf[:, None] <= u_sel[None, :]).astype(jnp.int32),
+                     axis=0)
+        lids = jax.lax.broadcasted_iota(jnp.int32, (L, R), 0)
+        lpick = (lids == jnp.minimum(li, L - 1)[None, :]).astype(
+            jnp.float32)
+        LT = jnp.dot(lt, lpick, preferred_element_type=jnp.float32)
         s_t = jnp.sqrt(jnp.maximum(1.0 - u_b1, 0.0))
         bu = 1.0 - s_t
         bv = u_b2 * s_t
-        plx = LT[:, 0] + LT[:, 3] * bu + LT[:, 6] * bv
-        ply = LT[:, 1] + LT[:, 4] * bu + LT[:, 7] * bv
-        plz = LT[:, 2] + LT[:, 5] * bu + LT[:, 8] * bv
-        lnx, lny, lnz = LT[:, 9], LT[:, 10], LT[:, 11]
-        lw = LT[:, 13]
-        lrad_r, lrad_g, lrad_b = LT[:, 14], LT[:, 15], LT[:, 16]
+        plx = LT[0] + LT[3] * bu + LT[6] * bv
+        ply = LT[1] + LT[4] * bu + LT[7] * bv
+        plz = LT[2] + LT[5] * bu + LT[8] * bv
+        lnx, lny, lnz = LT[9], LT[10], LT[11]
+        lw = LT[13]
+        lrad_r, lrad_g, lrad_b = LT[14], LT[15], LT[16]
 
         dxl = plx - pxx
         dyl = ply - pyy
@@ -488,7 +509,7 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
                           dist2 * lw / jnp.maximum(cos_l, 1e-6), 0.0)
         # NEE at vertex k+1 creates a path of length k+2: allowed only while
         # k+2 <= max_depth (matches path.cpp's loop structure)
-        nee_ok = active & (pdf_l > 0) & (cos_s > 0) \
+        nee_ok = act & (pdf_l > 0) & (cos_s > 0) \
             & (depth < max_depth - 1)
         occluded = any_hit(pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
                            dxl, dyl, dzl, zero, dist * (1.0 - 1e-3))
@@ -507,8 +528,8 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
         D = _ggx_d(hz_, alpha)
         G = _ggx_g1(wiz, alpha) * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
-        spec_common = D * G / jnp.maximum(4.0 * wiz, 1e-20)  # f*cos/cos_o*cos_o... = f*cos_o
-        # NOTE: f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
+        # f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
+        spec_common = D * G / jnp.maximum(4.0 * wiz, 1e-20)
         pdf_ggx_l = _ggx_g1(wiz, alpha) * D / jnp.maximum(4.0 * wiz, 1e-20)
         F_r = _fresnel_cond(ci_h, eta_r, k_r)
         F_g = _fresnel_cond(ci_h, eta_g, k_g)
@@ -525,12 +546,12 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         # gate the WHOLE product: miss lanes carry inf/NaN intermediates
         # (t = BIG positions) that must never touch the accumulator
         gate = nee_ok & ~occluded
-        res_r = res_r + jnp.where(gate, thr_r * alb_r * base * f_r
-                                  * lrad_r, 0.0)
-        res_g = res_g + jnp.where(gate, thr_g * alb_g * base * f_g
-                                  * lrad_g, 0.0)
-        res_b = res_b + jnp.where(gate, thr_b * alb_b * base * f_b
-                                  * lrad_b, 0.0)
+        res_r_ = res_r_ + jnp.where(gate, thr_r_ * alb_r * base * f_r
+                                    * lrad_r, 0.0)
+        res_g_ = res_g_ + jnp.where(gate, thr_g_ * alb_g * base * f_g
+                                    * lrad_g, 0.0)
+        res_b_ = res_b_ + jnp.where(gate, thr_b_ * alb_b * base * f_b
+                                    * lrad_b, 0.0)
 
         # --- BSDF sampling: cosine (diffuse) / GGX VNDF (Heitz 2018) ---
         u_c1, u_c2 = _rng2(key, dim0 + 4)
@@ -591,38 +612,29 @@ def _path_kernel(cam_ref, meta_ref, wu_ref, wv_ref, wz_ref, fattr_ref,
         wt_b = jnp.where(is_ggx, Fs_b * g1o, 1.0)
 
         ndx, ndy, ndz = to_world(wsel_x, wsel_y, wsel_z)
-        thr_r = thr_r * jnp.where(active, alb_r * wt_r, 1.0)
-        thr_g = thr_g * jnp.where(active, alb_g * wt_g, 1.0)
-        thr_b = thr_b * jnp.where(active, alb_b * wt_b, 1.0)
-        active = active & ok_lobe & (bsdf_pdf > 0) \
-            & ((thr_r + thr_g + thr_b) > 0)
-        prev_pdf = bsdf_pdf
+        thr_r_ = thr_r_ * jnp.where(act, alb_r * wt_r, 1.0)
+        thr_g_ = thr_g_ * jnp.where(act, alb_g * wt_g, 1.0)
+        thr_b_ = thr_b_ * jnp.where(act, alb_b * wt_b, 1.0)
+        act = act & ok_lobe & (bsdf_pdf > 0) \
+            & ((thr_r_ + thr_g_ + thr_b_) > 0)
 
-        return (pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
-                ndx, ndy, ndz, thr_r, thr_g, thr_b,
-                res_r, res_g, res_b, active, prev_pdf, valid)
+        st_out_ref[:] = jnp.stack([
+            pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
+            ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
+            res_r_, res_g_, res_b_, bsdf_pdf,
+            act.astype(jnp.float32), key.view(jnp.float32), pix_f],
+            axis=0)
 
-    for k in range(seg_len):
-        depth = seg_start + k                  # static python int
-        state = bounce(depth, state, first=(depth == 0))
-    (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_,
-     rr_, rg_, rb_, act, pp, val) = state
-    st_out_ref[:, 0] = ox
-    st_out_ref[:, 1] = oy
-    st_out_ref[:, 2] = oz
-    st_out_ref[:, 3] = dx
-    st_out_ref[:, 4] = dy
-    st_out_ref[:, 5] = dz
-    st_out_ref[:, 6] = tr_
-    st_out_ref[:, 7] = tg_
-    st_out_ref[:, 8] = tb_
-    st_out_ref[:, 9] = rr_
-    st_out_ref[:, 10] = rg_
-    st_out_ref[:, 11] = rb_
-    st_out_ref[:, 12] = pp
-    st_out_ref[:, 13] = act.astype(jnp.float32)
-    st_out_ref[:, 14] = val.astype(jnp.float32)
-    st_out_ref[:, 15] = zero
+    if depth == 0:
+        run_bounce()
+    else:
+        @pl.when(jnp.logical_not(any_alive))
+        def _():
+            st_out_ref[:] = st_in_ref[:]
+
+        @pl.when(any_alive)
+        def _():
+            run_bounce()
 
 
 # ----------------------------------------------------------------------------
@@ -661,6 +673,10 @@ def _bsdf_columns(bsdf):
     return None
 
 
+def _pad8(x):
+    return max(8, int(np.ceil(x / 8)) * 8)
+
+
 class DiffusePathMegakernel:
     """Builds device tables once and renders pixel-major wavefronts."""
 
@@ -672,18 +688,33 @@ class DiffusePathMegakernel:
         e2 = np.asarray(g.e2)
         wu, wv, wz = build_woop(v0, e1, e2)
         self.n_faces = wu.shape[1]
-        F = max(128, int(np.ceil(self.n_faces / 128)) * 128)
+        # chunked face layout: pad to a sublane multiple (8) for a single
+        # chunk, or to the chunk size for multi-chunk sweeps
+        if self.n_faces <= FACE_CHUNK:
+            self.chunk = _pad8(self.n_faces)
+            F = self.chunk
+        else:
+            self.chunk = FACE_CHUNK
+            F = int(np.ceil(self.n_faces / FACE_CHUNK)) * FACE_CHUNK
         padw = F - self.n_faces
 
         def padW(w, never=False):
             z = np.zeros((4, padw), np.float32)
             if never:
-                z[3] = 1.0
+                z[3] = 1.0    # never-hit: Z=1, DZ=0
             return np.concatenate([w, z], 1) if padw else w
 
-        self.wu = jnp.asarray(padW(wu))
-        self.wv = jnp.asarray(padW(wv))
-        self.wz = jnp.asarray(padW(wz, never=True))
+        wu = padW(wu)
+        wv = padW(wv)
+        wz = padW(wz, never=True)
+        # per-chunk [Wu; Wv; Wz] row blocks, (n_chunks*3C, 4)
+        C = self.chunk
+        blocks = []
+        for c in range(F // C):
+            blocks += [wu[:, c * C:(c + 1) * C].T,
+                       wv[:, c * C:(c + 1) * C].T,
+                       wz[:, c * C:(c + 1) * C].T]
+        self.woop = jnp.asarray(np.concatenate(blocks, axis=0))
 
         # face attribute table (static parts as numpy; albedo/Le traced)
         fs = np.asarray(g.face_shape)
@@ -731,12 +762,12 @@ class DiffusePathMegakernel:
         else:
             lights = np.zeros((1, 24), np.float32)
             lights[0, 12] = 1.0
-        Lp = max(8, int(np.ceil(len(lights) / 8)) * 8)
+        Lp = _pad8(len(lights))
         if Lp > len(lights):
             padl = np.zeros((Lp - len(lights), 24), np.float32)
             padl[:, 12] = 2.0  # cdf sentinel: never selected
             lights = np.concatenate([lights, padl])
-        self.lights = jnp.asarray(lights)
+        self.lights = jnp.asarray(lights.T.copy())         # (24, L)
 
         # per-shape BSDF static columns (kind/alpha/eta/k)
         shp_kind = np.zeros(max(len(scene.shapes), 1), np.float32)
@@ -793,7 +824,7 @@ class DiffusePathMegakernel:
         if self.has_spheres:
             tab = np.asarray(scene.sph_table)
             ns = tab.shape[0]
-            S = max(8, int(np.ceil(ns / 8)) * 8)
+            S = _pad8(ns)
             sph = np.zeros((S, 8), np.float32)
             sattr = np.zeros((S, _FA_COLS), np.float32)
             sph[:ns, 0:4] = tab[:, 0:4]
@@ -805,7 +836,7 @@ class DiffusePathMegakernel:
                 sattr[si, 11] = shp_alpha[s_idx]
                 sattr[si, 12:15] = shp_eta[s_idx]
                 sattr[si, 15:18] = shp_k[s_idx]
-        self.sph = jnp.asarray(sph)
+        self.sph = jnp.asarray(sph.T.copy())               # (8, S)
         self._sattr_static = sattr
 
         # envmap (identity to_world, checked by eligibility)
@@ -813,15 +844,16 @@ class DiffusePathMegakernel:
         self.has_env = env_e is not None
         if self.has_env:
             data = np.asarray(env_e.bitmap._rgb_np, np.float32)
-            scale = 1.0  # scale baked into bitmap at construction
             h, w = data.shape[0], data.shape[1]
-            env = np.concatenate([data[..., c] for c in range(3)],
-                                 axis=1) * scale                  # (H, 3W)
+            wp, hp = _pad8(w), _pad8(h)
+            env = np.zeros((3 * wp, hp), np.float32)
+            for c in range(3):
+                env[c * wp:c * wp + w, :h] = data[..., c].T
             self.env_w, self.env_h = w, h
-            self.env = jnp.asarray(env)
+            self.env = jnp.asarray(env)                    # (3W, H)
         else:
             self.env_w, self.env_h = 8, 8
-            self.env = jnp.zeros((8, 24), jnp.float32)
+            self.env = jnp.zeros((24, 8), jnp.float32)
         self.interpret = interpret
 
     def _shape_albedo(self, s):
@@ -842,7 +874,7 @@ class DiffusePathMegakernel:
         return jnp.zeros(3)
 
     def _fattr(self):
-        """(F,24) with traced per-shape albedo columns (differentiable)."""
+        """(40,F) with traced per-shape albedo columns (differentiable)."""
         scene = self._scene
         alb = jnp.stack([jnp.broadcast_to(self._shape_albedo(s), (3,))
                          for s in scene.shapes])
@@ -853,30 +885,25 @@ class DiffusePathMegakernel:
             c1 = jnp.stack([jnp.broadcast_to(self._shape_c1(s), (3,))
                             for s in scene.shapes])
             static = static.at[:self.n_faces, 18:21].set(c1[self._fs])
-        return static
+        return static.T
 
     def _sattr(self):
         static = jnp.asarray(self._sattr_static)
         if not self._sph_shape_idx:
-            return static
+            return static.T
         scene = self._scene
         alb = jnp.stack([
             jnp.broadcast_to(
                 self._shape_albedo(scene.shapes[s_idx]), (3,))
             for s_idx in self._sph_shape_idx])
-        return static.at[:len(self._sph_shape_idx), 3:6].set(alb)
-
-    # bounces per pallas launch: each compiled module stays ~2 bounces
-    # deep (larger unrolls broke the AOT compiler); the carried state is
-    # 64 B/lane through HBM per segment boundary
-    SEG_BOUNCES = 2
+        return static.at[:len(self._sph_shape_idx), 3:6].set(alb).T
 
     def render_pass(self, sensor, seed, sample_base, spp_pass):
         film = sensor.film
         w, h = film.crop_size
         n = w * h * spp_pass
-        n_tiles = n // RAY_TILE
-        assert n % RAY_TILE == 0
+        n_pad = int(np.ceil(n / RAY_TILE)) * RAY_TILE
+        n_tiles = n_pad // RAY_TILE
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
         tan_half = float(np.tan(np.deg2rad(sensor.x_fov) * 0.5))
@@ -891,81 +918,87 @@ class DiffusePathMegakernel:
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-            pl.BlockSpec((4, self.wu.shape[1]), lambda i: (0, 0)),
-            pl.BlockSpec((self._F, _FA_COLS), lambda i: (0, 0)),
-            pl.BlockSpec((self.lights.shape[0], 24), lambda i: (0, 0)),
+            pl.BlockSpec(self.woop.shape, lambda i: (0, 0)),
+            pl.BlockSpec((_FA_COLS, self._F), lambda i: (0, 0)),
+            pl.BlockSpec(self.lights.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
-            pl.BlockSpec((self.sph.shape[0], _FA_COLS),
+            pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
-            pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0)),
+            pl.BlockSpec((_ROWS, RAY_TILE), lambda i: (0, i)),
         ]
-        tables = (cam, meta, self.wu, self.wv, self.wz, self._fattr(),
-                  self.lights, self.sph, self._sattr(), self.env)
-        state = jnp.zeros((n, 16), jnp.float32)
-        d0 = 0
-        while d0 < self.max_depth:
-            seg = min(self.SEG_BOUNCES, self.max_depth - d0)
+        tables = (cam, meta, self.woop, self._fattr(), self.lights,
+                  self.sph, self._sattr(), self.env)
+        state = jnp.zeros((_ROWS, n_pad), jnp.float32)
+        for depth in range(self.max_depth):
             kernel = functools.partial(
                 _path_kernel,
-                max_depth=self.max_depth, rr_depth=self.rr_depth,
-                n_faces=self.n_faces, spp_pass=spp_pass, width=w,
-                height=h, has_spheres=self.has_spheres,
+                depth=depth, max_depth=self.max_depth,
+                rr_depth=self.rr_depth, n_faces=self.n_faces,
+                chunk=self.chunk, spp_pass=spp_pass, width=w, height=h,
+                n_lanes=n, has_spheres=self.has_spheres,
                 has_env=self.has_env, has_checker=self.has_checker,
-                env_w=self.env_w, env_h=self.env_h,
-                seg_start=d0, seg_len=seg)
+                env_w=self.env_w, env_h=self.env_h)
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((RAY_TILE, 16), lambda i: (i, 0)),
-                out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+                out_specs=pl.BlockSpec((_ROWS, RAY_TILE), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((_ROWS, n_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
             )(*tables, state)
-            d0 += seg
         # pixel-major box-filter reduction; filter weight = 1 per sample
-        rgbw = jnp.concatenate(
-            [state[:, 9:12], jnp.ones((n, 1), jnp.float32)], axis=1)
-        img = rgbw.reshape(w * h, spp_pass, 4).sum(axis=1)
-        return img.reshape(h, w, 4)
+        rgb = state[9:12, :n].reshape(3, w * h, spp_pass).sum(axis=2)
+        img = jnp.concatenate(
+            [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
+            axis=0)
+        return img.T.reshape(h, w, 4)
 
 
-def scene_supports_megakernel(scene) -> bool:
-    """Fast-path eligibility check."""
+def megakernel_ineligibility(scene):
+    """-> None if the scene can ride the fast path, else a short reason
+    string (logged by the integrator so fallbacks are observable)."""
     from ..models.emitters import AreaEmitter, EnvironmentMap
     from ..variants import current
     import numpy as _np
     if not current().is_rgb:
-        return False
+        return "non-rgb variant"
     if scene.has_media:
-        return False
-    if scene.geom.v0.shape[0] > MAX_FACES or not scene.shapes:
-        return False
+        return "participating media"
+    if scene.geom.v0.shape[0] > MAX_FACES:
+        return f"face count {scene.geom.v0.shape[0]} > {MAX_FACES}"
+    if not scene.shapes:
+        return "no shapes"
     if getattr(scene, "n_spheres", 0) > MAX_SPHERES:
-        return False
+        return f"sphere count > {MAX_SPHERES}"
     for b in scene.bsdfs:
         if _bsdf_columns(b) is None:
-            return False
+            return f"unsupported BSDF {type(b).__name__}"
     for sh in scene.shapes:
         if sh.is_analytic():
             info = _bsdf_columns(sh.bsdf)
             if info is None or info[0] == "checker":
-                return False
+                return "checker/unsupported BSDF on analytic shape"
     env = scene.environment_emitter
     for e in scene.emitters:
         if isinstance(e, EnvironmentMap):
             if e is not env:
-                return False
+                return "multiple envmaps"
             if e.res[0] > MAX_ENV_W or e.res[1] > MAX_ENV_W:
-                return False
+                return f"envmap larger than {MAX_ENV_W}"
             if not _np.allclose(_np.asarray(e.to_world.matrix),
                                 _np.eye(4), atol=1e-6):
-                return False
+                return "rotated envmap"
             continue
         if type(e) is not AreaEmitter:
-            return False
+            return f"unsupported emitter {type(e).__name__}"
         if e.radiance.is_spatially_varying():
-            return False
-    return True
+            return "textured area emitter"
+    return None
+
+
+def scene_supports_megakernel(scene) -> bool:
+    """Fast-path eligibility check."""
+    return megakernel_ineligibility(scene) is None

@@ -44,6 +44,11 @@ class SamplingIntegrator(Integrator):
     def aov_names(self):
         return []
 
+    def wavefront_cap(self, scene, sensor):
+        """Max lanes per jitted pass; engines with a smaller per-lane HBM
+        footprint (the megakernel) override this upward."""
+        return self.MAX_WAVEFRONT
+
     def sample(self, scene, sampler, state, ray, medium=None, active=True):
         """-> (spectrum, valid_mask, aov list)."""
         raise NotImplementedError
@@ -58,7 +63,8 @@ class SamplingIntegrator(Integrator):
         if spp is None:
             spp = sampler.sample_count
         n_pixels = w * h
-        spp_per_pass = max(1, min(spp, self.MAX_WAVEFRONT // n_pixels))
+        cap = self.wavefront_cap(scene, sensor)
+        spp_per_pass = max(1, min(spp, cap // n_pixels))
         while spp % spp_per_pass != 0:
             spp_per_pass -= 1
         n_passes = spp // spp_per_pass

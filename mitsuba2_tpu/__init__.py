@@ -5,6 +5,17 @@ compute path is JAX/XLA/Pallas; variants are runtime configs; scenes compile
 to SoA device tables driven by a jitted wavefront integrator.
 """
 
+import jax as _jax
+
+# Geometry cannot survive TPU's default bf16 matmul inputs: measured 1%
+# ray-intersection error made bounce rays self-hit their own surface
+# (t ~ 7e-4 < spawn epsilon) and rendered whole faces black, and NEE
+# self-shadowed 18-45% of the light. Everything in a renderer that flows
+# through a dot is geometry or radiometry — default to full f32. Hot
+# kernels that can tolerate split-bf16 passes opt back in explicitly
+# (ops/megakernel._dot3 passes precision=DEFAULT).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .variants import (set_variant, variant, variants, variant_config,
                        Variant)
 

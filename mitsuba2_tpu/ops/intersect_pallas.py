@@ -31,6 +31,27 @@ FACE_CHUNK = 128
 _BIG = 3.0e38
 
 
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _dot3(a, b):
+    """~f32-accurate matmul from 3 bf16 MXU passes (see megakernel._dot3:
+    Mosaic's DEFAULT single bf16 pass loses ~1% of the geometry, HIGHEST
+    costs 6 passes)."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    p = jax.lax.Precision.DEFAULT   # intentionally 1-pass bf16 per product
+    return (jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32,
+                    precision=p)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32,
+                      precision=p)
+            + jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32,
+                      precision=p))
+
+
 def build_woop(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     """Per-triangle world->unit-triangle affine transforms.
 
@@ -96,12 +117,12 @@ def _isect_kernel(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref, wv_ref,
         wu = wu_ref[:]            # (4, C)
         wv = wv_ref[:]
         wz = wz_ref[:]
-        U = jnp.dot(oh, wu, preferred_element_type=jnp.float32)
-        V = jnp.dot(oh, wv, preferred_element_type=jnp.float32)
-        Z = jnp.dot(oh, wz, preferred_element_type=jnp.float32)
-        DU = jnp.dot(dh, wu, preferred_element_type=jnp.float32)
-        DV = jnp.dot(dh, wv, preferred_element_type=jnp.float32)
-        DZ = jnp.dot(dh, wz, preferred_element_type=jnp.float32)
+        U = _dot3(oh, wu)
+        V = _dot3(oh, wv)
+        Z = _dot3(oh, wz)
+        DU = _dot3(dh, wu)
+        DV = _dot3(dh, wv)
+        DZ = _dot3(dh, wz)
 
         dz_ok = jnp.abs(DZ) > 1e-12
         inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(DZ == 0, 1.0, DZ), 0.0)

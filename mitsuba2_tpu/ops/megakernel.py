@@ -1,4 +1,4 @@
-"""Fused path-tracing megakernel (v3, transposed).
+"""Fused path-tracing megakernel (v4, dense shading layout).
 
 The profiled wavefront renderer is HBM-bound: every XLA fusion boundary
 writes full wavefront state (~13 KB/lane/render). This kernel keeps one
@@ -8,18 +8,20 @@ roulette — in VMEM, carrying only 64 B/lane of compact path state through
 HBM between bounces. It is the logical endpoint of the reference's GPU
 wavefront design (integrator.cpp:140-172) on a TPU memory hierarchy.
 
-v3 layout (the v2 kernel measured ~10% VPU utilization):
-- face-major intermediates ``(F, R)``: faces ride the 8-sublane axis
-  (padded to 8, not 128 — Cornell's 36 faces waste 10% instead of 72%),
-  rays ride the 128-lane axis, and the closest-hit argmin is a cheap
-  sublane reduction instead of a cross-lane one;
+v4 layout (measured: v3's ~300 per-lane shading ops ran on ``(R,)``
+vectors, which Mosaic lays out as (1, R) — one sublane of eight used, a
+21x density loss vs a dense (G, 128) grid on this VPU):
+- per-lane path state and ALL shading math live on a dense ``(G, 128)``
+  ray grid (G = RAY_TILE/128 sublane groups), so every VPU op uses all
+  8 sublanes; the HBM state block is ``(16, G, 128)`` per tile;
+- the face sweep stays face-major ``(C, R)`` with rays on the lane axis
+  (that layout is already dense and feeds the Woop MXU matmuls); cheap
+  row reshapes (measured ~free) bridge the two layouts at the sweep
+  boundary;
 - one bounce per ``pallas_call`` with the full spp wavefront in a single
-  launch (RAY_TILE=1024 -> 4k grid steps for 256^2@64spp, not 65k);
-- path state lives as ``(16, n)`` so a tile block is ``(16, R)`` — fully
-  tiled, no (R,16) lane-padding waste;
-- dead tiles (all lanes terminated) copy state through and skip all
-  compute, which pairs with the alive-first lane compaction the
-  integrator applies between bounces.
+  launch; dead tiles copy state through and skip all compute;
+- the final bounce is statically specialized to emission-only (no RR,
+  NEE, shadow sweep, or BSDF sampling).
 
 Fast-path scope (selected automatically by the path integrator, general
 wavefront otherwise):
@@ -62,6 +64,40 @@ _ROWS = 16
 # ----------------------------------------------------------------------------
 # in-kernel helpers (componentwise, VMEM-resident)
 # ----------------------------------------------------------------------------
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _dot3(a, b):
+    """~f32-accurate matmul from 3 bf16 MXU passes (error ~2^-16).
+
+    Mosaic supports only DEFAULT (1 bf16 pass — measured 1% geometry error
+    that self-shadowed NEE and darkened renders 18-45%) and HIGHEST (6
+    passes — measured 2x whole-render cost). This is the missing middle.
+    """
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    p = jax.lax.Precision.DEFAULT   # intentionally 1-pass bf16 per product
+    return (jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32,
+                    precision=p)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32,
+                      precision=p)
+            + jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32,
+                      precision=p))
+
+
+def _dotpick(table, pick):
+    """table @ one-hot pick, f32-accurate in ONE MXU op: 0/1 picks are
+    bf16-exact, so stack the table's hi/lo halves on the M axis and add."""
+    t_hi, t_lo = _split_bf16(table)
+    m = table.shape[0]
+    out = jnp.dot(jnp.concatenate([t_hi, t_lo], axis=0), pick,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+    return out[:m] + out[m:]
+
 
 def _tea(v0, v1, rounds=5):
     u32 = lambda x: jnp.asarray(x, jnp.uint32)
@@ -163,28 +199,40 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     sph (8, S): analytic spheres cx cy cz r valid. sattr (40, S):
         fattr-layout shading attributes per sphere.
     env (3W, H): lat-long radiance, channel-blocked rows, transposed.
-    st (16, R) block of the (16, n) state; see _ROWS comment.
+    st (16, G, 128) block of the (16, n/128, 128) state; see _ROWS.
     """
     i = pl.program_id(0)
-    R = st_out_ref.shape[1]
+    G = st_out_ref.shape[1]
+    R = G * 128
     C = chunk
     n_chunks = woop_ref.shape[0] // (3 * C)
-    zero = jnp.zeros((R,), jnp.float32)
+    is_last = depth == max_depth - 1
+    need_bary = has_checker and not is_last
+    zero = jnp.zeros((R,), jnp.float32)          # face-sweep (flat) domain
     one = jnp.ones((R,), jnp.float32)
+    dzero = jnp.zeros((G, 128), jnp.float32)     # dense shading domain
+    done_ = jnp.ones((G, 128), jnp.float32)
+
+    def to_flat(x):
+        return x.reshape(R)
+
+    def to_dense(x):
+        return x.reshape(G, 128)
 
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
         tiles. Returns (t, A (40,R) attrs, bary u, bary v)."""
-        oh = jnp.stack([ox, oy, oz, one], axis=0)        # (4, R)
-        dh = jnp.stack([dx, dy, dz, zero], axis=0)
+        odh = jnp.concatenate([
+            jnp.stack([ox, oy, oz, one], axis=0),
+            jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
         t_best = jnp.full((R,), _BIG, jnp.float32)
         A_best = jnp.zeros((_FA_COLS, R), jnp.float32)
         bu_best = zero
         bv_best = zero
         for c in range(n_chunks):
             W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]   # (3C, 4)
-            O3 = jnp.dot(W, oh, preferred_element_type=jnp.float32)
-            D3 = jnp.dot(W, dh, preferred_element_type=jnp.float32)
+            OD = _dot3(W, odh)                           # (3C, 2R)
+            O3, D3 = OD[:, :R], OD[:, R:]
             U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
             DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
             dz_ok = jnp.abs(DZ) > 1e-12
@@ -200,15 +248,15 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                              jnp.int32(0x7FFFFFFF))
             kmin = jnp.min(cand, axis=0)
             pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
-            A = jnp.dot(fattr_ref[:, c * C:(c + 1) * C], pick,
-                        preferred_element_type=jnp.float32)   # (40, R)
-            bu = jnp.sum(pick * u, axis=0)
-            bv = jnp.sum(pick * v, axis=0)
+            A = _dotpick(fattr_ref[:, c * C:(c + 1) * C], pick)  # (40, R)
             closer = tmin < t_best
             t_best = jnp.where(closer, tmin, t_best)
             A_best = jnp.where(closer[None, :], A, A_best)
-            bu_best = jnp.where(closer, bu, bu_best)
-            bv_best = jnp.where(closer, bv, bv_best)
+            if need_bary:
+                bu = jnp.sum(pick * u, axis=0)
+                bv = jnp.sum(pick * v, axis=0)
+                bu_best = jnp.where(closer, bu, bu_best)
+                bv_best = jnp.where(closer, bv, bv_best)
         if has_spheres:
             sph = sph_ref[:]                               # (8, S)
             S = sph.shape[1]
@@ -236,10 +284,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                              jnp.int32(0x7FFFFFFF))
             kmin = jnp.min(cand, axis=0)
             spick = ((ids == kmin[None, :]) & oks).astype(jnp.float32)
-            SA = jnp.dot(sattr_ref[:], spick,
-                         preferred_element_type=jnp.float32)  # (40, R)
-            SC = jnp.dot(sph, spick,
-                         preferred_element_type=jnp.float32)  # (8, R)
+            SA = _dotpick(sattr_ref[:], spick)             # (40, R)
+            SC = _dotpick(sph, spick)                      # (8, R)
             closer = tsmin < t_best
             tsafe = jnp.where(closer, tsmin, t_best)
             hx = ox + tsafe * dx
@@ -251,20 +297,22 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             SA = jnp.concatenate([sn, SA[3:]], axis=0)
             t_best = jnp.where(closer, tsmin, t_best)
             A_best = jnp.where(closer[None, :], SA, A_best)
-            bu_best = jnp.where(closer, 0.0, bu_best)
-            bv_best = jnp.where(closer, 0.0, bv_best)
+            if need_bary:
+                bu_best = jnp.where(closer, 0.0, bu_best)
+                bv_best = jnp.where(closer, 0.0, bv_best)
         return t_best, A_best, bu_best, bv_best
 
     def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Shadow-ray any-hit: the Woop products without the argmin/pick
         epilogue (roughly halves the per-NEE elementwise work)."""
-        oh = jnp.stack([ox, oy, oz, one], axis=0)
-        dh = jnp.stack([dx, dy, dz, zero], axis=0)
+        odh = jnp.concatenate([
+            jnp.stack([ox, oy, oz, one], axis=0),
+            jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
         cnt = zero
         for c in range(n_chunks):
             W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]
-            O3 = jnp.dot(W, oh, preferred_element_type=jnp.float32)
-            D3 = jnp.dot(W, dh, preferred_element_type=jnp.float32)
+            OD = _dot3(W, odh)                           # (3C, 2R)
+            O3, D3 = OD[:, :R], OD[:, R:]
             U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
             DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
             dz_ok = jnp.abs(DZ) > 1e-12
@@ -274,7 +322,6 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= mint[None, :]) & (t <= maxt[None, :]))
             cnt = cnt + jnp.sum(ok.astype(jnp.float32), axis=0)
-        hit = cnt > 0.0
         if has_spheres:
             sph = sph_ref[:]
             cx = sph[0][:, None]
@@ -294,8 +341,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             ts = jnp.where(t0 > mint[None, :], t0, t1)
             oks = alive & (disc > 0) & (ts > mint[None, :]) \
                 & (ts < maxt[None, :])
-            hit = hit | (jnp.sum(oks.astype(jnp.float32), axis=0) > 0.0)
-        return hit
+            cnt = cnt + jnp.sum(oks.astype(jnp.float32), axis=0)
+        return cnt    # float occlusion count (flat); > 0 => occluded
 
     def env_lookup(dx, dy, dz):
         """Lat-long bilinear radiance fetch (envmap.cpp uv convention:
@@ -320,8 +367,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
         wrow = (jnp.where(rows == iv0[None, :], 1.0 - wv_[None, :], 0.0)
                 + jnp.where(rows == iv1[None, :], wv_[None, :], 0.0))
-        mixed = jnp.dot(env, wrow,
-                        preferred_element_type=jnp.float32)  # (3W, R)
+        mixed = _dot3(env, wrow)                           # (3W, R)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
         wcol = (jnp.where(cols == iu0[None, :], 1.0 - wu_[None, :], 0.0)
                 + jnp.where(cols == iu1[None, :], wu_[None, :], 0.0))
@@ -332,12 +378,12 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         return out[0], out[1], out[2]
 
     # ------------------------------------------------------------------
-    # load / init state
+    # load / init state (dense (G, 128) per-lane layout)
     # ------------------------------------------------------------------
     if depth == 0:
-        # lane-axis iota: an (R,1) sublane iota would force a catastrophic
-        # cross-lane relayout (measured 10x the whole bounce cost)
-        lane = i * R + jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0)
+        lnn = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+        lane = i * R + sub * 128 + lnn
         lane_ok = lane < n_lanes
         pixel = lane // spp_pass
         samp = lane % spp_pass + meta_ref[0, 1]
@@ -360,17 +406,17 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         dx = cam[0] * lx + cam[1] * ly + cam[2] * lz
         dy = cam[3] * lx + cam[4] * ly + cam[5] * lz
         dz = cam[6] * lx + cam[7] * ly + cam[8] * lz
-        ox = jnp.full((R,), cam[9])
-        oy = jnp.full((R,), cam[10])
-        oz = jnp.full((R,), cam[11])
-        thr_r = thr_g = thr_b = one
-        res_r = res_g = res_b = zero
+        ox = jnp.full((G, 128), cam[9])
+        oy = jnp.full((G, 128), cam[10])
+        oz = jnp.full((G, 128), cam[11])
+        thr_r = thr_g = thr_b = done_
+        res_r = res_g = res_b = dzero
         active = lane_ok
-        prev_pdf = zero              # 0 => camera ray (no MIS at hit)
+        prev_pdf = dzero             # 0 => camera ray (no MIS at hit)
         pix_f = pixel.astype(jnp.float32)
         any_alive = jnp.asarray(True)
     else:
-        st = st_in_ref[:]
+        st = st_in_ref[...]
         ox, oy, oz = st[0], st[1], st[2]
         dx, dy, dz = st[3], st[4], st[5]
         thr_r, thr_g, thr_b = st[6], st[7], st[8]
@@ -382,12 +428,35 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         any_alive = jnp.sum(st[13]) > 0.0
 
     def run_bounce():
-        lt = lt_ref[:]                                    # (24, L)
-        L = lt.shape[1]
         dim0 = 2 + depth * 8
 
-        t, A, bu_h, bv_h = closest_hit(ox, oy, oz, dx, dy, dz,
-                                       zero, jnp.full((R,), _BIG))
+        # ---- face sweep in the flat (lane-major) domain ----
+        oxf, oyf, ozf = to_flat(ox), to_flat(oy), to_flat(oz)
+        dxf, dyf, dzf = to_flat(dx), to_flat(dy), to_flat(dz)
+        t_f, A_f, bu_f, bv_f = closest_hit(oxf, oyf, ozf, dxf, dyf, dzf,
+                                           zero, jnp.full((R,), _BIG))
+
+        # checker albedo resolve stays flat where the A rows live
+        if need_bary:
+            # uv from barycentrics -> affine to_uv -> parity select
+            uu = A_f[21] + bu_f * A_f[23] + bv_f * A_f[25]
+            vv = A_f[22] + bu_f * A_f[24] + bv_f * A_f[26]
+            u2 = A_f[27] * uu + A_f[28] * vv + A_f[29]
+            v2 = A_f[30] * uu + A_f[31] * vv + A_f[32]
+            par = jnp.mod(jnp.floor(u2) + jnp.floor(v2), 2.0)
+            use_c1 = (A_f[10] > 1.5) & (par > 0.5)
+            alb_r_f = jnp.where(use_c1, A_f[18], A_f[3])
+            alb_g_f = jnp.where(use_c1, A_f[19], A_f[4])
+            alb_b_f = jnp.where(use_c1, A_f[20], A_f[5])
+        else:
+            alb_r_f, alb_g_f, alb_b_f = A_f[3], A_f[4], A_f[5]
+
+        # ---- densify the sweep outputs; shade on the (G, 128) grid ----
+        t = to_dense(t_f)
+        ngx, ngy, ngz = to_dense(A_f[0]), to_dense(A_f[1]), to_dense(A_f[2])
+        le_r, le_g, le_b = (to_dense(A_f[6]), to_dense(A_f[7]),
+                            to_dense(A_f[8]))
+        lpdf_w = to_dense(A_f[9])
         hit = t < _BIG * 0.5
 
         res_r_, res_g_, res_b_ = res_r, res_g, res_b
@@ -395,43 +464,46 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
         # --- environment on escape (weight 1: env has no NEE arm) ---
         if has_env:
-            er, eg, eb = env_lookup(dx, dy, dz)
+            er_f, eg_f, eb_f = env_lookup(dxf, dyf, dzf)
+            er, eg, eb = to_dense(er_f), to_dense(eg_f), to_dense(eb_f)
             esc = act & ~hit
             res_r_ = res_r_ + jnp.where(esc, thr_r * er, 0.0)
             res_g_ = res_g_ + jnp.where(esc, thr_g * eg, 0.0)
             res_b_ = res_b_ + jnp.where(esc, thr_b * eb, 0.0)
 
-        ngx, ngy, ngz = A[0], A[1], A[2]
-        alb_r, alb_g, alb_b = A[3], A[4], A[5]
-        le_r, le_g, le_b = A[6], A[7], A[8]
-        lpdf_w = A[9]
-        kind = A[10]
-        is_ggx = (kind > 0.5) & (kind < 1.5)
-        alpha = jnp.maximum(A[11], 1e-3)
-        eta_r, eta_g, eta_b = A[12], A[13], A[14]
-        k_r, k_g, k_b = A[15], A[16], A[17]
-        if has_checker:
-            # uv from barycentrics -> affine to_uv -> parity select
-            uu = A[21] + bu_h * A[23] + bv_h * A[25]
-            vv = A[22] + bu_h * A[24] + bv_h * A[26]
-            u2 = A[27] * uu + A[28] * vv + A[29]
-            v2 = A[30] * uu + A[31] * vv + A[32]
-            par = jnp.mod(jnp.floor(u2) + jnp.floor(v2), 2.0)
-            use_c1 = (kind > 1.5) & (par > 0.5)
-            alb_r = jnp.where(use_c1, A[18], alb_r)
-            alb_g = jnp.where(use_c1, A[19], alb_g)
-            alb_b = jnp.where(use_c1, A[20], alb_b)
-
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
-        pdf_l_hit = jnp.where(cos_hit > 1e-6,
-                              t * t * lpdf_w / jnp.maximum(cos_hit, 1e-6),
-                              0.0)
-        em_w = jnp.where(prev_pdf > 0.0, _mis(prev_pdf, pdf_l_hit), 1.0)
+        if depth == 0:
+            em_w = done_                 # camera rays: no MIS
+        else:
+            pdf_l_hit = jnp.where(
+                cos_hit > 1e-6,
+                t * t * lpdf_w / jnp.maximum(cos_hit, 1e-6), 0.0)
+            em_w = jnp.where(prev_pdf > 0.0, _mis(prev_pdf, pdf_l_hit),
+                             1.0)
         wgt = jnp.where(act & hit & (cos_hit > 0), em_w, 0.0)
         res_r_ = res_r_ + wgt * thr_r * le_r
         res_g_ = res_g_ + wgt * thr_g * le_g
         res_b_ = res_b_ + wgt * thr_b * le_b
+
+        if is_last:
+            # final bounce: only emission can contribute — statically skip
+            # RR, NEE, the shadow sweep, and BSDF sampling
+            st_out_ref[...] = jnp.stack(
+                [dzero] * 9 + [res_r_, res_g_, res_b_] + [dzero] * 4,
+                axis=0)
+            return
+
+        alb_r, alb_g, alb_b = (to_dense(alb_r_f), to_dense(alb_g_f),
+                               to_dense(alb_b_f))
+        kind = to_dense(A_f[10])
+        is_ggx = (kind > 0.5) & (kind < 1.5)
+        alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
+        eta_r, eta_g, eta_b = (to_dense(A_f[12]), to_dense(A_f[13]),
+                               to_dense(A_f[14]))
+        k_r, k_g, k_b = (to_dense(A_f[15]), to_dense(A_f[16]),
+                         to_dense(A_f[17]))
+
         # FrontSide-only BSDFs (diffuse/conductor flags in the wavefront):
         # backside hits terminate the path — no normal flipping
         act = act & hit & (cos_hit > 0)
@@ -464,37 +536,42 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         wix, wiy, wiz = to_local(-dx, -dy, -dz)
         wiz = jnp.maximum(wiz, 1e-6)
 
-        # --- russian roulette (path.cpp:133-141) ---
-        rr_u, _ = _rng2(key, dim0 + 0)
-        mx = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
-        q = jnp.minimum(mx, 0.95)
-        do_rr = depth + 1 > rr_depth
-        cont = jnp.logical_or(jnp.logical_not(do_rr), rr_u < q)
-        act = act & cont
-        inv_q = jnp.where(do_rr, 1.0 / jnp.maximum(q, 1e-8), 1.0)
-        thr_r_ = thr_r * inv_q
-        thr_g_ = thr_g * inv_q
-        thr_b_ = thr_b * inv_q
+        # --- russian roulette (path.cpp:133-141; static gate per depth) ---
+        if depth + 1 > rr_depth:
+            rr_u, _ = _rng2(key, dim0 + 0)
+            mx = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
+            q = jnp.minimum(mx, 0.95)
+            act = act & (rr_u < q)
+            inv_q = 1.0 / jnp.maximum(q, 1e-8)
+            thr_r_ = thr_r * inv_q
+            thr_g_ = thr_g * inv_q
+            thr_b_ = thr_b * inv_q
+        else:
+            thr_r_, thr_g_, thr_b_ = thr_r, thr_g, thr_b
 
-        # --- NEE over the light-face CDF ---
+        # --- NEE over the light-face CDF (pick via MXU, flat domain) ---
         u_sel, u_b1 = _rng2(key, dim0 + 1)
         u_b2, _ = _rng2(key, dim0 + 2)
+        lt = lt_ref[:]                                     # (24, L)
+        L = lt.shape[1]
+        u_sel_f = to_flat(u_sel)
         cdf = lt[12]                                       # (L,)
-        li = jnp.sum((cdf[:, None] <= u_sel[None, :]).astype(jnp.int32),
+        li = jnp.sum((cdf[:, None] <= u_sel_f[None, :]).astype(jnp.int32),
                      axis=0)
         lids = jax.lax.broadcasted_iota(jnp.int32, (L, R), 0)
         lpick = (lids == jnp.minimum(li, L - 1)[None, :]).astype(
             jnp.float32)
-        LT = jnp.dot(lt, lpick, preferred_element_type=jnp.float32)
+        LT = _dotpick(lt, lpick)
+        LTd = [to_dense(LT[k]) for k in range(17)]
         s_t = jnp.sqrt(jnp.maximum(1.0 - u_b1, 0.0))
         bu = 1.0 - s_t
         bv = u_b2 * s_t
-        plx = LT[0] + LT[3] * bu + LT[6] * bv
-        ply = LT[1] + LT[4] * bu + LT[7] * bv
-        plz = LT[2] + LT[5] * bu + LT[8] * bv
-        lnx, lny, lnz = LT[9], LT[10], LT[11]
-        lw = LT[13]
-        lrad_r, lrad_g, lrad_b = LT[14], LT[15], LT[16]
+        plx = LTd[0] + LTd[3] * bu + LTd[6] * bv
+        ply = LTd[1] + LTd[4] * bu + LTd[7] * bv
+        plz = LTd[2] + LTd[5] * bu + LTd[8] * bv
+        lnx, lny, lnz = LTd[9], LTd[10], LTd[11]
+        lw = LTd[13]
+        lrad_r, lrad_g, lrad_b = LTd[14], LTd[15], LTd[16]
 
         dxl = plx - pxx
         dyl = ply - pyy
@@ -508,11 +585,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         pdf_l = jnp.where(cos_l > 1e-6,
                           dist2 * lw / jnp.maximum(cos_l, 1e-6), 0.0)
         # NEE at vertex k+1 creates a path of length k+2: allowed only while
-        # k+2 <= max_depth (matches path.cpp's loop structure)
-        nee_ok = act & (pdf_l > 0) & (cos_s > 0) \
-            & (depth < max_depth - 1)
-        occluded = any_hit(pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
-                           dxl, dyl, dzl, zero, dist * (1.0 - 1e-3))
+        # k+2 <= max_depth (static here: this branch has depth<max_depth-1)
+        nee_ok = act & (pdf_l > 0) & (cos_s > 0)
+        occ_f = any_hit(to_flat(pxx + nx * eps), to_flat(pyy + ny * eps),
+                        to_flat(pzz + nz * eps),
+                        to_flat(dxl), to_flat(dyl), to_flat(dzl),
+                        zero, to_flat(dist) * (1.0 - 1e-3))
+        occluded = to_dense(occ_f) > 0.0
 
         # BSDF eval toward the light: diffuse and GGX lobes, blended
         wox, woy, woz = to_local(dxl, dyl, dzl)
@@ -618,7 +697,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         act = act & ok_lobe & (bsdf_pdf > 0) \
             & ((thr_r_ + thr_g_ + thr_b_) > 0)
 
-        st_out_ref[:] = jnp.stack([
+        st_out_ref[...] = jnp.stack([
             pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
             ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
             res_r_, res_g_, res_b_, bsdf_pdf,
@@ -630,7 +709,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     else:
         @pl.when(jnp.logical_not(any_alive))
         def _():
-            st_out_ref[:] = st_in_ref[:]
+            st_out_ref[...] = st_in_ref[...]
 
         @pl.when(any_alive)
         def _():
@@ -904,6 +983,7 @@ class DiffusePathMegakernel:
         n = w * h * spp_pass
         n_pad = int(np.ceil(n / RAY_TILE)) * RAY_TILE
         n_tiles = n_pad // RAY_TILE
+        G = RAY_TILE // 128
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
         tan_half = float(np.tan(np.deg2rad(sensor.x_fov) * 0.5))
@@ -925,11 +1005,11 @@ class DiffusePathMegakernel:
             pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
-            pl.BlockSpec((_ROWS, RAY_TILE), lambda i: (0, i)),
+            pl.BlockSpec((_ROWS, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
                   self.sph, self._sattr(), self.env)
-        state = jnp.zeros((_ROWS, n_pad), jnp.float32)
+        state = jnp.zeros((_ROWS, n_pad // 128, 128), jnp.float32)
         for depth in range(self.max_depth):
             kernel = functools.partial(
                 _path_kernel,
@@ -943,14 +1023,17 @@ class DiffusePathMegakernel:
                 kernel,
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((_ROWS, RAY_TILE), lambda i: (0, i)),
-                out_shape=jax.ShapeDtypeStruct((_ROWS, n_pad), jnp.float32),
+                out_specs=pl.BlockSpec((_ROWS, G, 128),
+                                       lambda i: (0, i, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (_ROWS, n_pad // 128, 128), jnp.float32),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
             )(*tables, state)
         # pixel-major box-filter reduction; filter weight = 1 per sample
-        rgb = state[9:12, :n].reshape(3, w * h, spp_pass).sum(axis=2)
+        rgb = state[9:12].reshape(3, n_pad)[:, :n] \
+            .reshape(3, w * h, spp_pass).sum(axis=2)
         img = jnp.concatenate(
             [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
             axis=0)

@@ -75,8 +75,12 @@ class SamplingIntegrator(Integrator):
         # cache the compiled pass across render() calls (seed/pass index are
         # traced arguments, so one executable serves every seed)
         from ..core.object import param_epoch
+        # engine toggles are trace-time routing decisions — they must key
+        # the executable cache or a toggled render reuses the wrong engine
         cache_key = (id(scene), id(sensor), spp_per_pass, spp,
-                     param_epoch())
+                     param_epoch(),
+                     getattr(self, "_disable_megakernel", False),
+                     getattr(scene, "_disable_pallas", False))
         cache = getattr(self, "_pass_cache", None)
         if cache is None:
             cache = self._pass_cache = {}

@@ -19,7 +19,10 @@ import jax  # noqa: E402
 
 # NOTE: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
 # installed; the config API reliably forces the CPU backend.
-jax.config.update("jax_platforms", "cpu")
+# MI_TPU_TESTS=1 keeps the real backend so tests/test_tpu_hardware.py can
+# compare engines on actual hardware.
+if not os.environ.get("MI_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

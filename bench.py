@@ -115,7 +115,9 @@ BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="cornell",
+    # default "all": the headline Cornell line prints FIRST, then the
+    # remaining BASELINE.json configs get their own lines (VERDICT r1 #8)
+    ap.add_argument("--scene", default="all",
                     choices=list(BENCHES) + ["all"])
     args = ap.parse_args()
     names = list(BENCHES) if args.scene == "all" else [args.scene]

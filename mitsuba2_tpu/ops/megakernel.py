@@ -25,8 +25,10 @@ vectors, which Mosaic lays out as (1, R) — one sublane of eight used, a
 
 Fast-path scope (selected automatically by the path integrator, general
 wavefront otherwise):
-- BSDFs: diffuse (constant/per-shape albedo) and rough conductors
-  (GGX, isotropic alpha >= 0.01, constant IOR/specular scale),
+- BSDFs: diffuse (constant/per-shape/checkerboard albedo), rough
+  conductors (GGX, isotropic alpha >= 0.01, constant IOR/specular
+  scale), smooth dielectrics (two delta lobes, refraction + eta-aware
+  RR), smooth plastic and rough plastic (GGX coat, constant textures),
 - emitters: area lights (NEE + power-2 MIS) and ONE lat-long envmap
   (identity to_world, evaluated on escape with weight 1 — no env NEE;
   a different but equally unbiased estimator than the wavefront's),
@@ -49,7 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_TILE = 2048
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
-MAX_FACES = 4096
+# beyond this many chunks the face sweep switches from the unrolled loop
+# to a fori_loop with per-chunk BVH-AABB culling (see _path_kernel)
+UNROLLED_CHUNKS = 8
+MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
 _BIG = 3.0e38
@@ -58,7 +63,7 @@ _PI = 3.141592653589793
 # state rows (HBM layout (16, n) float32)
 _ROWS = 16
 # 0:3 o | 3:6 d | 6:9 throughput | 9:12 result | 12 prev_pdf
-# 13 active | 14 rng key (uint32 bits) | 15 pixel id
+# 13 active | 14 rng key (uint32 bits) | 15 eta (relative IOR product)
 
 
 # ----------------------------------------------------------------------------
@@ -97,6 +102,26 @@ def _dotpick(table, pick):
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)
     return out[:m] + out[m:]
+
+
+def _atan2(y, x):
+    """Polynomial atan2 (~1e-5 rad): Mosaic has no atan2 lowering and the
+    envmap uv only needs sub-texel accuracy."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    z = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    z2 = z * z
+    p = z * (0.99986600 + z2 * (-0.33029950 + z2 * (0.18014100 + z2 * (
+        -0.08513300 + z2 * 0.02083510))))
+    p = jnp.where(ay > ax, 0.5 * _PI - p, p)
+    p = jnp.where(x < 0, _PI - p, p)
+    return jnp.where(y < 0, -p, p)
+
+
+def _acos(x):
+    """acos via _atan2 (Mosaic also lacks an acos lowering)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
 
 
 def _tea(v0, v1, rounds=5):
@@ -175,17 +200,42 @@ def _ggx_g1(cz, a):
 
 # fattr layout (F, 40) built row-major, fed to the kernel transposed (40, F):
 #   ng 0:3 | albedo/c0 3:6 | Le 6:9 | lpdf_w 9
-#   kind 10 (0 diffuse, 1 ggx, 2 diffuse-checkerboard) | alpha 11
-#   eta 12:15 | k 15:18 | checker c1 18:21 | uv0 21:23 | duv1 23:25
-#   duv2 25:27 | to_uv affine [m00 m01 m03 m10 m11 m13] 27:33 | pad 33:40
+#   kind 10 (0 diffuse, 1 ggx-conductor, 2 diffuse-checkerboard,
+#            3 dielectric, 4 plastic, 5 roughplastic) | alpha 11
+#   eta 12:15 | k 15:18 | c2 18:21 (checker color1 / dielectric
+#   specular_transmittance / plastic specular_reflectance) | uv0 21:23
+#   duv1 23:25 | duv2 25:27 | to_uv affine [m00 m01 m03 m10 m11 m13] 27:33
+#   | diel/plastic: eta_d 33, spec_sampling_weight 34, fdr_int 35,
+#   inv_eta2 36, nonlinear 37 | pad 38:40
+# albedo (3:6) = diffuse/specular reflectance per kind (traced, see
+# _shape_albedo); c2 (18:21) is also traced (_shape_c1).
 _FA_COLS = 40
 
 
+def _fresnel_diel(cos_i, eta):
+    """Unpolarized dielectric Fresnel (render/fresnel.py:13 semantics).
+    Returns (F, cos_t_signed, eta_it, eta_ti); handles both sides."""
+    outside = cos_i >= 0
+    rcp = 1.0 / eta
+    eta_it = jnp.where(outside, eta, rcp)
+    eta_ti = jnp.where(outside, rcp, eta)
+    c2t = 1.0 - eta_ti * eta_ti * (1.0 - cos_i * cos_i)
+    aci = jnp.abs(cos_i)
+    act_ = jnp.sqrt(jnp.maximum(c2t, 0.0))
+    a_s = (aci - eta_it * act_) / jnp.maximum(aci + eta_it * act_, 1e-20)
+    a_p = (eta_it * aci - act_) / jnp.maximum(eta_it * aci + act_, 1e-20)
+    F = 0.5 * (a_s * a_s + a_p * a_p)
+    F = jnp.where(eta == 1.0, 0.0, jnp.where(c2t <= 0.0, 1.0, F))
+    cos_t = jnp.where(cos_i >= 0, -act_, act_)
+    return F, cos_t, eta_it, eta_ti
+
+
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
-                 sattr_ref, env_ref, st_in_ref, st_out_ref, *, depth,
-                 max_depth, rr_depth, n_faces, chunk, spp_pass, width,
-                 height, n_lanes, has_spheres, has_env, has_checker,
-                 env_w, env_h):
+                 sattr_ref, env_ref, cab_ref, st_in_ref, st_out_ref,
+                 acc_ref, *, depth, max_depth, rr_depth, n_faces, chunk,
+                 spp_pass, width, height, n_lanes, has_spheres, has_env,
+                 has_checker, has_diel, has_plastic, env_w, env_h,
+                 streamed):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -199,7 +249,19 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     sph (8, S): analytic spheres cx cy cz r valid. sattr (40, S):
         fattr-layout shading attributes per sphere.
     env (3W, H): lat-long radiance, channel-blocked rows, transposed.
+    cab (n_chunks_pad, 8): per-chunk BVH AABBs [lo3 hi3 pad2] (BVH-leaf
+        face order makes chunks spatially tight); padding chunks carry
+        inverted boxes so they never pass the slab test.
     st (16, G, 128) block of the (16, n/128, 128) state; see _ROWS.
+    acc (48, R) f32 VMEM scratch for the `streamed` sweep: row 0 t_best,
+        1 bary-u, 2 bary-v, 3 shadow-hit count, 8:48 A_best.
+
+    When ``streamed`` is set (large meshes), the face sweep runs as a
+    fori_loop over chunks with a per-chunk ray-vs-AABB slab test and
+    `pl.when` predication — chunks no live ray segment overlaps cost one
+    VPU prologue instead of three MXU sweeps. This replaces per-ray BVH
+    stack traversal (divergent, lockstep-hostile on the VPU) with the
+    reference kd-tree's pruning role (kdtree.h:2079) done per tile.
     """
     i = pl.program_id(0)
     G = st_out_ref.shape[1]
@@ -219,44 +281,106 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     def to_dense(x):
         return x.reshape(G, 128)
 
+    def _sweep_chunk(W, A_tab, odh, mint, maxt):
+        """Woop sweep of one (3C, 4) chunk -> (tmin, A, u, v, pick)."""
+        OD = _dot3(W, odh)                           # (3C, 2R)
+        O3, D3 = OD[:, :R], OD[:, R:]
+        U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
+        DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
+        dz_ok = jnp.abs(DZ) > 1e-12
+        t = -Z / jnp.where(dz_ok, DZ, 1.0)
+        u = U + t * DU
+        v = V + t * DV
+        ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t >= mint[None, :]) & (t <= maxt[None, :]))
+        t = jnp.where(ok, t, _BIG)
+        tmin = jnp.min(t, axis=0)                     # (R,)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
+        cand = jnp.where((t <= tmin[None, :]) & ok, ids,
+                         jnp.int32(0x7FFFFFFF))
+        kmin = jnp.min(cand, axis=0)
+        pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
+        A = _dotpick(A_tab, pick)                     # (40, R)
+        if need_bary:
+            bu = jnp.sum(pick * u, axis=0)
+            bv = jnp.sum(pick * v, axis=0)
+        else:
+            bu = bv = zero
+        return tmin, A, bu, bv
+
+    def _chunk_box_live(c, ox, oy, oz, dx, dy, dz, mint, cap):
+        """-> number of rays whose [mint, cap] segment overlaps chunk
+        c's AABB (0.0 => the whole chunk can be skipped)."""
+        box = cab_ref[pl.ds(c, 1), :]                 # (1, 8)
+        t_near = mint * 0.0 - _BIG
+        t_far = mint * 0.0 + _BIG
+        o3 = (ox, oy, oz)
+        d3 = (dx, dy, dz)
+        for ax in range(3):
+            inv = 1.0 / jnp.where(jnp.abs(d3[ax]) > 1e-12, d3[ax], 1e-12)
+            ta = (box[0, ax] - o3[ax]) * inv
+            tb = (box[0, 3 + ax] - o3[ax]) * inv
+            t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
+            t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
+        box_hit = (t_far >= t_near) & (t_far >= mint) & (t_near <= cap)
+        return jnp.sum(box_hit.astype(jnp.float32))
+
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
         tiles. Returns (t, A (40,R) attrs, bary u, bary v)."""
         odh = jnp.concatenate([
             jnp.stack([ox, oy, oz, one], axis=0),
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
-        t_best = jnp.full((R,), _BIG, jnp.float32)
-        A_best = jnp.zeros((_FA_COLS, R), jnp.float32)
-        bu_best = zero
-        bv_best = zero
-        for c in range(n_chunks):
-            W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]   # (3C, 4)
-            OD = _dot3(W, odh)                           # (3C, 2R)
-            O3, D3 = OD[:, :R], OD[:, R:]
-            U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
-            DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
-            dz_ok = jnp.abs(DZ) > 1e-12
-            t = -Z / jnp.where(dz_ok, DZ, 1.0)
-            u = U + t * DU
-            v = V + t * DV
-            ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= mint[None, :]) & (t <= maxt[None, :]))
-            t = jnp.where(ok, t, _BIG)
-            tmin = jnp.min(t, axis=0)                     # (R,)
-            ids = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
-            cand = jnp.where((t <= tmin[None, :]) & ok, ids,
-                             jnp.int32(0x7FFFFFFF))
-            kmin = jnp.min(cand, axis=0)
-            pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
-            A = _dotpick(fattr_ref[:, c * C:(c + 1) * C], pick)  # (40, R)
-            closer = tmin < t_best
-            t_best = jnp.where(closer, tmin, t_best)
-            A_best = jnp.where(closer[None, :], A, A_best)
+        if streamed:
+            acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
+            acc_ref[8:48, :] = jnp.zeros((40, R), jnp.float32)
             if need_bary:
-                bu = jnp.sum(pick * u, axis=0)
-                bv = jnp.sum(pick * v, axis=0)
-                bu_best = jnp.where(closer, bu, bu_best)
-                bv_best = jnp.where(closer, bv, bv_best)
+                acc_ref[1, :] = zero
+                acc_ref[2, :] = zero
+
+            def body(c, _):
+                cap = jnp.minimum(maxt, acc_ref[0, :])
+                n_live = _chunk_box_live(c, ox, oy, oz, dx, dy, dz,
+                                         mint, cap)
+
+                @pl.when(n_live > 0.0)
+                def _():
+                    W = woop_ref[pl.ds(c * 3 * C, 3 * C), :]
+                    A_tab = fattr_ref[:, pl.ds(
+                        pl.multiple_of(c * C, C), C)]
+                    tmin, A, bu, bv = _sweep_chunk(W, A_tab, odh, mint,
+                                                   maxt)
+                    closer = tmin < acc_ref[0, :]
+                    acc_ref[0, :] = jnp.where(closer, tmin, acc_ref[0, :])
+                    acc_ref[8:48, :] = jnp.where(closer[None, :], A,
+                                                 acc_ref[8:48, :])
+                    if need_bary:
+                        acc_ref[1, :] = jnp.where(closer, bu,
+                                                  acc_ref[1, :])
+                        acc_ref[2, :] = jnp.where(closer, bv,
+                                                  acc_ref[2, :])
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+            t_best = acc_ref[0, :]
+            A_best = acc_ref[8:48, :]
+            bu_best = acc_ref[1, :] if need_bary else zero
+            bv_best = acc_ref[2, :] if need_bary else zero
+        else:
+            t_best = jnp.full((R,), _BIG, jnp.float32)
+            A_best = jnp.zeros((_FA_COLS, R), jnp.float32)
+            bu_best = zero
+            bv_best = zero
+            for c in range(n_chunks):
+                W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]   # (3C, 4)
+                tmin, A, bu, bv = _sweep_chunk(
+                    W, fattr_ref[:, c * C:(c + 1) * C], odh, mint, maxt)
+                closer = tmin < t_best
+                t_best = jnp.where(closer, tmin, t_best)
+                A_best = jnp.where(closer[None, :], A, A_best)
+                if need_bary:
+                    bu_best = jnp.where(closer, bu, bu_best)
+                    bv_best = jnp.where(closer, bv, bv_best)
         if has_spheres:
             sph = sph_ref[:]                               # (8, S)
             S = sph.shape[1]
@@ -302,26 +426,50 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 bv_best = jnp.where(closer, 0.0, bv_best)
         return t_best, A_best, bu_best, bv_best
 
+    def _shadow_chunk(W, odh, mint, maxt):
+        """Occlusion count of one chunk (no argmin/pick epilogue)."""
+        OD = _dot3(W, odh)                           # (3C, 2R)
+        O3, D3 = OD[:, :R], OD[:, R:]
+        U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
+        DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
+        dz_ok = jnp.abs(DZ) > 1e-12
+        t = -Z / jnp.where(dz_ok, DZ, 1.0)
+        u = U + t * DU
+        v = V + t * DV
+        ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t >= mint[None, :]) & (t <= maxt[None, :]))
+        return jnp.sum(ok.astype(jnp.float32), axis=0)
+
     def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Shadow-ray any-hit: the Woop products without the argmin/pick
         epilogue (roughly halves the per-NEE elementwise work)."""
         odh = jnp.concatenate([
             jnp.stack([ox, oy, oz, one], axis=0),
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
-        cnt = zero
-        for c in range(n_chunks):
-            W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]
-            OD = _dot3(W, odh)                           # (3C, 2R)
-            O3, D3 = OD[:, :R], OD[:, R:]
-            U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
-            DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
-            dz_ok = jnp.abs(DZ) > 1e-12
-            t = -Z / jnp.where(dz_ok, DZ, 1.0)
-            u = U + t * DU
-            v = V + t * DV
-            ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= mint[None, :]) & (t <= maxt[None, :]))
-            cnt = cnt + jnp.sum(ok.astype(jnp.float32), axis=0)
+        if streamed:
+            acc_ref[3, :] = zero
+
+            def body(c, _):
+                # already-occluded lanes don't need more hits: shrink
+                # their segment to empty so fully-occluded tiles skip
+                cap = jnp.where(acc_ref[3, :] > 0.0, -_BIG, maxt)
+                n_live = _chunk_box_live(c, ox, oy, oz, dx, dy, dz,
+                                         mint, cap)
+
+                @pl.when(n_live > 0.0)
+                def _():
+                    W = woop_ref[pl.ds(c * 3 * C, 3 * C), :]
+                    acc_ref[3, :] = acc_ref[3, :] + _shadow_chunk(
+                        W, odh, mint, maxt)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+            cnt = acc_ref[3, :]
+        else:
+            cnt = zero
+            for c in range(n_chunks):
+                W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]
+                cnt = cnt + _shadow_chunk(W, odh, mint, maxt)
         if has_spheres:
             sph = sph_ref[:]
             cx = sph[0][:, None]
@@ -350,8 +498,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         BitmapTexture). env is (3W, H) channel-blocked rows; rows via a
         weighted one-hot matmul, columns via a weighted mask-reduce."""
         env = env_ref[:]
-        u = jnp.arctan2(dx, -dz) * (0.5 / _PI) + 0.5
-        v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * (1.0 / _PI)
+        u = _atan2(dx, -dz) * (0.5 / _PI) + 0.5
+        v = _acos(dy) * (1.0 / _PI)
         fu = u * env_w - 0.5
         fv = v * env_h - 0.5
         u0 = jnp.floor(fu)
@@ -413,7 +561,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         res_r = res_g = res_b = dzero
         active = lane_ok
         prev_pdf = dzero             # 0 => camera ray (no MIS at hit)
-        pix_f = pixel.astype(jnp.float32)
+        eta_st = done_               # cumulative relative IOR (RR uses it)
         any_alive = jnp.asarray(True)
     else:
         st = st_in_ref[...]
@@ -424,7 +572,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         prev_pdf = st[12]
         active = st[13] > 0.5
         key = st[14].view(jnp.uint32)
-        pix_f = st[15]
+        eta_st = st[15]
         any_alive = jnp.sum(st[13]) > 0.0
 
     def run_bounce():
@@ -433,8 +581,11 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # ---- face sweep in the flat (lane-major) domain ----
         oxf, oyf, ozf = to_flat(ox), to_flat(oy), to_flat(oz)
         dxf, dyf, dzf = to_flat(dx), to_flat(dy), to_flat(dz)
+        # dead lanes get an empty [0, -BIG] segment so the streamed
+        # sweep's chunk culling can skip tiles with no live rays
+        maxt_f = to_flat(jnp.where(active, _BIG, -_BIG))
         t_f, A_f, bu_f, bv_f = closest_hit(oxf, oyf, ozf, dxf, dyf, dzf,
-                                           zero, jnp.full((R,), _BIG))
+                                           zero, maxt_f)
 
         # checker albedo resolve stays flat where the A rows live
         if need_bary:
@@ -503,10 +654,26 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                                to_dense(A_f[14]))
         k_r, k_g, k_b = (to_dense(A_f[15]), to_dense(A_f[16]),
                          to_dense(A_f[17]))
+        if has_diel or has_plastic:
+            is_diel = (kind > 2.5) & (kind < 3.5)
+            is_plas = kind > 3.5                 # 4 smooth / 5 rough
+            is_rplas = kind > 4.5
+            c2_r, c2_g, c2_b = (to_dense(A_f[18]), to_dense(A_f[19]),
+                                to_dense(A_f[20]))  # spec trans / spec refl
+            eta_d = jnp.maximum(to_dense(A_f[33]), 1e-3)
+            ssw = to_dense(A_f[34])
+            fdr = to_dense(A_f[35])
+            inv_eta2 = to_dense(A_f[36])
+            nonlin = to_dense(A_f[37]) > 0.5
+        else:
+            is_diel = jnp.zeros_like(dzero, bool)
 
-        # FrontSide-only BSDFs (diffuse/conductor flags in the wavefront):
-        # backside hits terminate the path — no normal flipping
-        act = act & hit & (cos_hit > 0)
+        # FrontSide-only BSDFs terminate on backside hits (no normal
+        # flipping); dielectrics are two-sided (dielectric.cpp)
+        if has_diel:
+            act = act & hit & ((cos_hit > 0) | is_diel)
+        else:
+            act = act & hit & (cos_hit > 0)
         nx, ny, nz = ngx, ngy, ngz
         pxx = ox + t * dx
         pyy = oy + t * dy
@@ -533,14 +700,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                     vx * txy + vy * tyy + vz * ny,
                     vx * txz + vy * tyz + vz * nz)
 
-        wix, wiy, wiz = to_local(-dx, -dy, -dz)
-        wiz = jnp.maximum(wiz, 1e-6)
+        wix, wiy, wiz_r = to_local(-dx, -dy, -dz)
+        wiz = jnp.maximum(wiz_r, 1e-6)   # clamped: FrontSide lobes only
 
         # --- russian roulette (path.cpp:133-141; static gate per depth) ---
         if depth + 1 > rr_depth:
             rr_u, _ = _rng2(key, dim0 + 0)
             mx = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
-            q = jnp.minimum(mx, 0.95)
+            q = jnp.minimum(mx * eta_st * eta_st, 0.95)
             act = act & (rr_u < q)
             inv_q = 1.0 / jnp.maximum(q, 1e-8)
             thr_r_ = thr_r * inv_q
@@ -587,13 +754,17 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # NEE at vertex k+1 creates a path of length k+2: allowed only while
         # k+2 <= max_depth (static here: this branch has depth<max_depth-1)
         nee_ok = act & (pdf_l > 0) & (cos_s > 0)
+        if has_diel:
+            nee_ok = nee_ok & ~is_diel           # delta lobes: no NEE arm
         occ_f = any_hit(to_flat(pxx + nx * eps), to_flat(pyy + ny * eps),
                         to_flat(pzz + nz * eps),
                         to_flat(dxl), to_flat(dyl), to_flat(dzl),
-                        zero, to_flat(dist) * (1.0 - 1e-3))
+                        zero,
+                        to_flat(jnp.where(nee_ok,
+                                          dist * (1.0 - 1e-3), -_BIG)))
         occluded = to_dense(occ_f) > 0.0
 
-        # BSDF eval toward the light: diffuse and GGX lobes, blended
+        # BSDF eval toward the light (f*cos, albedo included per lobe)
         wox, woy, woz = to_local(dxl, dyl, dzl)
         # diffuse: f*cos = alb/pi * cos_s ; pdf = cos_s/pi
         pdf_diff_l = jnp.maximum(woz, 0.0) / _PI
@@ -606,31 +777,57 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         hx_, hy_, hz_ = hx_ * hinv, hy_ * hinv, hz_ * hinv
         ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
         D = _ggx_d(hz_, alpha)
-        G = _ggx_g1(wiz, alpha) * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
+        G_s = _ggx_g1(wiz, alpha) * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
         # f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
-        spec_common = D * G / jnp.maximum(4.0 * wiz, 1e-20)
+        spec_common = D * G_s / jnp.maximum(4.0 * wiz, 1e-20)
         pdf_ggx_l = _ggx_g1(wiz, alpha) * D / jnp.maximum(4.0 * wiz, 1e-20)
         F_r = _fresnel_cond(ci_h, eta_r, k_r)
         F_g = _fresnel_cond(ci_h, eta_g, k_g)
         F_b = _fresnel_cond(ci_h, eta_b, k_b)
 
         pdf_bsdf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_diff_l)
-        w_nee = _mis(pdf_l, pdf_bsdf_l)
-        base = w_nee / jnp.maximum(pdf_l, 1e-20)
         fcos_diff = cos_s / _PI
         ggx_ok = (woz > 0).astype(jnp.float32)
-        f_r = jnp.where(is_ggx, spec_common * F_r * ggx_ok, fcos_diff)
-        f_g = jnp.where(is_ggx, spec_common * F_g * ggx_ok, fcos_diff)
-        f_b = jnp.where(is_ggx, spec_common * F_b * ggx_ok, fcos_diff)
+        f_r = jnp.where(is_ggx, alb_r * spec_common * F_r * ggx_ok,
+                        alb_r * fcos_diff)
+        f_g = jnp.where(is_ggx, alb_g * spec_common * F_g * ggx_ok,
+                        alb_g * fcos_diff)
+        f_b = jnp.where(is_ggx, alb_b * spec_common * F_b * ggx_ok,
+                        alb_b * fcos_diff)
+        if has_plastic:
+            # (rough)plastic NEE (plastic.cpp eval/pdf, roughplastic.cpp):
+            # diffuse base behind the coating + GGX dielectric coat (rough)
+            Fp_i, _, _, _ = _fresnel_diel(wiz, eta_d)
+            Fp_o, _, _, _ = _fresnel_diel(jnp.maximum(woz, 0.0), eta_d)
+            prob_sp = Fp_i * ssw / jnp.maximum(
+                Fp_i * ssw + (1.0 - Fp_i) * (1.0 - ssw), 1e-8)
+            den_r = 1.0 - jnp.where(nonlin, alb_r * fdr, fdr)
+            den_g = 1.0 - jnp.where(nonlin, alb_g * fdr, fdr)
+            den_b = 1.0 - jnp.where(nonlin, alb_b * fdr, fdr)
+            dcom = (1.0 / _PI) * inv_eta2 * jnp.maximum(woz, 0.0) \
+                * (1.0 - Fp_i) * (1.0 - Fp_o)
+            pd_r = alb_r / jnp.maximum(den_r, 1e-8) * dcom
+            pd_g = alb_g / jnp.maximum(den_g, 1e-8) * dcom
+            pd_b = alb_b / jnp.maximum(den_b, 1e-8) * dcom
+            Fp_h, _, _, _ = _fresnel_diel(ci_h, eta_d)
+            sp = spec_common * Fp_h * ggx_ok
+            f_r = jnp.where(is_plas,
+                            pd_r + jnp.where(is_rplas, c2_r * sp, 0.0), f_r)
+            f_g = jnp.where(is_plas,
+                            pd_g + jnp.where(is_rplas, c2_g * sp, 0.0), f_g)
+            f_b = jnp.where(is_plas,
+                            pd_b + jnp.where(is_rplas, c2_b * sp, 0.0), f_b)
+            pdf_plas = pdf_diff_l * (1.0 - prob_sp) \
+                + jnp.where(is_rplas, pdf_ggx_l * prob_sp, 0.0)
+            pdf_bsdf_l = jnp.where(is_plas, pdf_plas, pdf_bsdf_l)
+        w_nee = _mis(pdf_l, pdf_bsdf_l)
+        base = w_nee / jnp.maximum(pdf_l, 1e-20)
         # gate the WHOLE product: miss lanes carry inf/NaN intermediates
         # (t = BIG positions) that must never touch the accumulator
         gate = nee_ok & ~occluded
-        res_r_ = res_r_ + jnp.where(gate, thr_r_ * alb_r * base * f_r
-                                    * lrad_r, 0.0)
-        res_g_ = res_g_ + jnp.where(gate, thr_g_ * alb_g * base * f_g
-                                    * lrad_g, 0.0)
-        res_b_ = res_b_ + jnp.where(gate, thr_b_ * alb_b * base * f_b
-                                    * lrad_b, 0.0)
+        res_r_ = res_r_ + jnp.where(gate, thr_r_ * base * f_r * lrad_r, 0.0)
+        res_g_ = res_g_ + jnp.where(gate, thr_g_ * base * f_g * lrad_g, 0.0)
+        res_b_ = res_b_ + jnp.where(gate, thr_b_ * base * f_b * lrad_b, 0.0)
 
         # --- BSDF sampling: cosine (diffuse) / GGX VNDF (Heitz 2018) ---
         u_c1, u_c2 = _rng2(key, dim0 + 4)
@@ -686,22 +883,124 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         wsel_z = jnp.where(is_ggx, goz, cz_)
         bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
         ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & (cz_ > 0))
-        wt_r = jnp.where(is_ggx, Fs_r * g1o, 1.0)
-        wt_g = jnp.where(is_ggx, Fs_g * g1o, 1.0)
-        wt_b = jnp.where(is_ggx, Fs_b * g1o, 1.0)
+        # full throughput multiplier (albedo folded in per lobe)
+        m_r = jnp.where(is_ggx, alb_r * Fs_r * g1o, alb_r)
+        m_g = jnp.where(is_ggx, alb_g * Fs_g * g1o, alb_g)
+        m_b = jnp.where(is_ggx, alb_b * Fs_b * g1o, alb_b)
+        # MIS pdf carried to the next emitter hit (0 => delta lobe)
+        mis_pdf = bsdf_pdf
+        eta_mul = done_
+
+        if has_diel or has_plastic:
+            u_lobe, _ = _rng2(key, dim0 + 3)
+
+        if has_diel:
+            # smooth dielectric: two delta lobes by Fresnel (dielectric.cpp
+            # semantics via models/bsdfs.py SmoothDielectric.sample)
+            F_d, cos_t, eta_it_d, eta_ti_d = _fresnel_diel(wiz_r, eta_d)
+            refl_d = u_lobe <= F_d
+            ddx = jnp.where(refl_d, -wix, -eta_ti_d * wix)
+            ddy = jnp.where(refl_d, -wiy, -eta_ti_d * wiy)
+            ddz = jnp.where(refl_d, wiz_r, cos_t)
+            # radiance transport: transmitted weight *= eta_ti^2
+            md_r = jnp.where(refl_d, alb_r, c2_r * eta_ti_d * eta_ti_d)
+            md_g = jnp.where(refl_d, alb_g, c2_g * eta_ti_d * eta_ti_d)
+            md_b = jnp.where(refl_d, alb_b, c2_b * eta_ti_d * eta_ti_d)
+            pdf_d = jnp.where(refl_d, F_d, 1.0 - F_d)
+            wsel_x = jnp.where(is_diel, ddx, wsel_x)
+            wsel_y = jnp.where(is_diel, ddy, wsel_y)
+            wsel_z = jnp.where(is_diel, ddz, wsel_z)
+            m_r = jnp.where(is_diel, md_r, m_r)
+            m_g = jnp.where(is_diel, md_g, m_g)
+            m_b = jnp.where(is_diel, md_b, m_b)
+            bsdf_pdf = jnp.where(is_diel, pdf_d, bsdf_pdf)
+            mis_pdf = jnp.where(is_diel, 0.0, mis_pdf)
+            ok_lobe = ok_lobe | is_diel
+            eta_mul = jnp.where(is_diel & ~refl_d, eta_it_d, eta_mul)
+
+        if has_plastic:
+            # (rough)plastic: coat w.p. prob_sp else cosine diffuse
+            # (plastic.cpp / roughplastic.cpp via models/bsdfs.py)
+            sel_sp = u_lobe < prob_sp
+            # smooth coat: delta mirror; rough coat: the GGX candidate
+            spx = jnp.where(is_rplas, gox, -wix)
+            spy = jnp.where(is_rplas, goy, -wiy)
+            spz = jnp.where(is_rplas, goz, wiz)
+            ppx = jnp.where(sel_sp, spx, cx_)
+            ppy = jnp.where(sel_sp, spy, cy_)
+            ppz = jnp.where(sel_sp, spz, cz_)
+            # shared diffuse factors at the sampled wo
+            Fp_os, _, _, _ = _fresnel_diel(jnp.maximum(ppz, 0.0), eta_d)
+            dcom_s = (1.0 / _PI) * inv_eta2 * jnp.maximum(ppz, 0.0) \
+                * (1.0 - Fp_i) * (1.0 - Fp_os)
+            fd_r = alb_r / jnp.maximum(den_r, 1e-8) * dcom_s
+            fd_g = alb_g / jnp.maximum(den_g, 1e-8) * dcom_s
+            fd_b = alb_b / jnp.maximum(den_b, 1e-8) * dcom_s
+            pdf_cos = jnp.maximum(ppz, 0.0) / _PI
+            # --- smooth plastic: analytic per-lobe weights; the diffuse
+            # lane weight is fd/(pdf_cos*(1-prob_sp)) which reduces to
+            # plastic.cpp's diff/denom * inv_eta2 (1-Fi)(1-Fo)/(1-prob_sp)
+            inv_pd = 1.0 / jnp.maximum(pdf_cos * (1.0 - prob_sp), 1e-20)
+            inv_ps = 1.0 / jnp.maximum(prob_sp, 1e-8)
+            msm_r = jnp.where(sel_sp, c2_r * Fp_i * inv_ps, fd_r * inv_pd)
+            msm_g = jnp.where(sel_sp, c2_g * Fp_i * inv_ps, fd_g * inv_pd)
+            msm_b = jnp.where(sel_sp, c2_b * Fp_i * inv_ps, fd_b * inv_pd)
+            pdf_sm = jnp.where(sel_sp, prob_sp,
+                               pdf_cos * (1.0 - prob_sp))
+            mis_sm = jnp.where(sel_sp, 0.0, pdf_cos * (1.0 - prob_sp))
+            # --- rough plastic: value = eval(wo)/pdf(wo), mixture pdf ---
+            h2x = wix + ppx
+            h2y = wiy + ppy
+            h2z = wiz + ppz
+            h2inv = jax.lax.rsqrt(jnp.maximum(
+                h2x * h2x + h2y * h2y + h2z * h2z, 1e-20))
+            ci_h2 = jnp.maximum(
+                (wix * h2x + wiy * h2y + wiz * h2z) * h2inv, 0.0)
+            D2 = _ggx_d(h2z * h2inv, alpha)
+            G2 = _ggx_g1(wiz, alpha) \
+                * _ggx_g1(jnp.maximum(ppz, 1e-6), alpha)
+            Fp_h2, _, _, _ = _fresnel_diel(ci_h2, eta_d)
+            spec2 = D2 * G2 * Fp_h2 / jnp.maximum(4.0 * wiz, 1e-20)
+            pdf_g2 = _ggx_g1(wiz, alpha) * D2 \
+                / jnp.maximum(4.0 * wiz, 1e-20)
+            pdf_rp = pdf_g2 * prob_sp + pdf_cos * (1.0 - prob_sp)
+            inv_prp = 1.0 / jnp.maximum(pdf_rp, 1e-20)
+            mrp_r = (c2_r * spec2 + fd_r) * inv_prp
+            mrp_g = (c2_g * spec2 + fd_g) * inv_prp
+            mrp_b = (c2_b * spec2 + fd_b) * inv_prp
+            pm_r = jnp.where(is_rplas, mrp_r, msm_r)
+            pm_g = jnp.where(is_rplas, mrp_g, msm_g)
+            pm_b = jnp.where(is_rplas, mrp_b, msm_b)
+            pdf_p = jnp.where(is_rplas, pdf_rp, pdf_sm)
+            mis_p = jnp.where(is_rplas, pdf_rp, mis_sm)
+            ok_p = ppz > 1e-6
+            wsel_x = jnp.where(is_plas, ppx, wsel_x)
+            wsel_y = jnp.where(is_plas, ppy, wsel_y)
+            wsel_z = jnp.where(is_plas, ppz, wsel_z)
+            m_r = jnp.where(is_plas, pm_r, m_r)
+            m_g = jnp.where(is_plas, pm_g, m_g)
+            m_b = jnp.where(is_plas, pm_b, m_b)
+            bsdf_pdf = jnp.where(is_plas, pdf_p, bsdf_pdf)
+            mis_pdf = jnp.where(is_plas, mis_p, mis_pdf)
+            # (no jnp.where on bools: Mosaic lacks the i1 select lowering)
+            ok_lobe = (is_plas & ok_p) | (~is_plas & ok_lobe)
 
         ndx, ndy, ndz = to_world(wsel_x, wsel_y, wsel_z)
-        thr_r_ = thr_r_ * jnp.where(act, alb_r * wt_r, 1.0)
-        thr_g_ = thr_g_ * jnp.where(act, alb_g * wt_g, 1.0)
-        thr_b_ = thr_b_ * jnp.where(act, alb_b * wt_b, 1.0)
+        thr_r_ = thr_r_ * jnp.where(act, m_r, 1.0)
+        thr_g_ = thr_g_ * jnp.where(act, m_g, 1.0)
+        thr_b_ = thr_b_ * jnp.where(act, m_b, 1.0)
         act = act & ok_lobe & (bsdf_pdf > 0) \
             & ((thr_r_ + thr_g_ + thr_b_) > 0)
+        eta_st_ = jnp.where(act, eta_st * eta_mul, eta_st)
+        # offset the new origin to the side the outgoing ray leaves on
+        # (transmission continues through the surface)
+        off = jnp.where(wsel_z >= 0.0, eps, -eps)
 
         st_out_ref[...] = jnp.stack([
-            pxx + nx * eps, pyy + ny * eps, pzz + nz * eps,
+            pxx + nx * off, pyy + ny * off, pzz + nz * off,
             ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
-            res_r_, res_g_, res_b_, bsdf_pdf,
-            act.astype(jnp.float32), key.view(jnp.float32), pix_f],
+            res_r_, res_g_, res_b_, mis_pdf,
+            act.astype(jnp.float32), key.view(jnp.float32), eta_st_],
             axis=0)
 
     if depth == 0:
@@ -721,11 +1020,27 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 # ----------------------------------------------------------------------------
 
 def _bsdf_columns(bsdf):
-    """-> (kind, albedo_tex_or_None, alpha, eta_rgb, k_rgb) for eligible
-    BSDFs; None if unsupported."""
-    from ..models.bsdfs import SmoothDiffuse, RoughConductor
+    """-> (kind_name, bsdf) for megakernel-eligible BSDFs; None if the
+    scene must fall back to the general wavefront."""
+    from ..models.bsdfs import (SmoothDiffuse, RoughConductor,
+                                SmoothDielectric, SmoothPlastic,
+                                RoughPlastic)
     from ..models.textures import ConstantTexture, CheckerboardTexture
     from ..render.scene import _PerShapeTexture
+
+    def _const(*texs):
+        return all(isinstance(t, (ConstantTexture, _PerShapeTexture))
+                   for t in texs)
+
+    def _iso_ggx(b):
+        if b.dist_type != "ggx" or b.alpha_u != b.alpha_v:
+            return None
+        try:
+            alpha = float(b.alpha_u)
+        except TypeError:
+            return None
+        return alpha if alpha >= 0.01 else None
+
     if type(bsdf) is SmoothDiffuse and isinstance(
             bsdf.reflectance, (ConstantTexture, _PerShapeTexture)):
         return ("diffuse", bsdf)
@@ -737,18 +1052,29 @@ def _bsdf_columns(bsdf):
             return ("checker", bsdf)
         return None
     if type(bsdf) is RoughConductor:
-        if bsdf.dist_type != "ggx" or bsdf.alpha_u != bsdf.alpha_v:
+        if _iso_ggx(bsdf) is None:
             return None
-        try:
-            alpha = float(bsdf.alpha_u)
-        except TypeError:
+        if not _const(bsdf.eta_tex, bsdf.k_tex,
+                      bsdf.specular_reflectance):
             return None
-        if alpha < 0.01:
-            return None
-        for tex in (bsdf.eta_tex, bsdf.k_tex, bsdf.specular_reflectance):
-            if not isinstance(tex, ConstantTexture):
-                return None
         return ("ggx", bsdf)
+    if type(bsdf) is SmoothDielectric:
+        if not _const(bsdf.specular_reflectance,
+                      bsdf.specular_transmittance):
+            return None
+        return ("dielectric", bsdf)
+    if type(bsdf) is SmoothPlastic:
+        if not _const(bsdf.diffuse_reflectance,
+                      bsdf.specular_reflectance):
+            return None
+        return ("plastic", bsdf)
+    if type(bsdf) is RoughPlastic:
+        if _iso_ggx(bsdf) is None or not bsdf.sample_visible:
+            return None
+        if not _const(bsdf.diffuse_reflectance,
+                      bsdf.specular_reflectance):
+            return None
+        return ("roughplastic", bsdf)
     return None
 
 
@@ -794,6 +1120,21 @@ class DiffusePathMegakernel:
                        wv[:, c * C:(c + 1) * C].T,
                        wz[:, c * C:(c + 1) * C].T]
         self.woop = jnp.asarray(np.concatenate(blocks, axis=0))
+
+        # streamed sweep (large meshes): fori_loop over chunks with
+        # per-chunk BVH-AABB culling; faces are already BVH-leaf-ordered
+        # by Scene packing, so chunk boxes are spatially tight
+        self.streamed = (F // C) > UNROLLED_CHUNKS
+        if self.streamed:
+            from .bvh import chunk_bounds
+            cb = chunk_bounds(v0, e1, e2, C)           # (n_chunks, 6)
+            cab = np.zeros((max(_pad8(len(cb)), 8), 8), np.float32)
+            cab[:, 0:3] = np.inf
+            cab[:, 3:6] = -np.inf
+            cab[:len(cb), :6] = cb
+        else:
+            cab = np.zeros((8, 8), np.float32)
+        self.cab = jnp.asarray(cab)
 
         # face attribute table (static parts as numpy; albedo/Le traced)
         fs = np.asarray(g.face_shape)
@@ -848,7 +1189,7 @@ class DiffusePathMegakernel:
             lights = np.concatenate([lights, padl])
         self.lights = jnp.asarray(lights.T.copy())         # (24, L)
 
-        # per-shape BSDF static columns (kind/alpha/eta/k)
+        # per-shape BSDF static columns (kind/alpha/eta/k/extra)
         shp_kind = np.zeros(max(len(scene.shapes), 1), np.float32)
         shp_alpha = np.zeros_like(shp_kind)
         shp_eta = np.zeros((len(shp_kind), 3), np.float32)
@@ -856,6 +1197,8 @@ class DiffusePathMegakernel:
         shp_touv = np.zeros((len(shp_kind), 6), np.float32)
         shp_touv[:, 0] = 1.0
         shp_touv[:, 4] = 1.0
+        # [eta_d, spec_sampling_weight, fdr_int, inv_eta2, nonlinear]
+        shp_extra = np.zeros((len(shp_kind), 5), np.float32)
         for s_idx, s in enumerate(scene.shapes):
             info = _bsdf_columns(s.bsdf)
             if info is None:
@@ -875,6 +1218,18 @@ class DiffusePathMegakernel:
                     M = np.asarray(tex.to_uv.matrix, np.float32)
                     shp_touv[s_idx] = [M[0, 0], M[0, 1], M[0, 3],
                                        M[1, 0], M[1, 1], M[1, 3]]
+            elif kind == "dielectric":
+                shp_kind[s_idx] = 3.0
+                shp_extra[s_idx, 0] = float(b.eta)
+            elif kind in ("plastic", "roughplastic"):
+                shp_kind[s_idx] = 4.0 if kind == "plastic" else 5.0
+                if kind == "roughplastic":
+                    shp_alpha[s_idx] = float(b.alpha_u)
+                shp_extra[s_idx] = [float(b.eta),
+                                    float(b.specular_sampling_weight),
+                                    float(b.fdr_int),
+                                    float(b.inv_eta_2),
+                                    1.0 if b.nonlinear else 0.0]
 
         fattr = np.zeros((F, _FA_COLS), np.float32)
         fattr[:self.n_faces, 0:3] = ng
@@ -891,7 +1246,11 @@ class DiffusePathMegakernel:
         fattr[:self.n_faces, 23:25] = uv1 - uv0
         fattr[:self.n_faces, 25:27] = uv2 - uv0
         fattr[:self.n_faces, 27:33] = shp_touv[fs]
+        fattr[:self.n_faces, 33:38] = shp_extra[fs]
         self.has_checker = bool((shp_kind == 2.0).any())
+        self.has_diel = bool((shp_kind == 3.0).any())
+        self.has_plastic = bool((shp_kind >= 4.0).any())
+        self._has_c2 = self.has_checker or self.has_diel or self.has_plastic
         self._fattr_static = fattr
 
         # analytic spheres (sph geometry + sattr shading rows)
@@ -915,6 +1274,7 @@ class DiffusePathMegakernel:
                 sattr[si, 11] = shp_alpha[s_idx]
                 sattr[si, 12:15] = shp_eta[s_idx]
                 sattr[si, 15:18] = shp_k[s_idx]
+                sattr[si, 33:38] = shp_extra[s_idx]
         self.sph = jnp.asarray(sph.T.copy())               # (8, S)
         self._sattr_static = sattr
 
@@ -936,20 +1296,33 @@ class DiffusePathMegakernel:
         self.interpret = interpret
 
     def _shape_albedo(self, s):
+        """Primary traced color (fattr cols 3:6): diffuse reflectance for
+        diffuse/plastic, checker color0, specular reflectance otherwise."""
         from ..models.textures import CheckerboardTexture
         b = s.bsdf
         tex = getattr(b, "reflectance", None)
         if isinstance(tex, CheckerboardTexture):
             return tex.color0.data.rgb
         if tex is None:
+            tex = getattr(b, "diffuse_reflectance", None)
+        if tex is None:
             tex = getattr(b, "specular_reflectance", None)
         return tex.data.rgb if tex is not None else jnp.zeros(3)
 
     def _shape_c1(self, s):
+        """Secondary traced color (fattr cols 18:21): checker color1,
+        dielectric specular_transmittance, plastic specular_reflectance."""
+        from ..models.bsdfs import (SmoothDielectric, SmoothPlastic,
+                                    RoughPlastic)
         from ..models.textures import CheckerboardTexture
-        tex = getattr(s.bsdf, "reflectance", None)
+        b = s.bsdf
+        tex = getattr(b, "reflectance", None)
         if isinstance(tex, CheckerboardTexture):
             return tex.color1.data.rgb
+        if type(b) is SmoothDielectric:
+            return b.specular_transmittance.data.rgb
+        if type(b) in (SmoothPlastic, RoughPlastic):
+            return b.specular_reflectance.data.rgb
         return jnp.zeros(3)
 
     def _fattr(self):
@@ -960,7 +1333,7 @@ class DiffusePathMegakernel:
         face_alb = alb[self._fs]  # static indices -> cheap
         static = jnp.asarray(self._fattr_static)
         static = static.at[:self.n_faces, 3:6].set(face_alb)
-        if self.has_checker:
+        if self._has_c2:
             c1 = jnp.stack([jnp.broadcast_to(self._shape_c1(s), (3,))
                             for s in scene.shapes])
             static = static.at[:self.n_faces, 18:21].set(c1[self._fs])
@@ -975,7 +1348,14 @@ class DiffusePathMegakernel:
             jnp.broadcast_to(
                 self._shape_albedo(scene.shapes[s_idx]), (3,))
             for s_idx in self._sph_shape_idx])
-        return static.at[:len(self._sph_shape_idx), 3:6].set(alb).T
+        static = static.at[:len(self._sph_shape_idx), 3:6].set(alb)
+        if self._has_c2:
+            c1 = jnp.stack([
+                jnp.broadcast_to(
+                    self._shape_c1(scene.shapes[s_idx]), (3,))
+                for s_idx in self._sph_shape_idx])
+            static = static.at[:len(self._sph_shape_idx), 18:21].set(c1)
+        return static.T
 
     def render_pass(self, sensor, seed, sample_base, spp_pass):
         film = sensor.film
@@ -1005,10 +1385,11 @@ class DiffusePathMegakernel:
             pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec((_ROWS, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
-                  self.sph, self._sattr(), self.env)
+                  self.sph, self._sattr(), self.env, self.cab)
         state = jnp.zeros((_ROWS, n_pad // 128, 128), jnp.float32)
         for depth in range(self.max_depth):
             kernel = functools.partial(
@@ -1018,7 +1399,9 @@ class DiffusePathMegakernel:
                 chunk=self.chunk, spp_pass=spp_pass, width=w, height=h,
                 n_lanes=n, has_spheres=self.has_spheres,
                 has_env=self.has_env, has_checker=self.has_checker,
-                env_w=self.env_w, env_h=self.env_h)
+                has_diel=self.has_diel, has_plastic=self.has_plastic,
+                env_w=self.env_w, env_h=self.env_h,
+                streamed=self.streamed)
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
@@ -1027,6 +1410,7 @@ class DiffusePathMegakernel:
                                        lambda i: (0, i, 0)),
                 out_shape=jax.ShapeDtypeStruct(
                     (_ROWS, n_pad // 128, 128), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((48, RAY_TILE), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,

@@ -35,13 +35,30 @@ def save_film_state(path: str, state, pass_index: int, meta: dict | None
     cp.wait_until_finished()
 
 
-def load_film_state(path: str):
-    """-> (ImageBlockState, pass_index)."""
+def load_film_state(path: str, expect_meta: dict | None = None):
+    """-> (ImageBlockState, pass_index).
+
+    When `expect_meta` is given, every key it contains must match the
+    checkpoint's stored meta — resuming after changing spp, resolution,
+    or channel count would otherwise silently mis-weight the film."""
     import orbax.checkpoint as ocp
     import jax.numpy as jnp
     from ..render.film import ImageBlockState
     cp = ocp.StandardCheckpointer()
     payload = cp.restore(os.path.abspath(path))
+    if expect_meta:
+        stored = payload.get("meta") or {}
+        for k, v in expect_meta.items():
+            if k not in stored:
+                raise ValueError(
+                    f"checkpoint {path} has no '{k}' in its meta; refusing "
+                    f"to resume (expected {v!r})")
+            got = np.asarray(stored[k])
+            if not np.array_equal(got, np.asarray(v)):
+                raise ValueError(
+                    f"checkpoint {path} was written with {k}={got}, but "
+                    f"this render uses {k}={np.asarray(v)}; delete the "
+                    f"checkpoint or restore the original settings")
     state = ImageBlockState(jnp.asarray(payload["data"]),
                             int(payload["border"]), (0, 0))
     return state, int(payload["pass_index"])
@@ -95,11 +112,16 @@ def render_with_checkpoints(scene, sensor=0, seed=0, spp=None,
     while spp % spp_per_pass != 0:
         spp_per_pass -= 1
     n_passes = spp // spp_per_pass
-    block = ImageBlock((w, h), 3 + len(integrator.aov_names()), film.rfilter)
+    n_aovs = len(integrator.aov_names())
+    block = ImageBlock((w, h), 3 + n_aovs, film.rfilter)
     state = block.create()
     start = 0
+    # spp/resolution/channel identity of this run; a resume must match
+    run_meta = {"spp": spp, "spp_per_pass": spp_per_pass,
+                "crop_w": w, "crop_h": h, "n_aovs": n_aovs, "seed": seed}
     if checkpoint_path and os.path.exists(checkpoint_path):
-        state, start = load_film_state(checkpoint_path)
+        state, start = load_film_state(checkpoint_path,
+                                       expect_meta=run_meta)
     for p in range(start, n_passes):
         data = integrator.render_wavefront(
             scene, sensor, sampler, jnp.uint32(seed),
@@ -107,5 +129,6 @@ def render_with_checkpoints(scene, sensor=0, seed=0, spp=None,
         state = state._replace(data=state.data + data)
         if checkpoint_path and ((p + 1) % checkpoint_every == 0
                                 or p + 1 == n_passes):
-            save_film_state(checkpoint_path, state, p + 1)
+            save_film_state(checkpoint_path, state, p + 1,
+                            meta=run_meta)
     return block.develop(state)

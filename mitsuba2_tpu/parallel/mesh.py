@@ -48,27 +48,50 @@ def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
         raise ValueError(f"spp ({spp}) must divide by mesh size ({n_dev})")
     spp_per_dev = spp // n_dev
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
-             out_specs=P())
-    def shard_fn(dev_ids):
-        base = dev_ids[0] * jnp.uint32(spp_per_dev)
-        data = integrator.render_wavefront(
-            scene, sensor, sampler, jnp.uint32(seed), base,
-            spp_per_dev, spp)
-        return jax.lax.psum(data, axis_name)
+    # the megakernel is per-lane (no collectives), so it composes with
+    # shard_map directly on TPU; each chip renders spp/n samples through
+    # the same pallas_call and only the film psum rides the ICI
+    mk = None
+    if jax.default_backend() == "tpu" \
+            and hasattr(integrator, "_megakernel_for") \
+            and not getattr(integrator, "_disable_megakernel", False):
+        mk = integrator._megakernel_for(scene, sensor)
 
-    dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
-    # the pallas megakernel is not shard_map-compatible yet; force the
-    # general wavefront inside the sharded region
-    # pallas kernels (megakernel, Woop intersector) are not
-    # shard_map-compatible yet; force XLA paths inside the sharded region
-    integrator._disable_megakernel = True
-    scene._disable_pallas = True
-    try:
-        data = jax.jit(shard_fn)(dev_ids)
-    finally:
-        integrator._disable_megakernel = False
-        scene._disable_pallas = False
+    if mk is not None:
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
+                 out_specs=P())
+        def shard_fn(dev_ids):
+            base = dev_ids[0] * jnp.int32(spp_per_dev)
+            img = mk.render_pass(sensor, jnp.int32(seed), base,
+                                 spp_per_dev)
+            return jax.lax.psum(img, axis_name)
+
+        integrator.last_engine = "megakernel"
+        data = jax.jit(shard_fn)(jnp.arange(n_dev, dtype=jnp.int32))
+    else:
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
+                 out_specs=P())
+        def shard_fn(dev_ids):
+            base = dev_ids[0] * jnp.uint32(spp_per_dev)
+            data = integrator.render_wavefront(
+                scene, sensor, sampler, jnp.uint32(seed), base,
+                spp_per_dev, spp)
+            return jax.lax.psum(data, axis_name)
+
+        dev_ids = jnp.arange(n_dev, dtype=jnp.uint32)
+        # the XLA-wavefront fallback cannot host the Woop pallas
+        # intersector inside the sharded region on non-TPU meshes
+        if jax.default_backend() == "tpu":
+            from ..core import logger as _log
+            _log.Log(_log.Info, "multichip: XLA wavefront inside "
+                     "shard_map (scene not megakernel-eligible)")
+        integrator._disable_megakernel = True
+        scene._disable_pallas = True
+        try:
+            data = jax.jit(shard_fn)(dev_ids)
+        finally:
+            integrator._disable_megakernel = False
+            scene._disable_pallas = False
 
     from ..render.film import ImageBlock
     w, h = film.crop_size

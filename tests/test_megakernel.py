@@ -158,6 +158,79 @@ def test_matpreview_eligible_and_matches(variant_scalar_rgb):
     _cmp(scene, spp=96, max_depth=4, tol=0.08)
 
 
+def test_streamed_large_mesh(variant_scalar_rgb):
+    """>8-chunk meshes take the streamed sweep (fori_loop + per-chunk
+    BVH-AABB culling); radiometry must match the wavefront."""
+    from mitsuba2_tpu.ops.megakernel import DiffusePathMegakernel
+    from mitsuba2_tpu.python.test.scenes import bumpy_sphere_dict
+    scene = mi.load_dict(bumpy_sphere_dict(width=24, height=24, spp=48,
+                                           max_depth=3, nu=32, nv=20))
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    assert mk.streamed, "1216-face mesh should use the streamed sweep"
+    _cmp(scene, spp=48, max_depth=3, tol=0.06)
+
+
+def test_smooth_dielectric_sphere(variant_scalar_rgb):
+    """Glass sphere over a diffuse floor: refraction, eta-aware RR, and
+    delta-lobe MIS (prev_pdf=0) against the wavefront reference."""
+    d = _base(max_depth=6)
+    d["light"] = _arealight(radiance=12.0)
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -1, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb", "value": 0.6}}}
+    d["glass"] = {"type": "sphere", "radius": 0.7,
+                  "bsdf": {"type": "dielectric"}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=192, max_depth=6, tol=0.08)
+
+
+def test_smooth_plastic_floor(variant_scalar_rgb):
+    d = _base(max_depth=4)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -0.5, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "plastic",
+                           "diffuse_reflectance": {"type": "rgb",
+                                                   "value": [0.5, 0.2,
+                                                             0.2]}}}
+    scene = mi.load_dict(d)
+    a, b = _cmp(scene, spp=128, max_depth=4, tol=0.06)
+    assert a[..., 0].mean() > a[..., 2].mean()
+
+
+def test_rough_plastic_slab(variant_scalar_rgb):
+    d = _base(max_depth=4)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -1, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "diffuse"}}
+    d["slab"] = {"type": "rectangle",
+                 "to_world": T.rotate([1, 0, 0], -60),
+                 "bsdf": {"type": "roughplastic", "alpha": 0.2,
+                          "distribution": "ggx",
+                          "diffuse_reflectance": {"type": "rgb",
+                                                  "value": [0.2, 0.4,
+                                                            0.7]}}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=128, max_depth=4, tol=0.06)
+
+
+def test_nonlinear_plastic(variant_scalar_rgb):
+    """nonlinear=True changes the internal-scattering compensation."""
+    d = _base(max_depth=3)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle", "to_world": T.scale(2),
+                  "bsdf": {"type": "plastic", "nonlinear": True,
+                           "diffuse_reflectance": {"type": "rgb",
+                                                   "value": 0.8}}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=128, max_depth=3, tol=0.06)
+
+
 def test_mixed_emitters_and_backface(variant_scalar_rgb):
     """Regressions: (1) area+env NEE density must be the renormalized
     area-face density, not 1/n_em-scaled (was ~2x too bright); (2)

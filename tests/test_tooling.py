@@ -57,6 +57,11 @@ def test_film_checkpoint_resume(variant_scalar_rgb, tmp_path):
     img_resumed = np.asarray(render_with_checkpoints(
         scene, seed=0, spp=64, checkpoint_path=ck, checkpoint_every=1))
     assert np.allclose(img_full, img_resumed, atol=1e-6)
+    # resuming with changed spp must be rejected, not silently mis-weighted
+    import pytest
+    with pytest.raises(ValueError, match="spp"):
+        render_with_checkpoints(scene, seed=0, spp=32,
+                                checkpoint_path=ck, checkpoint_every=1)
 
 
 def test_optimizer_checkpoint(variant_scalar_rgb, tmp_path):

@@ -44,6 +44,9 @@ def build_parser():
                    help="shard samples over all available devices")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--timeout", type=float, default=-1.0,
+                   help="stop rendering after this many seconds and "
+                   "develop the passes finished so far")
     return p
 
 
@@ -87,6 +90,41 @@ def main(argv=None):
     sensor = scene.sensors[args.sensor]
     spp = args.spp or sensor.sampler.sample_count
 
+    integrator = scene.integrator
+    if args.timeout > 0:
+        integrator.timeout = args.timeout
+
+    out = args.output
+    if out is None:
+        out = os.path.splitext(args.scene)[0] + ".exr"
+
+    # SIGHUP develops a partial image mid-render; a second SIGINT (after
+    # the cooperative cancel) falls through to the default handler
+    # (mitsuba.cpp:95-121 semantics)
+    import signal
+
+    def _on_hup(signum, frame):
+        partial = integrator.develop_partial()
+        if partial is not None:
+            write_image(out, np.asarray(partial))
+            Log(Info, "Wrote partial image %s (SIGHUP)", out)
+
+    def _on_int(signum, frame):
+        if integrator._cancel:
+            raise KeyboardInterrupt
+        Log(Info, "Cancelling render (finishing the current pass) ...")
+        integrator.cancel()
+
+    if hasattr(signal, "SIGHUP"):
+        try:
+            signal.signal(signal.SIGHUP, _on_hup)
+        except ValueError:
+            pass      # non-main thread (e.g. under a test runner)
+    try:
+        signal.signal(signal.SIGINT, _on_int)
+    except ValueError:
+        pass
+
     Log(Info, "Rendering %dx%d @ %d spp with %s ...",
         sensor.film.crop_size[0], sensor.film.crop_size[1], spp,
         type(scene.integrator).__name__)
@@ -103,9 +141,6 @@ def main(argv=None):
     n_paths = sensor.film.crop_size[0] * sensor.film.crop_size[1] * spp
     Log(Info, "Rendered in %.2fs (%.2f Mpaths/s)", dt, n_paths / dt / 1e6)
 
-    out = args.output
-    if out is None:
-        out = os.path.splitext(args.scene)[0] + ".exr"
     write_image(out, img)
     Log(Info, "Wrote %s", out)
     return 0

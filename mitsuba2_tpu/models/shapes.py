@@ -2,10 +2,11 @@
 disk, sphere, cylinder, cube is rectangle-composed in the reference's scene
 assets; SURVEY.md §2.3).
 
-Round-1 tier: parametric mesh shapes (rectangle/cube/sphere/disk/cylinder as
-tessellated meshes — exact for the flat ones) + OBJ/PLY loaders. Analytic
-sphere/disk intersection joins the packed-shape-table path in a later
-milestone; meshes already give full capability coverage.
+Exact-intersection tier: rectangle/cube are flat meshes (exact);
+sphere/disk/cylinder are ANALYTIC prims intersected through the scene's
+packed quadric tables (sphere: sph_table; disk/cylinder: quad_table with a
+canonical-frame to_object transform). Analytic prims tessellate only when
+they carry an emitter (area sampling runs on mesh face tables).
 """
 
 from __future__ import annotations
@@ -169,62 +170,206 @@ class SphereShape(Shape):
         return self.center - self.radius, self.center + self.radius
 
 
+class _AnalyticQuadric(Shape):
+    """Base for exactly-intersected non-sphere quadric prims (disk,
+    cylinder): world rays transform into a canonical object frame via a
+    packed to_object matrix (scene.py quad_table) — the TPU-table form of
+    the reference's `m_to_object.transform_affine(ray)` pattern
+    (disk.cpp:146-166, cylinder.cpp:243-291)."""
+
+    QUAD_KIND = 0.0
+
+    def is_analytic(self):
+        return True
+
+    def is_quadric(self):
+        return True
+
+    def expand(self):
+        # emitters need mesh area-sampling tables (like SphereShape)
+        if self.emitter is not None:
+            return [self._tessellate()]
+        return [self]
+
+    def _finish_tessellation(self, mesh):
+        mesh.bsdf = self.bsdf
+        mesh.emitter = self.emitter
+        mesh.interior_medium = self.interior_medium
+        mesh.exterior_medium = self.exterior_medium
+        if self.emitter is not None:
+            self.emitter.set_shape(mesh)
+        return mesh
+
+    def prim_row(self):
+        """-> 24 floats [A rows 0:9 | b 9:12 | B rows 12:21 | kind 21 |
+        radius 22 | length 23]; A = to_object linear, b = to_object
+        translation, B = to_world linear."""
+        A = self._A
+        b = self._b
+        B = self._B
+        return np.concatenate([
+            A.reshape(9), b.reshape(3), B.reshape(9),
+            np.asarray([self.QUAD_KIND, getattr(self, "radius", 1.0),
+                        getattr(self, "length", 1.0)], np.float32)]
+        ).astype(np.float32)
+
+
 @register_plugin("shape", "disk")
-class DiskShape(Mesh):
-    """(disk.cpp) unit disk in the xy-plane (tessellated)."""
+class DiskShape(_AnalyticQuadric):
+    """(disk.cpp:85-225) unit disk z=0 in object space, EXACT analytic
+    intersection under an arbitrary affine to_world (ellipses included) —
+    replaces round 1's tessellation and its silhouette error."""
+
+    QUAD_KIND = 1.0
 
     def __init__(self, props=None):
         p = props or Properties("disk")
-        res = int(p.int_("resolution_hint", 64))
+        super().__init__(p)
+        self._res = int(p.int_("resolution_hint", 64))
+        self.flip_normals = p.bool_("flip_normals", False)
+        tw = _get_to_world(props)
+        M = np.asarray(tw.matrix, np.float64)
+        self._B = M[:3, :3].astype(np.float32)
+        A = np.linalg.inv(M[:3, :3])
+        self._A = A.astype(np.float32)
+        self._b = (-A @ M[:3, 3]).astype(np.float32)
+        self._to_world = tw
+        # du/dv lengths for surface_area (disk.cpp:85-110)
+        dp_du = M[:3, 0]
+        dp_dv = M[:3, 1]
+        self._du = float(np.linalg.norm(dp_du))
+        self._dv = float(np.linalg.norm(dp_dv))
+        n = np.cross(dp_du, dp_dv)
+        self._n_world = (n / max(np.linalg.norm(n), 1e-20)).astype(
+            np.float32)
+
+    def surface_area(self) -> float:
+        # ellipse area pi * du * h (disk.cpp:107-110)
+        dp_du = self._B[:, 0]
+        dp_dv = self._B[:, 1]
+        s_axis = dp_du / max(self._du, 1e-20)
+        h = np.sqrt(max(self._dv ** 2 - float(np.dot(dp_dv, s_axis)) ** 2,
+                        0.0))
+        return float(np.pi * self._du * h)
+
+    def bbox(self):
+        M = np.asarray(self._to_world.matrix)
+        pts = np.asarray([[x, y, 0.0, 1.0] for x in (-1, 1)
+                          for y in (-1, 1)], np.float64) @ M.T
+        return (pts[:, :3].min(0).astype(np.float32),
+                pts[:, :3].max(0).astype(np.float32))
+
+    def _tessellate(self):
+        res = self._res
         ph = np.linspace(0, 2 * np.pi, res, endpoint=False)
         rim = np.stack([np.cos(ph), np.sin(ph), np.zeros_like(ph)], -1)
         v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
-        f = np.asarray([[0, 1 + i, 1 + (i + 1) % res] for i in range(res)],
-                       np.int32)
+        f = np.asarray([[0, 1 + i, 1 + (i + 1) % res]
+                        for i in range(res)], np.int32)
         n = np.tile(np.array([[0, 0, 1]], np.float32), (len(v), 1))
         uv = 0.5 * (v[:, :2] + 1.0)
-        super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
-                         name="disk")
-        self.apply_transform(_get_to_world(props))
+        mesh = Mesh(None, vertices=v, faces=f, normals=n, uvs=uv,
+                    name="disk")
+        mesh.apply_transform(self._to_world)
+        return self._finish_tessellation(mesh)
 
 
 @register_plugin("shape", "cylinder")
-class CylinderShape(Mesh):
-    """(cylinder.cpp) open cylinder along +z from p0 to p1 (tessellated)."""
+class CylinderShape(_AnalyticQuadric):
+    """(cylinder.cpp:83-390) open cylinder from p0 to p1, EXACT quadric
+    intersection: to_world composes translate(p0) x frame(p1-p0) x
+    scale(radius) like the reference, then radius/length are extracted
+    and the residual rigid transform packs into the quad table."""
+
+    QUAD_KIND = 2.0
 
     def __init__(self, props=None):
         p = props or Properties("cylinder")
+        super().__init__(p)
+        self._res = int(p.int_("resolution_hint", 64))
+        self.flip_normals = p.bool_("flip_normals", False)
         radius = p.float_("radius", 1.0)
-        p0 = p.vector3("p0", [0, 0, 0])
-        p1 = p.vector3("p1", [0, 0, 1])
-        res = int(p.int_("resolution_hint", 64))
-        axis = np.asarray(p1, np.float64) - np.asarray(p0, np.float64)
-        length = np.linalg.norm(axis)
-        axis = axis / max(length, 1e-12)
-        # frame
-        tmp = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else \
-            np.array([0, 1.0, 0])
-        u = np.cross(axis, tmp)
-        u /= np.linalg.norm(u)
-        w = np.cross(axis, u)
+        p0 = np.asarray(p.vector3("p0", [0, 0, 0]), np.float64)
+        p1 = np.asarray(p.vector3("p1", [0, 0, 1]), np.float64)
+        tw = _get_to_world(props)
+        M = np.asarray(tw.matrix, np.float64).copy()
+        # compose: to_world * translate(p0) * to_frame(p1-p0) * scale(r,r,1)
+        axis = p1 - p0
+        ln = np.linalg.norm(axis)
+        az = axis / max(ln, 1e-12)
+        # branchless ONB (Duff et al.) — the reference's Frame3f /
+        # coordinate_system convention, so uv phases line up
+        sgn = 1.0 if az[2] >= 0 else -1.0
+        a_ = -1.0 / (sgn + az[2])
+        b_ = az[0] * az[1] * a_
+        ax = np.asarray([1.0 + sgn * az[0] * az[0] * a_, sgn * b_,
+                         -sgn * az[0]])
+        ay = np.asarray([b_, sgn + az[1] * az[1] * a_, -az[1]])
+        L = np.eye(4)
+        L[:3, 0] = ax * radius
+        L[:3, 1] = ay * radius
+        L[:3, 2] = az * ln
+        L[:3, 3] = p0
+        M = M @ L
+        # extract per-axis scale (cylinder.cpp update(): to_world must be
+        # shear-free with uniform xy scale)
+        sx = np.linalg.norm(M[:3, 0])
+        sy = np.linalg.norm(M[:3, 1])
+        sz = np.linalg.norm(M[:3, 2])
+        self.radius = float(0.5 * (sx + sy))
+        self.length = float(sz)
+        R = np.stack([M[:3, 0] / max(sx, 1e-20), M[:3, 1] / max(sy, 1e-20),
+                      M[:3, 2] / max(sz, 1e-20)], axis=1)
+        self._B = R.astype(np.float32)             # rigid to_world linear
+        A = R.T                                    # rigid inverse
+        self._A = A.astype(np.float32)
+        self._b = (-A @ M[:3, 3]).astype(np.float32)
+        Mw = np.eye(4, dtype=np.float64)
+        Mw[:3, :3] = R
+        Mw[:3, 3] = M[:3, 3]
+        self._to_world_rigid = Transform.from_matrix(Mw.astype(np.float32))
+
+    def surface_area(self) -> float:
+        return float(2.0 * np.pi * self.radius * self.length)
+
+    def bbox(self):
+        B = self._B.astype(np.float64)
+        x1 = B[:, 0] * self.radius
+        x2 = B[:, 1] * self.radius
+        x = np.sqrt(x1 * x1 + x2 * x2)
+        t = -self._A.T.astype(np.float64) @ self._b  # world origin
+        q0 = t
+        q1 = t + B[:, 2] * self.length
+        return (np.minimum(q0 - x, q1 - x).astype(np.float32),
+                np.maximum(q0 + x, q1 + x).astype(np.float32))
+
+    def _tessellate(self):
+        res = self._res
         ph = np.linspace(0, 2 * np.pi, res, endpoint=False)
-        ring = (np.outer(np.cos(ph), u) + np.outer(np.sin(ph), w)) * radius
-        bottom = ring + np.asarray(p0)
-        top = ring + np.asarray(p1)
+        ring = np.stack([np.cos(ph), np.sin(ph), np.zeros_like(ph)],
+                        -1) * self.radius
+        bottom = ring
+        top = ring + np.asarray([0, 0, self.length])
         v = np.concatenate([bottom, top]).astype(np.float32)
         n = np.concatenate([ring, ring]).astype(np.float32)
         n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-        faces = []
         uv = np.concatenate([
             np.stack([ph / (2 * np.pi), np.zeros_like(ph)], -1),
-            np.stack([ph / (2 * np.pi), np.ones_like(ph)], -1)]).astype(np.float32)
+            np.stack([ph / (2 * np.pi), np.ones_like(ph)], -1)]
+        ).astype(np.float32)
+        faces = []
         for i in range(res):
             a, b = i, (i + 1) % res
             faces.append([a, b, res + a])
             faces.append([b, res + b, res + a])
-        super().__init__(props, vertices=v, faces=np.asarray(faces, np.int32),
-                         normals=n, uvs=uv, name="cylinder")
-        self.apply_transform(_get_to_world(props))
+        if self.flip_normals:
+            faces = [f[::-1] for f in faces]
+            n = -n
+        mesh = Mesh(None, vertices=v,
+                    faces=np.asarray(faces, np.int32), normals=n, uvs=uv,
+                    name="cylinder")
+        mesh.apply_transform(self._to_world_rigid)
+        return self._finish_tessellation(mesh)
 
 
 @register_plugin("shape", "obj")

@@ -96,7 +96,9 @@ def _isect_kernel(oh_ref, dh_ref, mint_ref, maxt_ref, wu_ref, wv_ref,
     # --- chunk-AABB slab culling (kd-tree node test, VPU prologue):
     # if NO ray in this tile reaches this BVH-leaf chunk's box within its
     # live [mint, min(maxt, best)] segment, skip the 6 MXU passes entirely
-    box = aabb_ref[:]                                # (1, 8)
+    # (whole table resident; a per-chunk (1, 8) block would violate the
+    # sublane-divisibility rule once n_chunks > 1)
+    box = aabb_ref[pl.ds(j, 1), :]                   # (1, 8)
     best_prev = tuv_ref[:, 0:1]
     cap = jnp.minimum(maxt, best_prev)               # (R, 1)
     t_near = mint * 0.0 - _BIG
@@ -170,7 +172,7 @@ def _pallas_intersect(oh, dh, mint, maxt, wu, wv, wz, aabb, n_faces: int,
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
             pl.BlockSpec((4, FACE_CHUNK), lambda i, j: (0, j)),
-            pl.BlockSpec((1, 8), lambda i, j: (j, 0)),
+            pl.BlockSpec(aabb.shape, lambda i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((RAY_TILE, 3), lambda i, j: (i, 0)),
@@ -221,6 +223,14 @@ class WoopIntersector:
                           FACE_CHUNK)
         aabb = np.concatenate(
             [cb, np.zeros((cb.shape[0], 2), np.float32)], -1)
+        # pad rows to a sublane multiple (whole table is VMEM-resident;
+        # extra rows carry inverted boxes so they can never pass the test)
+        rpad = (-aabb.shape[0]) % 8
+        if rpad:
+            inv = np.zeros((rpad, 8), np.float32)
+            inv[:, 0:3] = np.inf
+            inv[:, 3:6] = -np.inf
+            aabb = np.concatenate([aabb, inv], 0)
         self.aabb = jnp.asarray(aabb)
         self.interpret = interpret
 

@@ -52,18 +52,21 @@ RAY_TILE = 2048
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
-# to a fori_loop with per-chunk BVH-AABB culling (see _path_kernel)
+# to a fori_loop with two-level BVH-AABB culling (see _path_kernel)
 UNROLLED_CHUNKS = 8
+SUPER = 8                # chunks per super-chunk (second culling level)
 MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
 _BIG = 3.0e38
 _PI = 3.141592653589793
 
-# state rows (HBM layout (16, n) float32)
-_ROWS = 16
+# state rows (HBM layout (_ROWS, n) float32)
+_ROWS = 17
 # 0:3 o | 3:6 d | 6:9 throughput | 9:12 result | 12 prev_pdf
 # 13 active | 14 rng key (uint32 bits) | 15 eta (relative IOR product)
+# 16 pixel id (f32-exact below 2^24) — lanes are re-sorted between
+# bounces (see render_pass), so pixel identity must ride the state
 
 
 # ----------------------------------------------------------------------------
@@ -91,6 +94,20 @@ def _dot3(a, b):
                       precision=p)
             + jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32,
                       precision=p))
+
+
+def _dot3T(aT, b):
+    """_dot3 with a transposed lhs: contract aT's FIRST axis with b's
+    first axis ((K, M) x (K, N) -> (M, N)). Storing the Woop table as
+    (4, 3F) instead of (3F, 4) cuts its VMEM footprint 16x (a 4-lane
+    row-major table wastes 124/128 lanes of every tile)."""
+    a_hi, a_lo = _split_bf16(aT)
+    b_hi, b_lo = _split_bf16(b)
+    p = jax.lax.Precision.DEFAULT
+    dn = (((0,), (0,)), ((), ()))
+    f = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                          preferred_element_type=jnp.float32, precision=p)
+    return f(a_lo, b_hi) + f(a_hi, b_lo) + f(a_hi, b_hi)
 
 
 def _dotpick(table, pick):
@@ -231,18 +248,20 @@ def _fresnel_diel(cos_i, eta):
 
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
-                 sattr_ref, env_ref, cab_ref, st_in_ref, st_out_ref,
-                 acc_ref, *, depth, max_depth, rr_depth, n_faces, chunk,
-                 spp_pass, width, height, n_lanes, has_spheres, has_env,
-                 has_checker, has_diel, has_plastic, env_w, env_h,
-                 streamed):
+                 sattr_ref, env_ref, cab_ref, scab_ref, st_in_ref,
+                 st_out_ref, acc_ref, *, depth, max_depth, rr_depth,
+                 n_faces, chunk, spp_pass, width, height, n_lanes,
+                 has_spheres, has_env, has_checker, has_diel, has_plastic,
+                 env_w, env_h, streamed, carry_pixel):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
         axes), origin(3), tan_half_fov, pad]
     meta_ref (1,2) SMEM int32: [seed, sample_base]
-    woop_ref (n_chunks*3C, 4): per-chunk [Wu; Wv; Wz] row blocks; padded
-        faces carry the never-hit transform (Z=1, DZ=0).
+    woop_ref (4, n_chunks*3C): per-chunk [Wu | Wv | Wz] column blocks,
+        transposed (4-row layout wastes only half a tile's sublanes vs
+        124/128 lanes for the (3F, 4) layout); padded faces carry the
+        never-hit transform (Z=1, DZ=0).
     fattr (40, F): transposed face attributes (_FA_COLS comment above).
     lt (24, L): light faces: v0(0:3) e1(3:6) e2(6:9) n(9:12) cdf(12)
         weight(13) radiance(14:17) pad.
@@ -252,22 +271,27 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     cab (n_chunks_pad, 8): per-chunk BVH AABBs [lo3 hi3 pad2] (BVH-leaf
         face order makes chunks spatially tight); padding chunks carry
         inverted boxes so they never pass the slab test.
+    scab (n_super_pad, 8): super-chunk AABBs (unions of SUPER chunks).
     st (16, G, 128) block of the (16, n/128, 128) state; see _ROWS.
     acc (48, R) f32 VMEM scratch for the `streamed` sweep: row 0 t_best,
         1 bary-u, 2 bary-v, 3 shadow-hit count, 8:48 A_best.
 
     When ``streamed`` is set (large meshes), the face sweep runs as a
-    fori_loop over chunks with a per-chunk ray-vs-AABB slab test and
-    `pl.when` predication — chunks no live ray segment overlaps cost one
-    VPU prologue instead of three MXU sweeps. This replaces per-ray BVH
-    stack traversal (divergent, lockstep-hostile on the VPU) with the
-    reference kd-tree's pruning role (kdtree.h:2079) done per tile.
+    two-level fori_loop (super-chunks of SUPER chunks, then chunks) with
+    ray-vs-AABB slab tests and `pl.when` predication — boxes no live ray
+    segment overlaps cost one dense VPU prologue instead of MXU sweeps.
+    This replaces per-ray BVH stack traversal (divergent,
+    lockstep-hostile on the VPU) with the reference kd-tree's pruning
+    role (kdtree.h:2079) done per tile at two granularities.
     """
     i = pl.program_id(0)
     G = st_out_ref.shape[1]
     R = G * 128
     C = chunk
-    n_chunks = woop_ref.shape[0] // (3 * C)
+    # woop layout: (4, 3F) transposed for the streamed sweep (16x VMEM
+    # saving), (3F, 4) row-major for the unrolled one (faster MXU form)
+    n_chunks = (woop_ref.shape[1] if streamed else
+                woop_ref.shape[0]) // (3 * C)
     is_last = depth == max_depth - 1
     need_bary = has_checker and not is_last
     zero = jnp.zeros((R,), jnp.float32)          # face-sweep (flat) domain
@@ -282,8 +306,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         return x.reshape(G, 128)
 
     def _sweep_chunk(W, A_tab, odh, mint, maxt):
-        """Woop sweep of one (3C, 4) chunk -> (tmin, A, u, v, pick)."""
-        OD = _dot3(W, odh)                           # (3C, 2R)
+        """Woop sweep of one chunk -> (tmin, A, u, v, pick). W is
+        (4, 3C) in streamed mode, (3C, 4) unrolled."""
+        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2R)
         O3, D3 = OD[:, :R], OD[:, R:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
@@ -308,22 +333,27 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             bu = bv = zero
         return tmin, A, bu, bv
 
-    def _chunk_box_live(c, ox, oy, oz, dx, dy, dz, mint, cap):
-        """-> number of rays whose [mint, cap] segment overlaps chunk
-        c's AABB (0.0 => the whole chunk can be skipped)."""
-        box = cab_ref[pl.ds(c, 1), :]                 # (1, 8)
-        t_near = mint * 0.0 - _BIG
-        t_far = mint * 0.0 + _BIG
-        o3 = (ox, oy, oz)
-        d3 = (dx, dy, dz)
+    def _box_live(bref, idx, o3d, inv3d, mint_d, cap_d):
+        """-> number of rays whose [mint, cap] segment overlaps box
+        `idx` of table `bref` (0.0 => skip). All math on the dense
+        (G, 128) grid — a flat (R,) layout would use 1/8 sublanes."""
+        box = bref[pl.ds(idx, 1), :]                  # (1, 8)
+        t_near = mint_d * 0.0 - _BIG
+        t_far = mint_d * 0.0 + _BIG
         for ax in range(3):
-            inv = 1.0 / jnp.where(jnp.abs(d3[ax]) > 1e-12, d3[ax], 1e-12)
-            ta = (box[0, ax] - o3[ax]) * inv
-            tb = (box[0, 3 + ax] - o3[ax]) * inv
+            ta = (box[0, ax] - o3d[ax]) * inv3d[ax]
+            tb = (box[0, 3 + ax] - o3d[ax]) * inv3d[ax]
             t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
             t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
-        box_hit = (t_far >= t_near) & (t_far >= mint) & (t_near <= cap)
+        box_hit = (t_far >= t_near) & (t_far >= mint_d) & (t_near <= cap_d)
         return jnp.sum(box_hit.astype(jnp.float32))
+
+    def _dense_rays(ox, oy, oz, dx, dy, dz):
+        o3d = (to_dense(ox), to_dense(oy), to_dense(oz))
+        inv3d = tuple(
+            1.0 / jnp.where(jnp.abs(to_dense(v)) > 1e-12, to_dense(v),
+                            1e-12) for v in (dx, dy, dz))
+        return o3d, inv3d
 
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
@@ -337,31 +367,46 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             if need_bary:
                 acc_ref[1, :] = zero
                 acc_ref[2, :] = zero
+            o3d, inv3d = _dense_rays(ox, oy, oz, dx, dy, dz)
+            mint_d = to_dense(mint)
+            maxt_d = to_dense(maxt)
+            n_super = n_chunks // SUPER
 
-            def body(c, _):
-                cap = jnp.minimum(maxt, acc_ref[0, :])
-                n_live = _chunk_box_live(c, ox, oy, oz, dx, dy, dz,
-                                         mint, cap)
+            def super_body(s, _):
+                cap_d = jnp.minimum(maxt_d,
+                                    to_dense(acc_ref[0, :]))
+                live_s = _box_live(scab_ref, s, o3d, inv3d, mint_d,
+                                   cap_d)
 
-                @pl.when(n_live > 0.0)
+                @pl.when(live_s > 0.0)
                 def _():
-                    W = woop_ref[pl.ds(c * 3 * C, 3 * C), :]
-                    A_tab = fattr_ref[:, pl.ds(
-                        pl.multiple_of(c * C, C), C)]
-                    tmin, A, bu, bv = _sweep_chunk(W, A_tab, odh, mint,
-                                                   maxt)
-                    closer = tmin < acc_ref[0, :]
-                    acc_ref[0, :] = jnp.where(closer, tmin, acc_ref[0, :])
-                    acc_ref[8:48, :] = jnp.where(closer[None, :], A,
-                                                 acc_ref[8:48, :])
-                    if need_bary:
-                        acc_ref[1, :] = jnp.where(closer, bu,
-                                                  acc_ref[1, :])
-                        acc_ref[2, :] = jnp.where(closer, bv,
-                                                  acc_ref[2, :])
+                    def body(ci, _):
+                        c = s * SUPER + ci
+                        live_c = _box_live(cab_ref, c, o3d, inv3d,
+                                           mint_d, cap_d)
+
+                        @pl.when(live_c > 0.0)
+                        def _():
+                            W = woop_ref[:, pl.ds(c * 3 * C, 3 * C)]
+                            A_tab = fattr_ref[:, pl.ds(c * C, C)]
+                            tmin, A, bu, bv = _sweep_chunk(
+                                W, A_tab, odh, mint, maxt)
+                            closer = tmin < acc_ref[0, :]
+                            acc_ref[0, :] = jnp.where(
+                                closer, tmin, acc_ref[0, :])
+                            acc_ref[8:48, :] = jnp.where(
+                                closer[None, :], A, acc_ref[8:48, :])
+                            if need_bary:
+                                acc_ref[1, :] = jnp.where(
+                                    closer, bu, acc_ref[1, :])
+                                acc_ref[2, :] = jnp.where(
+                                    closer, bv, acc_ref[2, :])
+                        return 0
+
+                    jax.lax.fori_loop(0, SUPER, body, 0)
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+            jax.lax.fori_loop(0, n_super, super_body, 0)
             t_best = acc_ref[0, :]
             A_best = acc_ref[8:48, :]
             bu_best = acc_ref[1, :] if need_bary else zero
@@ -428,7 +473,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     def _shadow_chunk(W, odh, mint, maxt):
         """Occlusion count of one chunk (no argmin/pick epilogue)."""
-        OD = _dot3(W, odh)                           # (3C, 2R)
+        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2R)
         O3, D3 = OD[:, :R], OD[:, R:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
@@ -448,22 +493,37 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
         if streamed:
             acc_ref[3, :] = zero
+            o3d, inv3d = _dense_rays(ox, oy, oz, dx, dy, dz)
+            mint_d = to_dense(mint)
+            maxt_d = to_dense(maxt)
+            n_super = n_chunks // SUPER
 
-            def body(c, _):
+            def super_body(s, _):
                 # already-occluded lanes don't need more hits: shrink
                 # their segment to empty so fully-occluded tiles skip
-                cap = jnp.where(acc_ref[3, :] > 0.0, -_BIG, maxt)
-                n_live = _chunk_box_live(c, ox, oy, oz, dx, dy, dz,
-                                         mint, cap)
+                cap_d = jnp.where(to_dense(acc_ref[3, :]) > 0.0, -_BIG,
+                                  maxt_d)
+                live_s = _box_live(scab_ref, s, o3d, inv3d, mint_d,
+                                   cap_d)
 
-                @pl.when(n_live > 0.0)
+                @pl.when(live_s > 0.0)
                 def _():
-                    W = woop_ref[pl.ds(c * 3 * C, 3 * C), :]
-                    acc_ref[3, :] = acc_ref[3, :] + _shadow_chunk(
-                        W, odh, mint, maxt)
+                    def body(ci, _):
+                        c = s * SUPER + ci
+                        live_c = _box_live(cab_ref, c, o3d, inv3d,
+                                           mint_d, cap_d)
+
+                        @pl.when(live_c > 0.0)
+                        def _():
+                            W = woop_ref[:, pl.ds(c * 3 * C, 3 * C)]
+                            acc_ref[3, :] = acc_ref[3, :] \
+                                + _shadow_chunk(W, odh, mint, maxt)
+                        return 0
+
+                    jax.lax.fori_loop(0, SUPER, body, 0)
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+            jax.lax.fori_loop(0, n_super, super_body, 0)
             cnt = acc_ref[3, :]
         else:
             cnt = zero
@@ -562,6 +622,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         active = lane_ok
         prev_pdf = dzero             # 0 => camera ray (no MIS at hit)
         eta_st = done_               # cumulative relative IOR (RR uses it)
+        # padding lanes park in the (width*height) trash pixel so the
+        # host's pixel-sort reduction leaves real pixels exact-spp runs
+        pix_f = (jnp.where(lane_ok, pixel, width * height)
+                 .astype(jnp.float32) if carry_pixel else None)
         any_alive = jnp.asarray(True)
     else:
         st = st_in_ref[...]
@@ -573,6 +637,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         active = st[13] > 0.5
         key = st[14].view(jnp.uint32)
         eta_st = st[15]
+        pix_f = st[16] if carry_pixel else None
         any_alive = jnp.sum(st[13]) > 0.0
 
     def run_bounce():
@@ -641,8 +706,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             # final bounce: only emission can contribute — statically skip
             # RR, NEE, the shadow sweep, and BSDF sampling
             st_out_ref[...] = jnp.stack(
-                [dzero] * 9 + [res_r_, res_g_, res_b_] + [dzero] * 4,
-                axis=0)
+                [dzero] * 9 + [res_r_, res_g_, res_b_] + [dzero] * 4
+                + ([pix_f] if carry_pixel else []), axis=0)
             return
 
         alb_r, alb_g, alb_b = (to_dense(alb_r_f), to_dense(alb_g_f),
@@ -1000,8 +1065,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             pxx + nx * off, pyy + ny * off, pzz + nz * off,
             ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
             res_r_, res_g_, res_b_, mis_pdf,
-            act.astype(jnp.float32), key.view(jnp.float32), eta_st_],
-            axis=0)
+            act.astype(jnp.float32), key.view(jnp.float32), eta_st_]
+            + ([pix_f] if carry_pixel else []), axis=0)
 
     if depth == 0:
         run_bounce()
@@ -1094,13 +1159,17 @@ class DiffusePathMegakernel:
         wu, wv, wz = build_woop(v0, e1, e2)
         self.n_faces = wu.shape[1]
         # chunked face layout: pad to a sublane multiple (8) for a single
-        # chunk, or to the chunk size for multi-chunk sweeps
+        # chunk, to the chunk size for unrolled multi-chunk sweeps, or to
+        # a full super-chunk (SUPER chunks) for the streamed sweep
         if self.n_faces <= FACE_CHUNK:
             self.chunk = _pad8(self.n_faces)
             F = self.chunk
         else:
             self.chunk = FACE_CHUNK
             F = int(np.ceil(self.n_faces / FACE_CHUNK)) * FACE_CHUNK
+            if F // FACE_CHUNK > UNROLLED_CHUNKS:
+                step = SUPER * FACE_CHUNK
+                F = int(np.ceil(self.n_faces / step)) * step
         padw = F - self.n_faces
 
         def padW(w, never=False):
@@ -1112,29 +1181,53 @@ class DiffusePathMegakernel:
         wu = padW(wu)
         wv = padW(wv)
         wz = padW(wz, never=True)
-        # per-chunk [Wu; Wv; Wz] row blocks, (n_chunks*3C, 4)
+        # streamed sweep (large meshes): two-level fori_loop with
+        # BVH-AABB culling; faces are already BVH-leaf-ordered by Scene
+        # packing, so chunk boxes are spatially tight
         C = self.chunk
+        self.streamed = (F // C) > UNROLLED_CHUNKS
+        # per-chunk [Wu | Wv | Wz] blocks. Streamed: transposed
+        # (4, n_chunks*3C) — the 4-axis on sublanes costs 2x padding vs
+        # 32x for a 4-lane row-major table (53 MB at 35k faces).
+        # Unrolled (small tables): row-major (n_chunks*3C, 4), the form
+        # Mosaic lowers to the faster MXU matmul (~16% whole-render).
         blocks = []
         for c in range(F // C):
-            blocks += [wu[:, c * C:(c + 1) * C].T,
-                       wv[:, c * C:(c + 1) * C].T,
-                       wz[:, c * C:(c + 1) * C].T]
-        self.woop = jnp.asarray(np.concatenate(blocks, axis=0))
-
-        # streamed sweep (large meshes): fori_loop over chunks with
-        # per-chunk BVH-AABB culling; faces are already BVH-leaf-ordered
-        # by Scene packing, so chunk boxes are spatially tight
-        self.streamed = (F // C) > UNROLLED_CHUNKS
+            blocks += [wu[:, c * C:(c + 1) * C],
+                       wv[:, c * C:(c + 1) * C],
+                       wz[:, c * C:(c + 1) * C]]
+        woop = np.concatenate(blocks, axis=1)
+        self.woop = jnp.asarray(woop if self.streamed else
+                                np.ascontiguousarray(woop.T))
         if self.streamed:
             from .bvh import chunk_bounds
-            cb = chunk_bounds(v0, e1, e2, C)           # (n_chunks, 6)
-            cab = np.zeros((max(_pad8(len(cb)), 8), 8), np.float32)
+            cb = chunk_bounds(v0, e1, e2, C)           # (<=n_chunks, 6)
+            n_chunks = F // C
+            cab = np.zeros((max(_pad8(n_chunks), 8), 8), np.float32)
             cab[:, 0:3] = np.inf
             cab[:, 3:6] = -np.inf
             cab[:len(cb), :6] = cb
+            # super-chunk boxes: union of each SUPER consecutive chunks
+            n_super = n_chunks // SUPER
+            grp = cab[:n_super * SUPER].reshape(n_super, SUPER, 8)
+            scab = np.zeros((max(_pad8(n_super), 8), 8), np.float32)
+            scab[:, 0:3] = np.inf
+            scab[:, 3:6] = -np.inf
+            scab[:n_super, 0:3] = grp[:, :, 0:3].min(1)
+            scab[:n_super, 3:6] = grp[:, :, 3:6].max(1)
         else:
             cab = np.zeros((8, 8), np.float32)
+            scab = np.zeros((8, 8), np.float32)
         self.cab = jnp.asarray(cab)
+        self.scab = jnp.asarray(scab)
+
+        # scene bounds for the between-bounce morton sort keys
+        bb_lo, bb_hi = scene.bbox()
+        bb_lo = np.asarray(bb_lo, np.float32)
+        bb_hi = np.asarray(bb_hi, np.float32)
+        ok_bb = np.isfinite(bb_lo).all() and np.isfinite(bb_hi).all()
+        self._bb_lo = bb_lo if ok_bb else np.zeros(3, np.float32)
+        self._bb_hi = bb_hi if ok_bb else np.ones(3, np.float32)
 
         # face attribute table (static parts as numpy; albedo/Le traced)
         fs = np.asarray(g.face_shape)
@@ -1364,6 +1457,16 @@ class DiffusePathMegakernel:
         n_pad = int(np.ceil(n / RAY_TILE)) * RAY_TILE
         n_tiles = n_pad // RAY_TILE
         G = RAY_TILE // 128
+        # the 17-row lane gather costs ~130 ms at 4M lanes (column
+        # gather), so re-sorting pays only when it saves sweeps that
+        # cost more — i.e. the streamed many-chunk path, where it took
+        # the 35k-face bench from 0.48 to 0.89 Mpaths/s. Small unrolled
+        # scenes (Cornell: ~19 ms/bounce) lose outright (36 -> 4.5), so
+        # they keep the 16-row state and pixel-major lanes throughout.
+        import os
+        sort_env = os.environ.get("MK_SORT")
+        do_sort = self.streamed if sort_env is None else sort_env == "1"
+        rows = _ROWS if do_sort else _ROWS - 1
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
         tan_half = float(np.tan(np.deg2rad(sensor.x_fov) * 0.5))
@@ -1386,12 +1489,50 @@ class DiffusePathMegakernel:
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
-            pl.BlockSpec((_ROWS, G, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
+            pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
-                  self.sph, self._sattr(), self.env, self.cab)
-        state = jnp.zeros((_ROWS, n_pad // 128, 128), jnp.float32)
+                  self.sph, self._sattr(), self.env, self.cab, self.scab)
+        # between-bounce ray reordering (the live-ray compaction the
+        # reference never had, SURVEY §5): key = origin-morton (8
+        # bits/axis over the scene bbox) . direction-octant; dead lanes
+        # key to +inf. Sorting costs ~0.1 ms for 4M lanes x 17 rows
+        # (measured) and buys (a) dead lanes packed into whole tiles the
+        # kernel skips via its any_alive gate — depth cost becomes
+        # proportional to live rays — and (b) origin/direction-coherent
+        # tiles, which is what makes the streamed sweep's per-chunk AABB
+        # culling effective for secondary bounces.
+        lo, hi = self._bb_lo, self._bb_hi
+        inv_ext = 255.0 / np.maximum(hi - lo, 1e-20)
+
+        def _spread3(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        def _resort(state):
+            flat = state.reshape(rows, n_pad)
+            q = []
+            for ax in range(3):
+                v = jnp.clip((flat[ax] - lo[ax]) * inv_ext[ax],
+                             0.0, 255.0).astype(jnp.int32)
+                q.append(_spread3(v))
+            octant = ((flat[3] > 0).astype(jnp.int32)
+                      + 2 * (flat[4] > 0).astype(jnp.int32)
+                      + 4 * (flat[5] > 0).astype(jnp.int32))
+            key = (((q[0] << 2) | (q[1] << 1) | q[2]) << 3) | octant
+            key = jnp.where(flat[13] > 0.5, key, jnp.int32(0x7FFFFFFF))
+            order = jnp.argsort(key)
+            return jnp.take(flat, order, axis=1).reshape(
+                rows, n_pad // 128, 128)
+
+        state = jnp.zeros((rows, n_pad // 128, 128), jnp.float32)
         for depth in range(self.max_depth):
+            if do_sort and 0 < depth < self.max_depth:
+                state = _resort(state)
             kernel = functools.partial(
                 _path_kernel,
                 depth=depth, max_depth=self.max_depth,
@@ -1401,23 +1542,31 @@ class DiffusePathMegakernel:
                 has_env=self.has_env, has_checker=self.has_checker,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
-                streamed=self.streamed)
+                streamed=self.streamed, carry_pixel=do_sort)
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((_ROWS, G, 128),
+                out_specs=pl.BlockSpec((rows, G, 128),
                                        lambda i: (0, i, 0)),
                 out_shape=jax.ShapeDtypeStruct(
-                    (_ROWS, n_pad // 128, 128), jnp.float32),
+                    (rows, n_pad // 128, 128), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((48, RAY_TILE), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
             )(*tables, state)
-        # pixel-major box-filter reduction; filter weight = 1 per sample
-        rgb = state[9:12].reshape(3, n_pad)[:, :n] \
-            .reshape(3, w * h, spp_pass).sum(axis=2)
+        # box-filter reduction: restore pixel-major lane order (lanes
+        # were re-sorted between bounces; padding lanes carry the trash
+        # pixel w*h and sort past the real ones), then reshape-reduce
+        flat = state.reshape(rows, n_pad)
+        if not do_sort:
+            # lanes never left pixel-major order
+            rgb = flat[9:12][:, :n].reshape(3, w * h, spp_pass).sum(axis=2)
+        else:
+            order = jnp.argsort(flat[16].astype(jnp.int32))
+            rgb = jnp.take(flat[9:12], order, axis=1)[:, :n] \
+                .reshape(3, w * h, spp_pass).sum(axis=2)
         img = jnp.concatenate(
             [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
             axis=0)
@@ -1440,6 +1589,8 @@ def megakernel_ineligibility(scene):
         return "no shapes"
     if getattr(scene, "n_spheres", 0) > MAX_SPHERES:
         return f"sphere count > {MAX_SPHERES}"
+    if getattr(scene, "n_quads", 0):
+        return "analytic disk/cylinder prims (no in-kernel quad table yet)"
     for b in scene.bsdfs:
         if _bsdf_columns(b) is None:
             return f"unsupported BSDF {type(b).__name__}"

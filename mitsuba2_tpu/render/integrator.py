@@ -22,13 +22,45 @@ from ..variants import current as current_variant
 
 
 class Integrator(Object):
-    """(integrator.h:37)"""
+    """(integrator.h:37-51) — including the cooperative-stop surface:
+    `cancel()`, a wall-clock `timeout` property (integrator.h:136-145),
+    and partial-image develop between passes (the reference's SIGHUP
+    handler, mitsuba.cpp:109-121, gets this via `develop_partial`)."""
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self.timeout = float(props.float_("timeout", -1.0)) \
+            if props is not None else -1.0
+        self._cancel = False
+        self._render_start = None
+        self._partial = None          # (ImageBlock, state) of last pass
 
     def render(self, scene, sensor=0, seed=0, spp=None):
         raise NotImplementedError
 
     def cancel(self):
-        pass
+        """(integrator.h:51) request a cooperative stop: the render drive
+        checks between passes and develops what it has."""
+        self._cancel = True
+
+    def should_stop(self):
+        """(integrator.h:136-145) true once cancelled or past timeout."""
+        if self._cancel:
+            return True
+        if self.timeout > 0.0 and self._render_start is not None:
+            import time
+            return (time.time() - self._render_start) > self.timeout
+        return False
+
+    def develop_partial(self):
+        """Develop the passes accumulated so far (SIGHUP partial-image
+        semantics, mitsuba.cpp:109-121); None before the first pass
+        finishes. Weights are per-pass, so the partial image is already
+        correctly normalized."""
+        if self._partial is None:
+            return None
+        block, state = self._partial
+        return block.develop(state)
 
 
 class SamplingIntegrator(Integrator):
@@ -95,11 +127,22 @@ class SamplingIntegrator(Integrator):
                     scene, sensor, sampler, s, base, spp_per_pass, spp))
             cache[cache_key] = render_pass
 
+        import time
+        self._cancel = False
+        self._render_start = time.time()
         state = block.create()
         for p in range(n_passes):
+            if p > 0 and self.should_stop():
+                from ..core import logger as _log
+                _log.Log(_log.Warn,
+                         f"render stopped after {p}/{n_passes} passes "
+                         f"({'cancelled' if self._cancel else 'timeout'});"
+                         f" developing partial image")
+                break
             data = render_pass(jnp.uint32(seed),
                                jnp.uint32(p * spp_per_pass))
             state = state._replace(data=state.data + data)
+            self._partial = (block, state)
         image = block.develop(state)
         if develop:
             return image
@@ -179,9 +222,6 @@ class SamplingIntegrator(Integrator):
         bstate = block.create()
         bstate = block.put(bstate, pos_px, values)
         return bstate.data
-
-    def should_stop(self):
-        return False
 
 
 class MonteCarloIntegrator(SamplingIntegrator):

@@ -116,6 +116,7 @@ class Scene(Object):
         # per-shape plugin ids cover EVERY shape (analytic ones included);
         # face_shape/geometry cover meshes only
         analytic = []
+        quadrics = []
         for si_idx, s in enumerate(self.shapes):
             shape_bsdf.append(bsdf_index[id(s.bsdf)])
             em = -1
@@ -123,7 +124,10 @@ class Scene(Object):
                 em = s.emitter._emitter_index
             shape_emitter.append(em)
             if s.is_analytic():
-                analytic.append((si_idx, s))
+                if getattr(s, "is_quadric", lambda: False)():
+                    quadrics.append((si_idx, s))
+                else:
+                    analytic.append((si_idx, s))
                 lo, hi = s.bbox()
                 bb_min = np.minimum(bb_min, lo)
                 bb_max = np.maximum(bb_max, hi)
@@ -293,6 +297,25 @@ class Scene(Object):
                                np.float32)]))
             self.sph_table = jnp.asarray(np.stack(rows).astype(np.float32))
 
+        # ---- analytic quadric table (disk.cpp / cylinder.cpp exact prims)
+        # one dense (Q, 32) row per disk/cylinder: to_object A 0:9 b 9:12,
+        # to_world linear B 12:21, kind 21 (1 disk, 2 cyl), radius 22,
+        # length 23, shape 24, bsdf 25, emitter 26, med_int 27, med_ext 28,
+        # flip 29. prim_idx = F + n_spheres + quad_index.
+        self.n_quads = len(quadrics)
+        self.quad_table = None
+        if quadrics:
+            rows = []
+            for q_idx, s in quadrics:
+                rows.append(np.concatenate([
+                    s.prim_row(),
+                    np.asarray([q_idx, shape_bsdf[q_idx],
+                                shape_emitter[q_idx], med_int[q_idx],
+                                med_ext[q_idx],
+                                -1.0 if s.flip_normals else 1.0,
+                                0.0, 0.0], np.float32)]))
+            self.quad_table = jnp.asarray(np.stack(rows).astype(np.float32))
+
         # ---- packed per-face attribute table -----------------------------
         # TPU's dynamic gather is ~100x slower than arithmetic for wavefront
         # index vectors, so compute_surface_interaction fetches EVERY face
@@ -448,6 +471,55 @@ class Scene(Object):
         return t_best, jnp.where(jnp.isfinite(t_best),
                                  s_best.astype(jnp.int32), -1)
 
+    def _quad_closest_hit(self, o, d, mint, maxt):
+        """Exact disk/cylinder hits (disk.cpp:146-166,
+        cylinder.cpp:243-291): rays transform into each prim's canonical
+        object frame; unrolled over the (small) quad table. Returns
+        (t (N,), quad_index (N,) or -1)."""
+        tab = np.asarray(self.quad_table)  # static host copy for unroll
+        tabj = self.quad_table
+        t_best = jnp.full(o.shape[0], jnp.inf, o.dtype)
+        q_best = jnp.full(o.shape[0], -1, jnp.int32)
+        for q in range(self.n_quads):
+            A = tabj[q, 0:9].reshape(3, 3).astype(o.dtype)
+            b = tabj[q, 9:12].astype(o.dtype)
+            kind = float(tab[q, 21])
+            o_l = o @ A.T + b
+            d_l = d @ A.T
+            if kind == 1.0:            # disk: plane z=0, x^2+y^2 <= 1
+                dz = d_l[:, 2]
+                t = -o_l[:, 2] / jnp.where(jnp.abs(dz) > 1e-12, dz,
+                                           jnp.inf)
+                x = o_l[:, 0] + t * d_l[:, 0]
+                y = o_l[:, 1] + t * d_l[:, 1]
+                ok = (x * x + y * y <= 1.0) & (t >= mint) & (t <= maxt)
+                t = jnp.where(ok, t, jnp.inf)
+            else:                      # cylinder: x^2+y^2 = r^2, z in [0,L]
+                r = tabj[q, 22].astype(o.dtype)
+                ln = tabj[q, 23].astype(o.dtype)
+                a2 = d_l[:, 0] ** 2 + d_l[:, 1] ** 2
+                b2 = 2.0 * (d_l[:, 0] * o_l[:, 0] + d_l[:, 1] * o_l[:, 1])
+                c2 = o_l[:, 0] ** 2 + o_l[:, 1] ** 2 - r * r
+                disc = b2 * b2 - 4.0 * a2 * c2
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv2a = 1.0 / jnp.where(jnp.abs(a2) > 1e-20, 2.0 * a2,
+                                        jnp.inf)
+                t_near = (-b2 - sq) * inv2a
+                t_far = (-b2 + sq) * inv2a
+                zn = o_l[:, 2] + d_l[:, 2] * t_near
+                zf = o_l[:, 2] + d_l[:, 2] * t_far
+                near_ok = (zn >= 0) & (zn <= ln) & (t_near >= mint) \
+                    & (t_near <= maxt)
+                far_ok = (zf >= 0) & (zf <= ln) & (t_far >= mint) \
+                    & (t_far <= maxt)
+                ok = (disc > 0) & (near_ok | far_ok)
+                t = jnp.where(near_ok, t_near, t_far)
+                t = jnp.where(ok, t, jnp.inf)
+            closer = t < t_best
+            t_best = jnp.where(closer, t, t_best)
+            q_best = jnp.where(closer, q, q_best)
+        return t_best, q_best
+
     def ray_intersect_preliminary(self, ray, active=None):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
@@ -473,13 +545,35 @@ class Scene(Object):
                                    n_faces + s_idx, pi.prim_idx),
                 prim_uv=jnp.where(closer[..., None],
                                   jnp.zeros_like(pi.prim_uv), pi.prim_uv))
-        shape_idx = jnp.where(
-            pi.prim_idx >= n_faces,
-            self.sph_table[:, 4].astype(jnp.int32)[
-                jnp.clip(pi.prim_idx - n_faces, 0,
-                         max(self.n_spheres - 1, 0))]
-            if self.n_spheres else -1,
-            g.face_shape[jnp.clip(pi.prim_idx, 0, n_faces - 1)])
+        if self.n_quads:
+            tq, q_idx = self._quad_closest_hit(ray.o, ray.d, ray.mint,
+                                               maxt)
+            closer = tq < pi.t
+            pi = pi._replace(
+                t=jnp.where(closer, tq, pi.t),
+                prim_idx=jnp.where(closer & (q_idx >= 0),
+                                   n_faces + self.n_spheres + q_idx,
+                                   pi.prim_idx),
+                prim_uv=jnp.where(closer[..., None],
+                                  jnp.zeros_like(pi.prim_uv), pi.prim_uv))
+        shape_idx = g.face_shape[jnp.clip(pi.prim_idx, 0, n_faces - 1)]
+        if self.n_spheres:
+            is_sph = (pi.prim_idx >= n_faces) \
+                & (pi.prim_idx < n_faces + self.n_spheres)
+            shape_idx = jnp.where(
+                is_sph,
+                self.sph_table[:, 4].astype(jnp.int32)[
+                    jnp.clip(pi.prim_idx - n_faces, 0,
+                             self.n_spheres - 1)],
+                shape_idx)
+        if self.n_quads:
+            is_q = pi.prim_idx >= n_faces + self.n_spheres
+            shape_idx = jnp.where(
+                is_q,
+                self.quad_table[:, 24].astype(jnp.int32)[
+                    jnp.clip(pi.prim_idx - n_faces - self.n_spheres, 0,
+                             self.n_quads - 1)],
+                shape_idx)
         shape_idx = jnp.where(pi.prim_idx >= 0, shape_idx, -1)
         # detach: intersections are non-differentiable, like the reference's
         # HitComputeFlags::NonDifferentiable recompute (scene_optix.inl:432)
@@ -515,7 +609,8 @@ class Scene(Object):
             # analytic sphere lanes overlay the mesh-derived fields
             # (sphere.cpp compute_surface_interaction: exact normal
             # p-c normalized, spherical uv, analytic tangents)
-            is_sph = pi.prim_idx >= n_faces
+            is_sph = (pi.prim_idx >= n_faces) \
+                & (pi.prim_idx < n_faces + self.n_spheres)
             s_i = jnp.clip(pi.prim_idx - n_faces, 0, self.n_spheres - 1)
             row = gather_rows(self.sph_table, s_i)
             c, r = row[:, 0:3], row[:, 3:4]
@@ -544,6 +639,74 @@ class Scene(Object):
             shape_idx = jnp.where(is_sph, to_i32(4), shape_idx)
             bsdf_idx = jnp.where(is_sph, to_i32(5), bsdf_idx)
             emitter_idx = jnp.where(is_sph, to_i32(6), emitter_idx)
+        if self.n_quads:
+            # analytic disk/cylinder lanes (disk.cpp:182-225 uv/tangent
+            # conventions, cylinder.cpp:336-390 incl. the roundoff
+            # re-projection along the normal)
+            is_q = pi.prim_idx >= n_faces + self.n_spheres
+            q_i = jnp.clip(pi.prim_idx - n_faces - self.n_spheres, 0,
+                           self.n_quads - 1)
+            row = gather_rows(self.quad_table, q_i)
+            A = row[:, 0:9].reshape(-1, 3, 3)
+            b = row[:, 9:12]
+            B = row[:, 12:21].reshape(-1, 3, 3)
+            kind = row[:, 21]
+            r_c = row[:, 22]
+            len_c = row[:, 23]
+            flip = row[:, 29:30]
+            p_q = ray.o + pi.t[..., None] * ray.d
+            local = jnp.einsum("nij,nj->ni", A, p_q) + b
+            lx, ly, lz = local[:, 0], local[:, 1], local[:, 2]
+            is_disk = kind < 1.5
+            # --- disk: uv = (r, phi/2pi), tangents rotate with phi ---
+            r_d = jnp.sqrt(jnp.maximum(lx * lx + ly * ly, 0.0))
+            phi = jnp.arctan2(ly, lx)
+            v_d = phi / (2 * jnp.pi)
+            v_d = jnp.where(v_d < 0, v_d + 1.0, v_d)
+            inv_r = m.safe_div(1.0, r_d, 0.0)
+            cos_phi = jnp.where(r_d > 0, lx * inv_r, 1.0)
+            sin_phi = jnp.where(r_d > 0, ly * inv_r, 0.0)
+            uv_disk = jnp.stack([r_d, v_d], -1)
+            dpdu_disk = jnp.einsum(
+                "nij,nj->ni", B,
+                jnp.stack([cos_phi, sin_phi, jnp.zeros_like(phi)], -1))
+            dpdv_disk = jnp.einsum(
+                "nij,nj->ni", B,
+                jnp.stack([-sin_phi, cos_phi, jnp.zeros_like(phi)], -1))
+            n_disk = m.normalize(A[:, 2, :]) * flip
+            # --- cylinder: uv = (phi/2pi, z/len), n from tangent cross ---
+            phi_c = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+            uv_cyl = jnp.stack([phi_c / (2 * jnp.pi),
+                                m.safe_div(lz, len_c, 0.0)], -1)
+            dpdu_cyl = jnp.einsum(
+                "nij,nj->ni", B,
+                jnp.stack([-ly, lx, jnp.zeros_like(lx)], -1)) \
+                * (2 * jnp.pi)
+            dpdv_cyl = jnp.einsum(
+                "nij,nj->ni", B,
+                jnp.stack([jnp.zeros_like(lx), jnp.zeros_like(lx),
+                           len_c], -1))
+            n_cyl = m.normalize(m.cross(dpdu_cyl, dpdv_cyl))
+            # roundoff re-projection (cylinder.cpp:373-375), then flip
+            p_cyl = p_q + n_cyl * (r_c - r_d)[..., None]
+            n_cyl = n_cyl * flip
+            wd = is_disk[..., None]
+            uv_q = jnp.where(wd, uv_disk, uv_cyl)
+            dpdu_q = jnp.where(wd, dpdu_disk, dpdu_cyl)
+            dpdv_q = jnp.where(wd, dpdv_disk, dpdv_cyl)
+            n_q = jnp.where(wd, n_disk, n_cyl)
+            p_q = jnp.where(wd, p_q, p_cyl)
+            w = is_q[..., None]
+            p = jnp.where(w, p_q, p)
+            ng = jnp.where(w, n_q, ng)
+            ns = jnp.where(w, n_q, ns)
+            uv = jnp.where(w, uv_q, uv)
+            dp_du = jnp.where(w, dpdu_q, dp_du)
+            dp_dv = jnp.where(w, dpdv_q, dp_dv)
+            to_i32q = lambda col: row[:, col].astype(jnp.int32)
+            shape_idx = jnp.where(is_q, to_i32q(24), shape_idx)
+            bsdf_idx = jnp.where(is_q, to_i32q(25), bsdf_idx)
+            emitter_idx = jnp.where(is_q, to_i32q(26), emitter_idx)
         # Gram-Schmidt dp_du against the shading normal (mesh.cpp:463)
         s_axis = m.normalize(dp_du - ns * m.dot(ns, dp_du, keepdims=True))
         # guard degenerate tangents
@@ -584,12 +747,26 @@ class Scene(Object):
         dn_du = dn_du - N * m.dot(N, dn_du, keepdims=True)
         dn_dv = dn_dv - N * m.dot(N, dn_dv, keepdims=True)
         if self.n_spheres:
-            is_sph = (si.prim_idx >= n_faces)[..., None]
+            is_sph = ((si.prim_idx >= n_faces)
+                      & (si.prim_idx < n_faces + self.n_spheres))[..., None]
             s_i = jnp.clip(si.prim_idx - n_faces, 0, self.n_spheres - 1)
             r = gather_rows(self.sph_table[:, 3:4], s_i)
             inv_r = 1.0 / jnp.maximum(r, 1e-20)
             dn_du = jnp.where(is_sph, si.dp_du * inv_r, dn_du)
             dn_dv = jnp.where(is_sph, si.dp_dv * inv_r, dn_dv)
+        if self.n_quads:
+            # disk: dn == 0 (disk.cpp:222); cylinder: dn_du = dp_du /
+            # (r * flip), dn_dv = 0 (cylinder.cpp:384-387)
+            is_q = (si.prim_idx >= n_faces + self.n_spheres)[..., None]
+            q_i = jnp.clip(si.prim_idx - n_faces - self.n_spheres, 0,
+                           self.n_quads - 1)
+            rowq = gather_rows(self.quad_table, q_i)
+            is_cyl = (rowq[:, 21:22] > 1.5)
+            denom = rowq[:, 22:23] * rowq[:, 29:30]
+            dn_du_c = si.dp_du * m.safe_div(1.0, denom, 0.0)
+            dn_du = jnp.where(is_q, jnp.where(is_cyl, dn_du_c, 0.0),
+                              dn_du)
+            dn_dv = jnp.where(is_q, 0.0, dn_dv)
         ok = jnp.asarray(active)[..., None] & si.is_valid()[..., None]
         return jnp.where(ok, dn_du, 0.0), jnp.where(ok, dn_dv, 0.0)
 
@@ -614,6 +791,9 @@ class Scene(Object):
         if self.n_spheres:
             ts, _ = self._sphere_closest_hit(ray.o, ray.d, ray.mint, maxt)
             hit = hit | jnp.isfinite(ts)
+        if self.n_quads:
+            tq, _ = self._quad_closest_hit(ray.o, ray.d, ray.mint, maxt)
+            hit = hit | jnp.isfinite(tq)
         return hit
 
     # ------------------------------------------------------- emitter sampling

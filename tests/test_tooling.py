@@ -109,3 +109,41 @@ def test_docs_generator(tmp_path):
     for name in ("diffuse", "roughconductor", "envmap", "volpath",
                  "measured", "hdrfilm"):
         assert f"`{name}`" in text
+
+
+def test_cancel_and_timeout(variant_scalar_rgb):
+    """(integrator.h:136-145) cancel() and timeout stop between passes;
+    develop_partial() yields a correctly-normalized partial image."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import furnace_dict
+    scene = mi.load_dict(furnace_dict(albedo=0.5, env_radiance=1.0,
+                                      width=32, height=32, spp=64,
+                                      max_depth=2))
+    integ = scene.integrator
+    integ.MAX_WAVEFRONT = 32 * 32 * 8      # force 8 passes
+    # full render for reference
+    full = np.asarray(integ.render(scene, seed=0, spp=64))
+    assert integ.develop_partial() is not None
+
+    # cancel after the first pass: hook should_stop via a tiny timeout
+    integ.timeout = 1e-9
+    partial = np.asarray(integ.render(scene, seed=0, spp=64))
+    integ.timeout = -1.0
+    # the partial image is normalized (same mean), just noisier
+    assert np.isfinite(partial).all()
+    assert abs(partial.mean() - full.mean()) < 0.1 * max(full.mean(), 1e-3)
+
+    # cooperative cancel flag
+    integ._cancel = False
+    integ.cancel()
+    assert integ.should_stop()
+    cancelled = np.asarray(integ.render(scene, seed=0, spp=64))
+    assert np.isfinite(cancelled).all()
+
+
+def test_cli_timeout_flag(tmp_path, variant_scalar_rgb):
+    import json
+    import mitsuba2_tpu  # noqa: F401  (registers plugins)
+    from mitsuba2_tpu.cli import build_parser
+    args = build_parser().parse_args(["scene.json", "--timeout", "3.5"])
+    assert args.timeout == 3.5

@@ -153,10 +153,14 @@ class SmoothDielectric(BSDF):
             | BSDFFlags.BackSide | BSDFFlags.NonSymmetric]
         self.m_flags = self.m_components[0] | self.m_components[1]
 
+    def _eta_at(self, si):
+        """Relative IOR per lane (overridden by the merged variant)."""
+        return self.eta
+
     def sample(self, ctx, si, sample1, sample2, active):
         n = si.t.shape[0]
         cos_i = cos_theta(si.wi)
-        F, cos_t, eta_it, eta_ti = fresnel(cos_i, self.eta)
+        F, cos_t, eta_it, eta_ti = fresnel(cos_i, self._eta_at(si))
         has_r = ctx.is_enabled(BSDFFlags.DeltaReflection, 0)
         has_t = ctx.is_enabled(BSDFFlags.DeltaTransmission, 1)
         # lobe selection
@@ -386,7 +390,8 @@ class RoughConductor(BSDF):
         self.m_components = [flags]
         self.m_flags = flags
 
-    def _distr(self, dtype):
+    def _distr(self, si):
+        dtype = si.t.dtype
         return MicrofacetDistribution(
             self.dist_type, jnp.asarray(self.alpha_u, dtype),
             jnp.asarray(self.alpha_v, dtype), self.sample_visible)
@@ -396,7 +401,7 @@ class RoughConductor(BSDF):
         cos_i = cos_theta(si.wi)
         ok = jnp.asarray(active) & (cos_i > 0) \
             & ctx.is_enabled(BSDFFlags.GlossyReflection)
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         mh, pdf_m = d.sample(si.wi, sample2)
         wo = reflect(si.wi, mh)
         pdf = m.safe_div(pdf_m, 4.0 * m.dot(wo, mh), 0.0)
@@ -425,7 +430,7 @@ class RoughConductor(BSDF):
         cos_o = cos_theta(wo)
         ok = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0) \
             & ctx.is_enabled(BSDFFlags.GlossyReflection)
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         mh = m.normalize(si.wi + wo)
         D = d.eval(mh)
         G = d.G(si.wi, wo, mh)
@@ -441,7 +446,7 @@ class RoughConductor(BSDF):
         cos_o = cos_theta(wo)
         ok = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0) \
             & ctx.is_enabled(BSDFFlags.GlossyReflection)
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         mh = m.normalize(si.wi + wo)
         pdf = m.safe_div(d.pdf(si.wi, mh), 4.0 * m.dot(wo, mh), 0.0)
         return jnp.where(ok, pdf, 0.0)
@@ -488,7 +493,8 @@ class RoughDielectric(BSDF):
         self.m_components = [f, ft]
         self.m_flags = f | ft
 
-    def _distr(self, dtype):
+    def _distr(self, si):
+        dtype = si.t.dtype
         return MicrofacetDistribution(
             self.dist_type, jnp.asarray(self.alpha_u, dtype),
             jnp.asarray(self.alpha_v, dtype), self.sample_visible)
@@ -496,7 +502,7 @@ class RoughDielectric(BSDF):
     def sample(self, ctx, si, sample1, sample2, active):
         n = si.t.shape[0]
         cos_i = cos_theta(si.wi)
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         # flip wi to the +z hemisphere for sampling (roughdielectric.cpp)
         wi_p = m.mulsign(si.wi, cos_i[..., None])
         mh, pdf_m = d.sample(wi_p, sample2)
@@ -568,7 +574,7 @@ class RoughDielectric(BSDF):
         mh = jnp.where(reflecting[..., None], m_r, m_t)
         # canonical orientation: micro-normal on the +z side
         mh = m.mulsign(mh, cos_theta(mh)[..., None])
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         wi_p = m.mulsign(si.wi, cos_i[..., None])
         wo_p = m.mulsign(wo, cos_o[..., None])
         D = d.eval(mh)
@@ -603,7 +609,7 @@ class RoughDielectric(BSDF):
         m_t = m.normalize(si.wi + wo * eta_l[..., None])
         mh = jnp.where(reflecting[..., None], m_r, m_t)
         mh = m.mulsign(mh, cos_theta(mh)[..., None])
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         wi_p = m.mulsign(si.wi, cos_i[..., None])
         F, _, eta_it, _ = fresnel(m.dot(si.wi, mh), self.eta)
         dwh_dwo_r = m.safe_div(1.0, 4.0 * jnp.abs(m.dot(wo, mh)), 0.0)
@@ -664,8 +670,15 @@ class SmoothPlastic(BSDF):
             BSDFFlags.DiffuseReflection | BSDFFlags.FrontSide]
         self.m_flags = self.m_components[0] | self.m_components[1]
 
-    def _probs(self, F_i, has_spec, has_diff):
-        w = self.specular_sampling_weight
+    def _params_at(self, si):
+        """(eta, specular_sampling_weight, fdr_int, inv_eta_2) per lane
+        — scalars here; the merged variant gathers per-shape rows."""
+        return (self.eta, self.specular_sampling_weight, self.fdr_int,
+                self.inv_eta_2)
+
+    def _probs(self, F_i, has_spec, has_diff, w=None):
+        if w is None:
+            w = self.specular_sampling_weight
         prob_spec = F_i * w
         prob_diff = (1.0 - F_i) * (1.0 - w)
         total = prob_spec + prob_diff
@@ -678,16 +691,17 @@ class SmoothPlastic(BSDF):
         n = si.t.shape[0]
         cos_i = cos_theta(si.wi)
         ok = jnp.asarray(active) & (cos_i > 0)
-        F_i, _, _, _ = fresnel(cos_i, self.eta)
+        eta, ssw, fdr_int, inv_eta_2 = self._params_at(si)
+        F_i, _, _, _ = fresnel(cos_i, eta)
         has_spec = ctx.is_enabled(BSDFFlags.DeltaReflection, 0)
         has_diff = ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
         prob_spec = self._probs(F_i, jnp.asarray(has_spec),
-                                jnp.asarray(has_diff))
+                                jnp.asarray(has_diff), w=ssw)
         sel_spec = (sample1 < prob_spec) & has_spec
         wo = jnp.where(sel_spec[..., None], reflect(si.wi),
                        warp.square_to_cosine_hemisphere(sample2))
         cos_o = cos_theta(wo)
-        F_o, _, _, _ = fresnel(cos_o, self.eta)
+        F_o, _, _, _ = fresnel(cos_o, eta)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo) \
             * (1.0 - prob_spec)
         pdf = jnp.where(sel_spec, prob_spec, pdf_diff)
@@ -696,11 +710,13 @@ class SmoothPlastic(BSDF):
             * m.safe_div(F_i, prob_spec, 0.0)[..., None]
         diff = self.diffuse_reflectance.eval(si, active)
         if self.nonlinear:
-            denom = 1.0 - diff * self.fdr_int
+            denom = 1.0 - diff * jnp.reshape(
+                jnp.asarray(fdr_int, si.t.dtype), (-1, 1))
         else:
-            denom = 1.0 - self.fdr_int
+            denom = 1.0 - jnp.reshape(
+                jnp.asarray(fdr_int, si.t.dtype), (-1, 1))
         diff_w = m.safe_div(diff, denom, 0.0) \
-            * (self.inv_eta_2 * (1.0 - F_i) * (1.0 - F_o)
+            * (inv_eta_2 * (1.0 - F_i) * (1.0 - F_o)
                / jnp.maximum(1.0 - prob_spec, 1e-8))[..., None]
         value = jnp.where(sel_spec[..., None], spec_w, diff_w)
         ok = ok & (pdf > 0)
@@ -718,15 +734,14 @@ class SmoothPlastic(BSDF):
         cos_o = cos_theta(wo)
         ok = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0) \
             & ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
-        F_i, _, _, _ = fresnel(cos_i, self.eta)
-        F_o, _, _, _ = fresnel(cos_o, self.eta)
+        eta, _, fdr_int, inv_eta_2 = self._params_at(si)
+        F_i, _, _, _ = fresnel(cos_i, eta)
+        F_o, _, _, _ = fresnel(cos_o, eta)
         diff = self.diffuse_reflectance.eval(si, active)
-        if self.nonlinear:
-            denom = 1.0 - diff * self.fdr_int
-        else:
-            denom = 1.0 - self.fdr_int
+        fdr_c = jnp.reshape(jnp.asarray(fdr_int, si.t.dtype), (-1, 1))
+        denom = 1.0 - diff * fdr_c if self.nonlinear else 1.0 - fdr_c
         value = m.safe_div(diff, denom, 0.0) * (
-            m.InvPi * self.inv_eta_2 * cos_o
+            m.InvPi * inv_eta_2 * cos_o
             * (1.0 - F_i) * (1.0 - F_o))[..., None]
         return jnp.where(ok[..., None], value, 0.0)
 
@@ -735,10 +750,11 @@ class SmoothPlastic(BSDF):
         cos_o = cos_theta(wo)
         ok = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0) \
             & ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
-        F_i, _, _, _ = fresnel(cos_i, self.eta)
+        eta, ssw, _, _ = self._params_at(si)
+        F_i, _, _, _ = fresnel(cos_i, eta)
         has_spec = ctx.is_enabled(BSDFFlags.DeltaReflection, 0)
         prob_spec = self._probs(F_i, jnp.asarray(has_spec),
-                                jnp.asarray(True))
+                                jnp.asarray(True), w=ssw)
         pdf = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
         return jnp.where(ok, pdf, 0.0)
 
@@ -779,13 +795,19 @@ class RoughPlastic(BSDF):
             BSDFFlags.DiffuseReflection | BSDFFlags.FrontSide]
         self.m_flags = self.m_components[0] | self.m_components[1]
 
-    def _distr(self, dtype):
+    def _distr(self, si):
+        dtype = si.t.dtype
         return MicrofacetDistribution(
             self.dist_type, jnp.asarray(self.alpha_u, dtype),
             jnp.asarray(self.alpha_v, dtype), self.sample_visible)
 
-    def _probs(self, F_i, has_spec, has_diff):
-        w = self.specular_sampling_weight
+    def _params_at(self, si):
+        return (self.eta, self.specular_sampling_weight, self.fdr_int,
+                self.inv_eta_2)
+
+    def _probs(self, F_i, has_spec, has_diff, w=None):
+        if w is None:
+            w = self.specular_sampling_weight
         prob_spec = F_i * w
         prob_diff = (1.0 - F_i) * (1.0 - w)
         total = prob_spec + prob_diff
@@ -797,13 +819,14 @@ class RoughPlastic(BSDF):
         n = si.t.shape[0]
         cos_i = cos_theta(si.wi)
         ok = jnp.asarray(active) & (cos_i > 0)
-        F_i, _, _, _ = fresnel(cos_i, self.eta)
+        eta, ssw, _, _ = self._params_at(si)
+        F_i, _, _, _ = fresnel(cos_i, eta)
         has_spec = ctx.is_enabled(BSDFFlags.GlossyReflection, 0)
         has_diff = ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
         prob_spec = self._probs(F_i, jnp.asarray(has_spec),
-                                jnp.asarray(has_diff))
+                                jnp.asarray(has_diff), w=ssw)
         sel_spec = (sample1 < prob_spec) & has_spec
-        d = self._distr(si.t.dtype)
+        d = self._distr(si)
         mh, _ = d.sample(si.wi, sample2)
         wo_spec = reflect(si.wi, mh)
         wo_diff = warp.square_to_cosine_hemisphere(sample2)
@@ -830,25 +853,24 @@ class RoughPlastic(BSDF):
         has_spec = ctx.is_enabled(BSDFFlags.GlossyReflection, 0)
         has_diff = ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
         value = jnp.zeros((si.t.shape[0], _nch()), si.t.dtype)
+        eta, _, fdr_int, inv_eta_2 = self._params_at(si)
         if has_spec:
-            d = self._distr(si.t.dtype)
+            d = self._distr(si)
             mh = m.normalize(si.wi + wo)
             D = d.eval(mh)
-            F, _, _, _ = fresnel(m.dot(si.wi, mh), self.eta)
+            F, _, _, _ = fresnel(m.dot(si.wi, mh), eta)
             G = d.G(si.wi, wo, mh)
             spec = m.safe_div(F * D * G, 4.0 * cos_i, 0.0)
             value = value + self.specular_reflectance.eval(si, active) \
                 * spec[..., None]
         if has_diff:
-            F_i, _, _, _ = fresnel(cos_i, self.eta)
-            F_o, _, _, _ = fresnel(cos_o, self.eta)
+            F_i, _, _, _ = fresnel(cos_i, eta)
+            F_o, _, _, _ = fresnel(cos_o, eta)
             diff = self.diffuse_reflectance.eval(si, active)
-            if self.nonlinear:
-                denom = 1.0 - diff * self.fdr_int
-            else:
-                denom = 1.0 - self.fdr_int
+            fdr_c = jnp.reshape(jnp.asarray(fdr_int, si.t.dtype), (-1, 1))
+            denom = 1.0 - diff * fdr_c if self.nonlinear else 1.0 - fdr_c
             value = value + m.safe_div(diff, denom, 0.0) * (
-                m.InvPi * self.inv_eta_2 * cos_o
+                m.InvPi * inv_eta_2 * cos_o
                 * (1.0 - F_i) * (1.0 - F_o))[..., None]
         return jnp.where(ok[..., None], value, 0.0)
 
@@ -856,12 +878,13 @@ class RoughPlastic(BSDF):
         cos_i = cos_theta(si.wi)
         cos_o = cos_theta(wo)
         ok = jnp.asarray(active) & (cos_i > 0) & (cos_o > 0)
-        F_i, _, _, _ = fresnel(cos_i, self.eta)
+        eta, ssw, _, _ = self._params_at(si)
+        F_i, _, _, _ = fresnel(cos_i, eta)
         has_spec = ctx.is_enabled(BSDFFlags.GlossyReflection, 0)
         has_diff = ctx.is_enabled(BSDFFlags.DiffuseReflection, 1)
         prob_spec = self._probs(F_i, jnp.asarray(has_spec),
-                                jnp.asarray(has_diff))
-        d = self._distr(si.t.dtype)
+                                jnp.asarray(has_diff), w=ssw)
+        d = self._distr(si)
         mh = m.normalize(si.wi + wo)
         pdf_spec = m.safe_div(d.pdf(si.wi, mh), 4.0 * m.dot(wo, mh), 0.0) \
             * prob_spec

@@ -466,6 +466,13 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
         # hero channel for distance sampling (volpath.cpp:105)
         ch_u, state = sampler.next_1d(state)
         channel = jnp.minimum((ch_u * nch).astype(jnp.int32), nch - 1)
+        # spectral MIS (volpathmis.cpp WeightMatrix, here in separable
+        # pdf-RATIO form): rho_*[j] = prod over events of
+        # p_strategy(channel j)/p_actual(hero). The balance-heuristic
+        # weight nch/(sum_j rho_nee + sum_j rho_dir) then replaces the
+        # scalar hero-channel MIS weight. rho products stay near 1, so
+        # float32 is safe where raw pdf products would under/overflow.
+        smis = self.USE_MIS and nch > 1 and current_variant().is_spectral
 
         si = scene.ray_intersect(ray, active)
         needs_isect = jnp.zeros((n,), bool)
@@ -486,7 +493,7 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
         def body(carry):
             (it, active, depth, ray_o, ray_d, si, needs_isect, throughput,
              result, medium_idx, specular_chain, valid_ray, state,
-             prev_pdf, prev_p, prev_delta) = carry
+             prev_pdf, prev_p, prev_delta, rho_dir, rho_nee) = carry
             ray = Ray.make(ray_o, ray_d, mint=jnp.zeros((n,), dt),
                            maxt=jnp.full((n,), jnp.inf, dt),
                            time=si.time, wavelengths=si.wavelengths)
@@ -511,6 +518,12 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             w_med = m.safe_div(tr, tr_pdf[..., None], 0.0)
             throughput = jnp.where(active_medium[..., None],
                                    throughput * w_med, throughput)
+            if smis:
+                r_ff = m.safe_div(ff_pdf, tr_pdf[..., None], 0.0)
+                rho_dir = jnp.where(active_medium[..., None],
+                                    rho_dir * r_ff, rho_dir)
+                rho_nee = jnp.where(active_medium[..., None],
+                                    rho_nee * r_ff, rho_nee)
 
             escaped = active_medium & ~jnp.isfinite(mi.t)
             active_medium = active_medium & jnp.isfinite(mi.t)
@@ -527,6 +540,21 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
                 maj_c, _index_spectrum(mi.sigma_n, channel), 0.0)[..., None]
             throughput = jnp.where(act_null[..., None],
                                    throughput * w_null, throughput)
+            if smis:
+                # p_actual(null) = sigma_n_c/maj_c; dir strategy picks
+                # null with (sigma_n/maj)_j; NEE traverses with p=1
+                # (volpathmis.cpp:203-204)
+                p_act_null = m.safe_div(
+                    _index_spectrum(mi.sigma_n, channel), maj_c, 0.0)
+                r_d = m.safe_div(
+                    m.safe_div(mi.sigma_n, mi.combined_extinction, 0.0),
+                    p_act_null[..., None], 0.0)
+                rho_dir = jnp.where(act_null[..., None], rho_dir * r_d,
+                                    rho_dir)
+                rho_nee = jnp.where(
+                    act_null[..., None],
+                    rho_nee * m.safe_div(1.0, p_act_null, 0.0)[..., None],
+                    rho_nee)
             depth = jnp.where(act_real, depth + 1, depth)
             active = active & (depth < self.max_depth)
             act_real = act_real & active
@@ -539,6 +567,16 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             w_real = mi.sigma_s * m.safe_div(maj_c, sig_t_c, 0.0)[..., None]
             throughput = jnp.where(act_real[..., None],
                                    throughput * w_real, throughput)
+            if smis:
+                # p_actual(real) = sigma_t_c/maj_c (volpathmis.cpp:218);
+                # the NEE strategy restarts at every real scatter (:237)
+                p_act_real = m.safe_div(sig_t_c, maj_c, 0.0)
+                r_real = m.safe_div(
+                    m.safe_div(mi.sigma_t, mi.combined_extinction, 0.0),
+                    p_act_real[..., None], 0.0)
+                rho_dir = jnp.where(act_real[..., None], rho_dir * r_real,
+                                    rho_dir)
+                rho_nee = jnp.where(act_real[..., None], rho_dir, rho_nee)
             valid_ray = valid_ray | act_real
             specular_chain = specular_chain & ~act_real
 
@@ -547,12 +585,28 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             mi_as_si = si._replace(
                 t=mi.t, p=mi.p, n=mi.sh_frame.n, sh_frame=mi.sh_frame,
                 wi=mi.wi)
-            ds_m, em_m, state = self._sample_emitter_attenuated(
-                scene, sampler, state, mi_as_si, medium_idx, channel,
-                nee_u, act_real, from_medium=True)
+            if smis:
+                (ds_m, em_m, state, rho_n_arm,
+                 rho_d_arm) = self._sample_emitter_attenuated(
+                    scene, sampler, state, mi_as_si, medium_idx, channel,
+                    nee_u, act_real, from_medium=True, smis=True)
+            else:
+                ds_m, em_m, state = self._sample_emitter_attenuated(
+                    scene, sampler, state, mi_as_si, medium_idx, channel,
+                    nee_u, act_real, from_medium=True)
             phase_val = scene.medium_phase_eval(mi, ds_m.d, medium_idx,
                                                 act_real)
-            if self.USE_MIS:
+            if smis:
+                # balance heuristic over the per-channel strategy pdfs
+                # (volpathmis.cpp:229-233): prefix rho_dir times the
+                # shadow-walk arm products; the directional vertex pdf
+                # (== phase_val) normalizes against the actual ds pdf
+                vr = m.safe_div(jnp.where(ds_m.delta, 0.0, phase_val),
+                                ds_m.pdf, 0.0)
+                s_nee = (rho_dir * rho_n_arm).sum(-1)
+                s_dir = (rho_dir * rho_d_arm).sum(-1) * vr
+                w_nee_m = m.safe_div(float(nch), s_nee + s_dir, 0.0)
+            elif self.USE_MIS:
                 # phase value == phase pdf for the normalized phase
                 # functions; MIS against the directional arm
                 w_nee_m = jnp.where(ds_m.delta, 1.0,
@@ -568,6 +622,13 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             ph_u, state = sampler.next_2d(state)
             wo_m, ph_pdf = scene.medium_phase_sample(mi, medium_idx, ph_u,
                                                      act_real)
+            if smis:
+                # the NEE strategy has no phase-vertex pdf; the actual
+                # chain divided by ph_pdf (volpathmis.cpp:247-248)
+                rho_nee = jnp.where(
+                    act_real[..., None],
+                    rho_nee * m.safe_div(1.0, ph_pdf, 0.0)[..., None],
+                    rho_nee)
             ray_o = jnp.where(act_real[..., None], mi.p, ray_o)
             ray_d = jnp.where(act_real[..., None], wo_m, ray_d)
             needs_isect = needs_isect | act_real
@@ -594,8 +655,16 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
                     (ds_hit.emitter_idx >= 0) & ~prev_delta,
                     scene.pdf_emitter_direction(si_ref, ds_hit, emit_mask),
                     0.0)
-                w_hit = jnp.where(prev_delta, 1.0,
-                                  mis_weight(prev_pdf, em_pdf))
+                if smis:
+                    s_dir = rho_dir.sum(-1)
+                    s_nee = rho_nee.sum(-1) * em_pdf
+                    w_hit = jnp.where(
+                        prev_delta,
+                        m.safe_div(float(nch), s_dir, 0.0),
+                        m.safe_div(float(nch), s_dir + s_nee, 0.0))
+                else:
+                    w_hit = jnp.where(prev_delta, 1.0,
+                                      mis_weight(prev_pdf, em_pdf))
             else:
                 # NEE-only: emitter hits only on specular chains
                 emit_mask = active_surface & specular_chain
@@ -612,12 +681,25 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             active_e = active_surface & smooth \
                 & (depth + 1 < self.max_depth)
             nee_u2, state = sampler.next_2d(state)
-            ds_s, em_s, state = self._sample_emitter_attenuated(
-                scene, sampler, state, si, medium_idx, channel, nee_u2,
-                active_e, from_medium=False)
+            if smis:
+                (ds_s, em_s, state, rho_n_s,
+                 rho_d_s) = self._sample_emitter_attenuated(
+                    scene, sampler, state, si, medium_idx, channel,
+                    nee_u2, active_e, from_medium=False, smis=True)
+            else:
+                ds_s, em_s, state = self._sample_emitter_attenuated(
+                    scene, sampler, state, si, medium_idx, channel, nee_u2,
+                    active_e, from_medium=False)
             wo_local = si.to_local(ds_s.d)
             bsdf_val = scene.bsdf_eval(ctx, si, wo_local, active_e)
-            if self.USE_MIS:
+            if smis:
+                bsdf_pdf = scene.bsdf_pdf(ctx, si, wo_local, active_e)
+                vr_s = m.safe_div(jnp.where(ds_s.delta, 0.0, bsdf_pdf),
+                                  ds_s.pdf, 0.0)
+                s_nee = (rho_dir * rho_n_s).sum(-1)
+                s_dir = (rho_dir * rho_d_s).sum(-1) * vr_s
+                mis = m.safe_div(float(nch), s_nee + s_dir, 0.0)
+            elif self.USE_MIS:
                 bsdf_pdf = scene.bsdf_pdf(ctx, si, wo_local, active_e)
                 mis = jnp.where(ds_s.delta, 1.0,
                                 mis_weight(ds_s.pdf, bsdf_pdf))
@@ -656,6 +738,16 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             # straight-through segment belongs to the same solid-angle
             # sample); real lobes start a new directional sample
             real_bounce = active_surface & non_null
+            if smis:
+                # a real surface bounce restarts the NEE strategy
+                # (volpathmis.cpp:317-318); the actual chain divided by
+                # bs.pdf, which the NEE arm does not contain
+                rho_nee = jnp.where(real_bounce[..., None], rho_dir,
+                                    rho_nee)
+                rho_nee = jnp.where(
+                    real_bounce[..., None],
+                    rho_nee * m.safe_div(1.0, bs.pdf, 0.0)[..., None],
+                    rho_nee)
             prev_pdf = jnp.where(real_bounce, bs.pdf, prev_pdf)
             prev_p = jnp.where(real_bounce[..., None], si.p, prev_p)
             prev_delta = jnp.where(real_bounce, delta_lobe, prev_delta)
@@ -681,21 +773,30 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
 
             return (it + 1, active, depth, ray_o, ray_d, si, needs_isect,
                     throughput, result, medium_idx, specular_chain,
-                    valid_ray, state, prev_pdf, prev_p, prev_delta)
+                    valid_ray, state, prev_pdf, prev_p, prev_delta,
+                    rho_dir, rho_nee)
 
+        n_r = nch if smis else 1
         carry = (jnp.int32(0), active, depth, ray.o, ray.d, si, needs_isect,
                  throughput, result, medium_idx, specular_chain, valid_ray,
                  state, jnp.zeros((n,), dt), ray.o,
-                 jnp.ones((n,), bool))   # camera rays count as delta
+                 jnp.ones((n,), bool),   # camera rays count as delta
+                 jnp.ones((n, n_r), dt), jnp.ones((n, n_r), dt))
         carry = jax.lax.while_loop(cond, body, carry)
         return carry[8], carry[11], []
 
     # -------------------------------------------------------------------------
     def _sample_emitter_attenuated(self, scene, sampler, state, ref_si,
                                    medium_idx, channel, sample2, active,
-                                   from_medium):
+                                   from_medium, smis=False):
         """NEE with transmittance through media + null surfaces
-        (volpath.cpp sample_emitter:258-360)."""
+        (volpath.cpp sample_emitter:258-360).
+
+        With ``smis`` (spectral MIS, volpathmis.cpp:447-499 WeightMatrix
+        in separable pdf-RATIO form) also returns the per-channel pdf
+        ratio products of the shadow walk for the NEE and directional
+        strategies: rho[j] = prod over walk events of
+        p_strategy(channel j) / p_actual(hero channel)."""
         n = ref_si.t.shape[0]
         nch = current_variant().n_channels
         dt = ref_si.t.dtype
@@ -703,13 +804,17 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             ref_si, sample2, False, active)
         active = jnp.asarray(active) & (ds.pdf != 0)
         emitter_val = jnp.where(active[..., None], emitter_val, 0.0)
+        ones_r = jnp.ones((n, nch), dt)
         if not scene.has_media:
             # pure geometric visibility
             from ..render.scene import _shadow_ray
             sray, _ = _shadow_ray(ref_si, ds)
             occluded = scene.ray_test(sray, active)
-            return ds, jnp.where((active & ~occluded)[..., None],
-                                 emitter_val, 0.0), state
+            em = jnp.where((active & ~occluded)[..., None],
+                           emitter_val, 0.0)
+            if smis:
+                return ds, em, state, ones_r, ones_r
+            return ds, em, state
 
         # march through media and null interfaces
         o0 = ref_si.offset_p(ds.d) if not from_medium else ref_si.p
@@ -719,7 +824,8 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             return (it < self.nee_loop_cap) & jnp.any(act)
 
         def body(carry):
-            (it, act, o, remaining, tr_acc, med_idx, state) = carry
+            (it, act, o, remaining, tr_acc, med_idx, state,
+             rho_n, rho_d) = carry
             ray = Ray.make(o, ds.d, mint=jnp.zeros((n,), dt),
                            maxt=remaining * (1.0 - m.ShadowEpsilon),
                            time=ref_si.time, wavelengths=ref_si.wavelengths)
@@ -739,12 +845,22 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             tr_acc = jnp.where(act_med[..., None],
                                tr_acc * m.safe_div(tr, tr_pdf[..., None],
                                                    0.0), tr_acc)
+            # per-channel free-flight pdf ratios (both strategies
+            # traverse the same distances: volpathmis.cpp:177-178)
+            r_ff = m.safe_div(ff_pdf, tr_pdf[..., None], 0.0)
+            rho_n = jnp.where(act_med[..., None], rho_n * r_ff, rho_n)
+            rho_d = jnp.where(act_med[..., None], rho_d * r_ff, rho_d)
             collided = act_med & jnp.isfinite(mi.t)
             # null-collision weight (only σn channel survives in a shadow walk)
             w = mi.sigma_n * m.safe_div(
                 _index_spectrum(mi.combined_extinction, channel),
                 _index_spectrum(mi.sigma_n, channel), 0.0)[..., None]
             tr_acc = jnp.where(collided[..., None], tr_acc * w, tr_acc)
+            # the directional strategy crosses this collision as a null
+            # event with per-channel probability sigma_n/majorant
+            # (volpathmis.cpp:203); the NEE walk is deterministic (p=1)
+            r_d = m.safe_div(mi.sigma_n, mi.combined_extinction, 0.0)
+            rho_d = jnp.where(collided[..., None], rho_d * r_d, rho_d)
             o = jnp.where(collided[..., None], mi.p, o)
             remaining = jnp.where(collided, remaining - mi.t, remaining)
 
@@ -763,14 +879,17 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             done = act & ~collided & ~reach_surf  # reached the emitter
             act = act & ~done & ~blocked & (remaining > 1e-5) \
                 & jnp.any(tr_acc > 0, axis=-1)
-            return (it + 1, act, o, remaining, tr_acc, med_idx, state)
+            return (it + 1, act, o, remaining, tr_acc, med_idx, state,
+                    rho_n, rho_d)
 
         carry = (jnp.int32(0), active, o0, ds.dist, jnp.ones((n, nch), dt),
-                 medium_idx, state)
+                 medium_idx, state, ones_r, ones_r)
         carry = jax.lax.while_loop(cond, body, carry)
-        _, still_active, _, _, tr_acc, _, state = carry
+        (_, still_active, _, _, tr_acc, _, state, rho_n, rho_d) = carry
         # lanes still active at cap: conservatively keep their transmittance
         tr_acc = jnp.where(jnp.asarray(active)[..., None], tr_acc, 0.0)
+        if smis:
+            return ds, emitter_val * tr_acc, state, rho_n, rho_d
         return ds, emitter_val * tr_acc, state
 
     def _null_transmission(self, scene, si, active):
@@ -792,11 +911,15 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
 class VolumetricMISPathIntegrator(VolumetricPathIntegrator):
     """(volpathmis.cpp:1-539) volumetric path tracing with MIS between the
     NEE and directional (BSDF/phase) sampling strategies: emitter hits are
-    collected on every path and weighted by the power heuristic against the
-    emitter sampler's solid-angle density, carried across null collisions
-    (the straight-through chain belongs to the same directional sample).
-    Distance sampling stays hero-channel delta tracking; the reference's
-    per-channel spectral-MIS weight matrix is a tracked refinement."""
+    collected on every path and weighted against the emitter sampler's
+    density, carried across null collisions (the straight-through chain
+    belongs to the same directional sample).
+
+    In spectral variants the reference's per-channel WeightMatrix
+    (volpathmis.cpp:447-499) is carried through every distance/null/real
+    event in separable pdf-RATIO form (rho products relative to the hero
+    channel), and contributions use the balance heuristic over all
+    channel strategies — see the `smis` branches in the shared body."""
 
     USE_MIS = True
 

@@ -5,11 +5,12 @@ Scope: isotropic materials (phi_i.shape <= 2, like most of the RGL database).
 Visible-NDF importance sampling over the measured tables with the reference's
 square <-> spherical mappings (theta2u/u2theta with the sqrt warp).
 
-TPU adaptation: the reference's parameterized Marginal2D interpolates warp
-CDFs over the incident angle during its binary search; here each lane samples
-from its NEAREST theta_i slice (with the matching pdf, so sample/pdf stay
-mutually consistent) and spectra/NDF evaluation interpolates linearly across
-slices like the reference.
+Like the reference's parameterized Marginal2D (measured.cpp:22-24,
+distr_2d.h:336), each lane's warp is the LINEAR INTERPOLATION of its two
+bracketing theta_i slices: sampling inverts the blended piecewise-bilinear
+CDF exactly (a blend of bilinear densities stays bilinear), and
+eval/pdf/spectra use the same blended tables, so sample/pdf stay mutually
+consistent and there is no discontinuity at slice boundaries.
 """
 
 from __future__ import annotations
@@ -51,11 +52,13 @@ def _elevation(d):
 
 
 class _SlicedMarginal2D:
-    """Per-theta-slice marginal/conditional warp over [0,1]^2.
+    """theta_i-interpolated marginal/conditional warp over [0,1]^2.
 
-    data: (T, h, w) densities. Sampling picks the lane's slice and inverts
-    that slice's piecewise-bilinear CDF exactly (flat-CDF design, see
-    core/distr_2d.py)."""
+    data: (T, h, w) densities. A lane's warp is the LINEAR BLEND of its
+    two bracketing theta_i slices (wt in [0,1]) — the reference
+    Marginal2D's parameter interpolation (measured.cpp:22-24,
+    distr_2d.h:336) — and sampling inverts the blended piecewise-bilinear
+    CDF exactly (a blend of bilinear densities is bilinear)."""
 
     def __init__(self, data: np.ndarray):
         data = np.asarray(data, np.float32)
@@ -69,22 +72,33 @@ class _SlicedMarginal2D:
         self.row_int = jnp.asarray(row_int)                  # (T,h)
         self.data_np = data
 
+    def _lerp_t(self, X, sl):
+        """Gather rows of X at slices t0/t0+1 and blend by wt."""
+        t0, wt = sl
+        a = gather_rows(X, t0)
+        b = gather_rows(X, jnp.minimum(t0 + 1, self.T - 1))
+        return a + (b - a) * wt[:, None]
+
     def _rows(self, sl, iy):
-        """Gather data rows (N, w) for slice sl, row iy (both (N,))."""
+        """Blended data rows (N, w) for slice pair sl, row iy."""
+        t0, wt = sl
         flat = self.data.reshape(self.T * self.h, self.w)
-        return gather_rows(flat, sl * self.h + iy)
+        a = gather_rows(flat, t0 * self.h + iy)
+        b = gather_rows(flat, jnp.minimum(t0 + 1, self.T - 1)
+                        * self.h + iy)
+        return a + (b - a) * wt[:, None]
 
     def sample(self, sl, u2):
         h, w = self.h, self.w
-        integral = gather_rows(self.integral[:, None], sl)[:, 0]
-        marg = gather_rows(self.marg_cdf, sl)                # (N,h-1)
+        integral = self._lerp_t(self.integral[:, None], sl)[:, 0]
+        marg = self._lerp_t(self.marg_cdf, sl)               # (N,h-1)
         ty = u2[..., 1] * integral
         iy = jnp.clip(jnp.sum(marg < ty[:, None], -1), 0, h - 2)
         cdf_lo = jnp.where(iy > 0,
                            jnp.take_along_axis(marg,
                                                jnp.maximum(iy - 1, 0)[:, None],
                                                1)[:, 0], 0.0)
-        row_int = gather_rows(self.row_int, sl)              # (N,h)
+        row_int = self._lerp_t(self.row_int, sl)             # (N,h)
         r0 = jnp.take_along_axis(row_int, iy[:, None], 1)[:, 0]
         r1 = jnp.take_along_axis(row_int, (iy + 1)[:, None], 1)[:, 0]
         rem = (ty - cdf_lo) * (h - 1)
@@ -124,7 +138,7 @@ class _SlicedMarginal2D:
         ty = fy - cy
         f = (v00 * (1 - tx[:, 0]) * (1 - ty) + v10 * tx[:, 0] * (1 - ty)
              + v01 * (1 - tx[:, 0]) * ty + v11 * tx[:, 0] * ty)
-        integral = gather_rows(self.integral[:, None], sl)[:, 0]
+        integral = self._lerp_t(self.integral[:, None], sl)[:, 0]
         return m.safe_div(f, integral, 0.0)
 
 
@@ -194,9 +208,17 @@ class MeasuredBSDF(BSDF):
         self.m_flags = self.m_components[0]
 
     def _slice(self, theta):
-        """Nearest theta_i slice index per lane."""
-        d = jnp.abs(self.theta_i[None, :] - theta[:, None])
-        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+        """Bracketing theta_i slice pair per lane -> (t0, wt): the warp
+        and spectra interpolate linearly between slices t0 and t0+1
+        (measured.cpp:22-24 Marginal2D parameter interpolation)."""
+        t0 = jnp.clip(
+            jnp.sum((self.theta_i[None, :] <= theta[:, None])
+                    .astype(jnp.int32), -1) - 1,
+            0, self.n_theta - 2).astype(jnp.int32)
+        lo = self.theta_i[t0]
+        hi = self.theta_i[jnp.minimum(t0 + 1, self.n_theta - 1)]
+        wt = jnp.clip(m.safe_div(theta - lo, hi - lo, 0.0), 0.0, 1.0)
+        return t0, wt
 
     def _spectrum_at(self, sl, pos, si, active):
         h, w = self.vndf.h, self.vndf.w
@@ -204,25 +226,33 @@ class MeasuredBSDF(BSDF):
         fy = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
         ix = jnp.clip(jnp.round(fx).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, h - 1)
+        t0, wt = sl
         var = current_variant()
         if var.is_spectral:
-            # nearest wavelength bin + nearest texel (spectral tables are
-            # smooth; bilinear upgrade tracked)
+            # nearest wavelength bin + nearest texel, theta_i-lerped
+            # (spectral tables are smooth; bilinear upgrade tracked)
             T, L, hh, ww = self.spectra.shape
+            t1 = jnp.minimum(t0 + 1, T - 1)
             out = []
             for k in range(si.wavelengths.shape[-1]):
                 wl = si.wavelengths[..., k]
                 li = jnp.argmin(jnp.abs(self.wavelengths[None, :]
                                         - wl[:, None]), -1)
                 flat = self.spectra.reshape(T * L * hh * ww)[:, None]
-                idx = ((sl * L + li) * hh + iy) * ww + ix
-                out.append(gather_rows(flat, idx)[:, 0])
+                idx0 = ((t0 * L + li) * hh + iy) * ww + ix
+                idx1 = ((t1 * L + li) * hh + iy) * ww + ix
+                a = gather_rows(flat, idx0)[:, 0]
+                b = gather_rows(flat, idx1)[:, 0]
+                out.append(a + (b - a) * wt)
             return jnp.stack(out, -1)
         T = self.spectra_rgb.shape[0]
+        t1 = jnp.minimum(t0 + 1, T - 1)
         flat = self.spectra_rgb.reshape(-1, 3)
-        idx = (sl * self.spectra_rgb.shape[1] + iy) \
-            * self.spectra_rgb.shape[2] + ix
-        return gather_rows(flat, idx)
+        hh = self.spectra_rgb.shape[1]
+        ww = self.spectra_rgb.shape[2]
+        a = gather_rows(flat, (t0 * hh + iy) * ww + ix)
+        b = gather_rows(flat, (t1 * hh + iy) * ww + ix)
+        return a + (b - a) * wt[:, None]
 
     def sample(self, ctx, si, sample1, sample2, active):
         n = si.t.shape[0]
@@ -324,13 +354,14 @@ class MeasuredBSDF(BSDF):
         sample square) — piecewise-linear evaluation of the marginal /
         conditional CDFs."""
         h, w = self.vndf.h, self.vndf.w
-        # marginal over y
-        integral = gather_rows(self.vndf.integral[:, None], sl)[:, 0]
-        marg = gather_rows(self.vndf.marg_cdf, sl)           # (N,h-1)
+        # marginal over y (theta_i-blended like the sampling warp)
+        integral = self.vndf._lerp_t(self.vndf.integral[:, None],
+                                     sl)[:, 0]
+        marg = self.vndf._lerp_t(self.vndf.marg_cdf, sl)     # (N,h-1)
         fy = jnp.clip(u_m[..., 1], 0.0, 1.0) * (h - 1)
         iy = jnp.clip(fy.astype(jnp.int32), 0, h - 2)
         wy = fy - iy
-        row_int = gather_rows(self.vndf.row_int, sl)
+        row_int = self.vndf._lerp_t(self.vndf.row_int, sl)
         r0 = jnp.take_along_axis(row_int, iy[:, None], 1)[:, 0]
         r1 = jnp.take_along_axis(row_int, (iy + 1)[:, None], 1)[:, 0]
         cdf_lo = jnp.where(iy > 0,

@@ -248,11 +248,12 @@ def _fresnel_diel(cos_i, eta):
 
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
-                 sattr_ref, env_ref, cab_ref, scab_ref, st_in_ref,
-                 st_out_ref, acc_ref, *, depth, max_depth, rr_depth,
-                 n_faces, chunk, spp_pass, width, height, n_lanes,
-                 has_spheres, has_env, has_checker, has_diel, has_plastic,
-                 env_w, env_h, streamed, carry_pixel):
+                 sattr_ref, qd_ref, qattr_ref, env_ref, cab_ref, scab_ref,
+                 st_in_ref, st_out_ref, acc_ref, *, depth, max_depth,
+                 rr_depth, n_faces, chunk, spp_pass, width, height,
+                 n_lanes, has_spheres, has_quads, has_env, has_checker,
+                 has_diel, has_plastic, env_w, env_h, streamed,
+                 carry_pixel):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -267,6 +268,11 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         weight(13) radiance(14:17) pad.
     sph (8, S): analytic spheres cx cy cz r valid. sattr (40, S):
         fattr-layout shading attributes per sphere.
+    qd (16, Q): analytic disk/cylinder prims: to_object A rows 0:9,
+        translation b 9:12, kind 12 (1 disk, 2 cyl), radius 13,
+        length 14, valid 15 (disk.cpp / cylinder.cpp canonical-frame
+        intersection). qattr (40, Q): fattr-layout shading attributes
+        (cols 0:3 = disk normal / unused for cyl; col 38 = flip).
     env (3W, H): lat-long radiance, channel-blocked rows, transposed.
     cab (n_chunks_pad, 8): per-chunk BVH AABBs [lo3 hi3 pad2] (BVH-leaf
         face order makes chunks spatially tight); padding chunks carry
@@ -469,7 +475,93 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             if need_bary:
                 bu_best = jnp.where(closer, 0.0, bu_best)
                 bv_best = jnp.where(closer, 0.0, bv_best)
+        if has_quads:
+            tq, okq = _quad_hits(ox, oy, oz, dx, dy, dz, mint, maxt)
+            Q = tq.shape[0]
+            tqmin = jnp.min(tq, axis=0)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (Q, R), 0)
+            cand = jnp.where((tq <= tqmin[None, :]) & okq, ids,
+                             jnp.int32(0x7FFFFFFF))
+            kmin = jnp.min(cand, axis=0)
+            qpick = ((ids == kmin[None, :]) & okq).astype(jnp.float32)
+            QA = _dotpick(qattr_ref[:], qpick)         # (40, R)
+            QP = _dotpick(qd_ref[:], qpick)            # (16, R)
+            closer = tqmin < t_best
+            tsafe = jnp.where(closer, tqmin, t_best)
+            hx = ox + tsafe * dx
+            hy = oy + tsafe * dy
+            hz = oz + tsafe * dz
+            # local hit point via the picked to_object rows
+            qlx = QP[0] * hx + QP[1] * hy + QP[2] * hz + QP[9]
+            qly = QP[3] * hx + QP[4] * hy + QP[5] * hz + QP[10]
+            # disk normal precomputed in qattr 0:3 (flip folded in);
+            # cylinder: n = A^T (lx, ly, 0)/r * flip (rigid: A^T = B)
+            inv_rq = 1.0 / jnp.maximum(QP[13], 1e-20)
+            flipq = QA[38]
+            cnx = (QP[0] * qlx + QP[3] * qly) * inv_rq * flipq
+            cny = (QP[1] * qlx + QP[4] * qly) * inv_rq * flipq
+            cnz = (QP[2] * qlx + QP[5] * qly) * inv_rq * flipq
+            is_cyl = QP[12] > 1.5
+            qn = jnp.stack([jnp.where(is_cyl, cnx, QA[0]),
+                            jnp.where(is_cyl, cny, QA[1]),
+                            jnp.where(is_cyl, cnz, QA[2])], axis=0)
+            QA = jnp.concatenate([qn, QA[3:]], axis=0)
+            t_best = jnp.where(closer, tqmin, t_best)
+            A_best = jnp.where(closer[None, :], QA, A_best)
+            if need_bary:
+                bu_best = jnp.where(closer, 0.0, bu_best)
+                bv_best = jnp.where(closer, 0.0, bv_best)
         return t_best, A_best, bu_best, bv_best
+
+    def _quad_hits(ox, oy, oz, dx, dy, dz, mint, maxt):
+        """(tq, okq) over the analytic disk/cylinder table: rays in each
+        prim's canonical object frame (disk: z=0 unit disk; cylinder:
+        radius r, z in [0, L])."""
+        qd = qd_ref[:]                                 # (16, Q)
+        A = [qd[k][:, None] for k in range(9)]
+        bx_, by_, bz_ = qd[9][:, None], qd[10][:, None], qd[11][:, None]
+        kindq = qd[12][:, None]
+        r_q = qd[13][:, None]
+        ln_q = qd[14][:, None]
+        aliveq = qd[15][:, None] > 0.5
+        oxs, oys, ozs = ox[None, :], oy[None, :], oz[None, :]
+        dxs, dys, dzs = dx[None, :], dy[None, :], dz[None, :]
+        olx = A[0] * oxs + A[1] * oys + A[2] * ozs + bx_   # (Q, R)
+        oly = A[3] * oxs + A[4] * oys + A[5] * ozs + by_
+        olz = A[6] * oxs + A[7] * oys + A[8] * ozs + bz_
+        dlx = A[0] * dxs + A[1] * dys + A[2] * dzs
+        dly = A[3] * dxs + A[4] * dys + A[5] * dzs
+        dlz = A[6] * dxs + A[7] * dys + A[8] * dzs
+        is_disk = kindq < 1.5
+        # disk: plane z=0, x^2+y^2 <= 1 (disk.cpp:146-166)
+        dz_ok = jnp.abs(dlz) > 1e-12
+        t_d = -olz / jnp.where(dz_ok, dlz, 1.0)
+        hx_ = olx + t_d * dlx
+        hy_ = oly + t_d * dly
+        ok_d = dz_ok & (hx_ * hx_ + hy_ * hy_ <= 1.0)
+        # cylinder: x^2+y^2 = r^2, z in [0, L] (cylinder.cpp:243-291)
+        a2 = dlx * dlx + dly * dly
+        b2 = 2.0 * (dlx * olx + dly * oly)
+        c2 = olx * olx + oly * oly - r_q * r_q
+        disc = b2 * b2 - 4.0 * a2 * c2
+        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv2a = 1.0 / jnp.where(jnp.abs(a2) > 1e-20, 2.0 * a2, 1.0)
+        a2ok = jnp.abs(a2) > 1e-20
+        t_n = (-b2 - sqd) * inv2a
+        t_f = (-b2 + sqd) * inv2a
+        zn = olz + dlz * t_n
+        zf = olz + dlz * t_f
+        n_ok = (zn >= 0) & (zn <= ln_q) & (t_n > mint[None, :]) \
+            & (t_n < maxt[None, :])
+        f_ok = (zf >= 0) & (zf <= ln_q) & (t_f > mint[None, :]) \
+            & (t_f < maxt[None, :])
+        ok_c = a2ok & (disc > 0) & (n_ok | f_ok)
+        t_c = jnp.where(n_ok, t_n, t_f)
+        tq = jnp.where(is_disk, t_d, t_c)
+        # no jnp.where on bools (Mosaic lacks the i1 select lowering)
+        okq = aliveq & ((is_disk & ok_d) | (~is_disk & ok_c)) \
+            & (tq > mint[None, :]) & (tq < maxt[None, :])
+        return jnp.where(okq, tq, _BIG), okq
 
     def _shadow_chunk(W, odh, mint, maxt):
         """Occlusion count of one chunk (no argmin/pick epilogue)."""
@@ -550,6 +642,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             oks = alive & (disc > 0) & (ts > mint[None, :]) \
                 & (ts < maxt[None, :])
             cnt = cnt + jnp.sum(oks.astype(jnp.float32), axis=0)
+        if has_quads:
+            _, okq = _quad_hits(ox, oy, oz, dx, dy, dz, mint, maxt)
+            cnt = cnt + jnp.sum(okq.astype(jnp.float32), axis=0)
         return cnt    # float occlusion count (flat); > 0 => occluded
 
     def env_lookup(dx, dy, dz):
@@ -1106,6 +1201,13 @@ def _bsdf_columns(bsdf):
             return None
         return alpha if alpha >= 0.01 else None
 
+    insts = getattr(bsdf, "merged_instances", None)
+    if insts is not None and type(bsdf) is not SmoothDiffuse:
+        # merged dispatch wrappers (models/merged.py): eligible iff every
+        # member is (the per-shape table builder uses s.bsdf originals)
+        if all(_bsdf_columns(b) is not None for b in insts):
+            return ("merged", bsdf)
+        return None
     if type(bsdf) is SmoothDiffuse and isinstance(
             bsdf.reflectance, (ConstantTexture, _PerShapeTexture)):
         return ("diffuse", bsdf)
@@ -1371,6 +1473,40 @@ class DiffusePathMegakernel:
         self.sph = jnp.asarray(sph.T.copy())               # (8, S)
         self._sattr_static = sattr
 
+        # analytic disk/cylinder prims (scene.quad_table -> in-kernel qd)
+        self.has_quads = bool(getattr(scene, "n_quads", 0))
+        Qp = 8
+        qd = np.zeros((Qp, 16), np.float32)
+        qattr = np.zeros((Qp, _FA_COLS), np.float32)
+        self._quad_shape_idx = []
+        if self.has_quads:
+            qt = np.asarray(scene.quad_table)
+            nq = qt.shape[0]
+            Qp = _pad8(nq)
+            qd = np.zeros((Qp, 16), np.float32)
+            qattr = np.zeros((Qp, _FA_COLS), np.float32)
+            qd[:nq, 0:12] = qt[:, 0:12]                # A rows + b
+            qd[:nq, 12] = qt[:, 21]                    # kind
+            qd[:nq, 13] = qt[:, 22]                    # radius
+            qd[:nq, 14] = qt[:, 23]                    # length
+            qd[:nq, 15] = 1.0
+            for qi in range(nq):
+                s_idx = int(qt[qi, 24])
+                self._quad_shape_idx.append(s_idx)
+                # disk normal = normalize(A row 2) * flip (constant)
+                arow = qt[qi, 6:9]
+                nrm = arow / max(np.linalg.norm(arow), 1e-20)
+                flip = qt[qi, 29]
+                qattr[qi, 0:3] = nrm * flip
+                qattr[qi, 10] = shp_kind[s_idx]
+                qattr[qi, 11] = shp_alpha[s_idx]
+                qattr[qi, 12:15] = shp_eta[s_idx]
+                qattr[qi, 15:18] = shp_k[s_idx]
+                qattr[qi, 33:38] = shp_extra[s_idx]
+                qattr[qi, 38] = flip
+        self.qd = jnp.asarray(qd.T.copy())             # (16, Q)
+        self._qattr_static = qattr
+
         # envmap (identity to_world, checked by eligibility)
         env_e = scene.environment_emitter
         self.has_env = env_e is not None
@@ -1432,6 +1568,25 @@ class DiffusePathMegakernel:
             static = static.at[:self.n_faces, 18:21].set(c1[self._fs])
         return static.T
 
+    def _qattr(self):
+        static = jnp.asarray(self._qattr_static)
+        if not self._quad_shape_idx:
+            return static.T
+        scene = self._scene
+        alb = jnp.stack([
+            jnp.broadcast_to(
+                self._shape_albedo(scene.shapes[s_idx]), (3,))
+            for s_idx in self._quad_shape_idx])
+        static = static.at[:len(self._quad_shape_idx), 3:6].set(alb)
+        if self._has_c2:
+            c1 = jnp.stack([
+                jnp.broadcast_to(
+                    self._shape_c1(scene.shapes[s_idx]), (3,))
+                for s_idx in self._quad_shape_idx])
+            static = static.at[:len(self._quad_shape_idx),
+                               18:21].set(c1)
+        return static.T
+
     def _sattr(self):
         static = jnp.asarray(self._sattr_static)
         if not self._sph_shape_idx:
@@ -1487,13 +1642,17 @@ class DiffusePathMegakernel:
             pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
             pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
                          lambda i: (0, 0)),
+            pl.BlockSpec(self.qd.shape, lambda i: (0, 0)),
+            pl.BlockSpec((_FA_COLS, self.qd.shape[1]),
+                         lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
             pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
-                  self.sph, self._sattr(), self.env, self.cab, self.scab)
+                  self.sph, self._sattr(), self.qd, self._qattr(),
+                  self.env, self.cab, self.scab)
         # between-bounce ray reordering (the live-ray compaction the
         # reference never had, SURVEY §5): key = origin-morton (8
         # bits/axis over the scene bbox) . direction-octant; dead lanes
@@ -1539,6 +1698,7 @@ class DiffusePathMegakernel:
                 rr_depth=self.rr_depth, n_faces=self.n_faces,
                 chunk=self.chunk, spp_pass=spp_pass, width=w, height=h,
                 n_lanes=n, has_spheres=self.has_spheres,
+                has_quads=self.has_quads,
                 has_env=self.has_env, has_checker=self.has_checker,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
@@ -1589,8 +1749,8 @@ def megakernel_ineligibility(scene):
         return "no shapes"
     if getattr(scene, "n_spheres", 0) > MAX_SPHERES:
         return f"sphere count > {MAX_SPHERES}"
-    if getattr(scene, "n_quads", 0):
-        return "analytic disk/cylinder prims (no in-kernel quad table yet)"
+    if getattr(scene, "n_quads", 0) > MAX_SPHERES:
+        return f"disk/cylinder count > {MAX_SPHERES}"
     for b in scene.bsdfs:
         if _bsdf_columns(b) is None:
             return f"unsupported BSDF {type(b).__name__}"

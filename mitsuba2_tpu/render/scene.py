@@ -171,33 +171,39 @@ class Scene(Object):
             bb_min = np.minimum(bb_min, lo)
             bb_max = np.maximum(bb_max, hi)
 
-        # ---- merge identical-type diffuse instances (vcall reduction) ----
-        # Role of material-sorted queues (SURVEY.md §2.4): N masked wavefront
-        # evals collapse to 1 with a per-shape parameter gather. The merged
-        # texture reads the ORIGINAL texture objects at trace time, so
-        # traverse()/autodiff keep working against the per-shape plugins.
-        from ..models.bsdfs import SmoothDiffuse
-        from ..models.textures import ConstantTexture
-        mergeable = [i for i, b in enumerate(self.bsdfs)
-                     if type(b) is SmoothDiffuse
-                     and type(b.reflectance) is ConstantTexture]
-        if len(mergeable) > 1:
-            slot_of_bsdf = {b_idx: slot
-                            for slot, b_idx in enumerate(mergeable)}
-            textures = [self.bsdfs[i].reflectance for i in mergeable]
-            shape_slot = np.zeros(max(len(self.shapes), 1), np.int32)
-            for s_idx, b_idx in enumerate(shape_bsdf):
-                if b_idx in slot_of_bsdf:
-                    shape_slot[s_idx] = slot_of_bsdf[b_idx]
-            merged_tex = _PerShapeTexture(textures, shape_slot)
-            merged = SmoothDiffuse()
-            merged.reflectance = merged_tex
-            keep = [i for i in range(len(self.bsdfs))
-                    if i not in slot_of_bsdf]
+        # ---- merge same-family BSDF instances (vcall reduction) ----------
+        # Role of material-sorted queues / Enoki's vcall partitioning
+        # (SURVEY.md §2.4, bsdf.h:522-532): K masked wavefront sweeps per
+        # family collapse to 1 with per-shape parameter gathers
+        # (models/merged.py). Merged instances read the ORIGINAL plugin
+        # objects at trace time, so traverse()/autodiff keep working.
+        from ..models.merged import merge_signature, build_merged
+        sig_groups: dict = {}
+        for i, b in enumerate(self.bsdfs):
+            sig = merge_signature(b)
+            if sig is not None:
+                sig_groups.setdefault(sig, []).append(i)
+        sig_groups = {k: v for k, v in sig_groups.items() if len(v) > 1}
+        if sig_groups:
+            grouped = {i for v in sig_groups.values() for i in v}
+            keep = [i for i in range(len(self.bsdfs)) if i not in grouped]
             remap = {old: new for new, old in enumerate(keep)}
-            merged_idx = len(keep)
-            shape_bsdf = [remap.get(b, merged_idx) for b in shape_bsdf]
-            self.bsdfs = [self.bsdfs[i] for i in keep] + [merged]
+            new_bsdfs = [self.bsdfs[i] for i in keep]
+            for sig, members in sig_groups.items():
+                slot_of = {b_idx: slot
+                           for slot, b_idx in enumerate(members)}
+                shape_slot = np.zeros(max(len(self.shapes), 1), np.int32)
+                for s_idx, b_idx in enumerate(shape_bsdf):
+                    if b_idx in slot_of:
+                        shape_slot[s_idx] = slot_of[b_idx]
+                merged = build_merged(
+                    sig, [self.bsdfs[i] for i in members], shape_slot)
+                m_idx = len(new_bsdfs)
+                for i in members:
+                    remap[i] = m_idx
+                new_bsdfs.append(merged)
+            shape_bsdf = [remap[b] for b in shape_bsdf]
+            self.bsdfs = new_bsdfs
 
         if not v0s:
             # degenerate dummy face/shape so gathers stay well-formed in
@@ -876,7 +882,10 @@ class Scene(Object):
         from ..models.media_impl import _zero_mi
         nch = current_variant().n_channels
         n = ray.o.shape[0]
-        mi = _zero_mi(n, nch, ray.o.dtype)
+        # match the ray's wavelength width (spectral variants carry
+        # (n, 4); _zero_mi defaults to (n, 0) and _tree_where would fail)
+        mi = _zero_mi(n, nch, ray.o.dtype)._replace(
+            wavelengths=jnp.zeros_like(ray.wavelengths))
         for i, med in enumerate(self.media):
             mask = jnp.asarray(active) & (medium_idx == i)
             mi_i = med.sample_interaction(ray, u, channel, mask)

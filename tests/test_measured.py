@@ -102,3 +102,47 @@ def test_measured_chi2(measured_file, variant_scalar_rgb):
                          sample_dim=3, sample_count=80000, res=21, ires=16,
                          seed=0)
     assert test.run(0.01, test_count=10), test.messages
+
+
+@pytest.mark.parametrize("theta_deg", [12.0, 41.0, 43.0, 68.0])
+def test_measured_chi2_theta_sweep(measured_file, variant_scalar_rgb,
+                                   theta_deg):
+    """(VERDICT r1 #8) chi^2 across incident angles INCLUDING directions
+    that fall between theta_i slices — the interpolated inversion must
+    keep sample()/pdf() consistent there (nearest-slice sampling fails
+    this near slice boundaries)."""
+    from mitsuba2_tpu.python.chi2 import (ChiSquareTest, SphericalDomain,
+                                          BSDFAdapter)
+    t = np.deg2rad(theta_deg)
+    wi = (np.sin(t), 0.0, np.cos(t))
+    sample_func, pdf_func = BSDFAdapter(
+        "measured", {"filename": measured_file}, wi=wi)
+    test = ChiSquareTest(SphericalDomain(), sample_func, pdf_func,
+                         sample_dim=3, sample_count=80000, res=21, ires=16,
+                         seed=0)
+    assert test.run(0.01, test_count=10), test.messages
+
+
+def test_measured_interpolation_continuity(measured_file,
+                                           variant_scalar_rgb):
+    """pdf() is continuous across a theta_i slice boundary (the old
+    nearest-slice scheme jumped there)."""
+    import mitsuba2_tpu as mi
+    import jax.numpy as jnp
+    from mitsuba2_tpu.render.bsdf import BSDFContext
+    from mitsuba2_tpu.render.testutil import dummy_si
+
+    b = mi.load_dict({"type": "measured", "filename": measured_file})
+    th = np.asarray(b.theta_i)
+    # straddle the boundary between slices 7 and 8
+    tb = 0.5 * (th[7] + th[8])
+    eps = 1e-3
+    thetas = jnp.asarray([tb - eps, tb + eps], jnp.float32)
+    wi = jnp.stack([jnp.sin(thetas), jnp.zeros(2), jnp.cos(thetas)], -1)
+    wo = jnp.broadcast_to(
+        jnp.asarray([0.1, 0.05, float(np.sqrt(1 - 0.1**2 - 0.05**2))]),
+        (2, 3))
+    si = dummy_si(2)._replace(wi=wi)
+    pdf = np.asarray(b.pdf(BSDFContext(), si, wo, True))
+    assert pdf[0] > 0 and pdf[1] > 0
+    assert abs(pdf[0] - pdf[1]) < 5e-3 * max(pdf.mean(), 1e-6)

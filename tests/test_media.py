@@ -191,3 +191,51 @@ def test_volpathmis_matches_volpath_in_media(variant_scalar_rgb):
     b = np.asarray(s2.integrator.render(s2, seed=5))
     assert abs(a.mean() - b.mean()) < 0.05 * max(a.mean(), 1e-3), \
         (a.mean(), b.mean())
+
+
+def test_volpathmis_spectral_matches_rgb(variant_scalar_rgb):
+    """(VERDICT r1 #8) spectral volpathmis carries the per-channel MIS
+    weight matrix (ratio form) through null collisions; with
+    wavelength-flat medium coefficients the spectral render must agree
+    with the rgb render of the same scene."""
+    import numpy as np
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.transform import Transform as T
+
+    grid = np.random.default_rng(3).uniform(
+        0.3, 2.2, (8, 8, 8)).astype(np.float32)
+    d = {"type": "scene",
+         "integrator": {"type": "volpathmis", "max_depth": 12},
+         "slab": {"type": "cube", "bsdf": {"type": "null"},
+                  "interior": {"type": "heterogeneous",
+                               "sigma_t": {"type": "grid3d", "data": grid},
+                               "albedo": {"type": "rgb",
+                                          "value": [0.7, 0.7, 0.7]},
+                               "to_world": (T.translate([-1, -1, -1])
+                                            @ T.scale(2.0)),
+                               "phase": {"type": "hg", "g": 0.2}}},
+         "light": {"type": "rectangle",
+                   "to_world": T.translate([0, 0, -2.5]) @ T.scale(2.0),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb",
+                                            "value": [5.0] * 3}}},
+         "sensor": {"type": "perspective", "fov": 40.0,
+                    "to_world": T.look_at([0, 0, 4], [0, 0, 0],
+                                          [0, 1, 0]),
+                    "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                             "rfilter": {"type": "box"}},
+                    "sampler": {"type": "independent",
+                                "sample_count": 96}}}
+    mi.set_variant("scalar_rgb")
+    s_rgb = mi.load_dict(d)
+    img_rgb = np.asarray(s_rgb.integrator.render(s_rgb, seed=2, spp=96))
+    mi.set_variant("scalar_spectral")
+    try:
+        s_sp = mi.load_dict(d)
+        img_sp = np.asarray(s_sp.integrator.render(s_sp, seed=7, spp=96))
+    finally:
+        mi.set_variant("scalar_rgb")
+    assert np.isfinite(img_sp).all()
+    m_rgb = img_rgb.mean()
+    m_sp = img_sp.mean()
+    assert abs(m_sp - m_rgb) <= 0.12 * max(m_rgb, 1e-3), (m_sp, m_rgb)

@@ -170,6 +170,26 @@ def test_streamed_large_mesh(variant_scalar_rgb):
     _cmp(scene, spp=48, max_depth=3, tol=0.06)
 
 
+def test_analytic_disk_cylinder_in_kernel(variant_scalar_rgb):
+    """Disk + cylinder prims ride the megakernel through the in-kernel
+    quad table (canonical-frame quadric hits, exact silhouettes)."""
+    d = _base(max_depth=3)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "disk",
+                  "to_world": (T.translate([0, -1, 0])
+                               @ T.rotate([1, 0, 0], -90) @ T.scale(3)),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb", "value": 0.6}}}
+    d["rod"] = {"type": "cylinder", "radius": 0.4,
+                "p0": [-1, 0, 0], "p1": [1, 0, 0],
+                "bsdf": {"type": "diffuse",
+                         "reflectance": {"type": "rgb",
+                                         "value": [0.6, 0.3, 0.2]}}}
+    scene = mi.load_dict(d)
+    assert scene.n_quads == 2
+    _cmp(scene, spp=64, max_depth=3, tol=0.06)
+
+
 def test_smooth_dielectric_sphere(variant_scalar_rgb):
     """Glass sphere over a diffuse floor: refraction, eta-aware RR, and
     delta-lobe MIS (prev_pdf=0) against the wavefront reference."""

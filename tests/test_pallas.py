@@ -36,13 +36,15 @@ def test_woop_matches_scan(variant_scalar_rgb):
     t2 = np.asarray(t2)
     assert (np.isfinite(t1) == np.isfinite(t2)).all()
     both = np.isfinite(t1)
-    assert np.abs(t1[both] - t2[both]).max() < 1e-5
+    # tolerance = the split-bf16 Woop transform's design accuracy
+    # (~2^-16 relative on unit-scale geometry, ops/megakernel.py _dot3)
+    assert np.abs(t1[both] - t2[both]).max() < 3e-5
     # same face except equal-t edge ties
     same = np.asarray(pi.prim_idx) == np.asarray(idx2)
     assert (same | ~both).mean() > 0.99
     sb = same & both
     assert np.abs(np.asarray(pi.prim_uv)[sb] - np.asarray(uv2)[sb]).max() \
-        < 1e-5
+        < 5e-5
 
 
 def test_woop_respects_maxt(variant_scalar_rgb):

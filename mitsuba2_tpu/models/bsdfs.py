@@ -82,7 +82,8 @@ class NullBSDF(BSDF):
     def sample(self, ctx, si, sample1, sample2, active):
         n = si.t.shape[0]
         bs = zero_bsdf_sample(n, si.t.dtype)
-        ok = active & ctx.is_enabled(BSDFFlags.Null)
+        ok = jnp.broadcast_to(jnp.asarray(active), (n,)) \
+            & ctx.is_enabled(BSDFFlags.Null)
         bs = bs._replace(
             wo=-si.wi,
             pdf=jnp.where(ok, 1.0, 0.0),

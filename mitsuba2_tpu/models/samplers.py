@@ -169,10 +169,14 @@ class OrthogonalSampler(Sampler):
         i = state.sample_index
         a = i % p
         b = i // p
-        dim_key = rng.hash_combine(state.lane_id,
-                                   state.dim + jnp.uint32(offset))
-        # Bush construction: x_d = (a * k_d + b) mod p with k_d != k_d'
-        k = (dim_key % (p - jnp.uint32(1))) + jnp.uint32(1)
+        # Bush construction: x_d = (a * k_d + b) mod p. k_d must DIFFER
+        # across dimensions or the 2D projections collapse onto
+        # diagonals; a hash modulo (p-1) collides for ~1/(p-1) of dim
+        # pairs, so use a per-pixel ROTATION of the dimension index —
+        # bijective on [1, p-1] by construction.
+        rot = rng.hash_combine(state.lane_id, jnp.uint32(0x9E3779B9))
+        d = state.dim + jnp.uint32(offset)
+        k = ((d + rot) % (p - jnp.uint32(1))) + jnp.uint32(1)
         s = (a * k + b) % p
         # per-stratum jitter
         j = rng.uniform_float(state.key, state.dim + jnp.uint32(offset))

@@ -48,7 +48,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 2048
+import os as _os
+RAY_TILE = int(_os.environ.get("MK_TILE", "2048"))
+# ablation knobs (perf analysis only — bias the image when set)
+_ABL_NO_SHADOW = _os.environ.get("MK_NO_SHADOW") == "1"
+_ABL_NO_NEE = _os.environ.get("MK_NO_NEE") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -916,13 +920,18 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         nee_ok = act & (pdf_l > 0) & (cos_s > 0)
         if has_diel:
             nee_ok = nee_ok & ~is_diel           # delta lobes: no NEE arm
-        occ_f = any_hit(to_flat(pxx + nx * eps), to_flat(pyy + ny * eps),
-                        to_flat(pzz + nz * eps),
-                        to_flat(dxl), to_flat(dyl), to_flat(dzl),
-                        zero,
-                        to_flat(jnp.where(nee_ok,
-                                          dist * (1.0 - 1e-3), -_BIG)))
-        occluded = to_dense(occ_f) > 0.0
+        if _ABL_NO_SHADOW:
+            occluded = jnp.zeros_like(dzero, bool)
+        else:
+            occ_f = any_hit(to_flat(pxx + nx * eps),
+                            to_flat(pyy + ny * eps),
+                            to_flat(pzz + nz * eps),
+                            to_flat(dxl), to_flat(dyl), to_flat(dzl),
+                            zero,
+                            to_flat(jnp.where(nee_ok,
+                                              dist * (1.0 - 1e-3),
+                                              -_BIG)))
+            occluded = to_dense(occ_f) > 0.0
 
         # BSDF eval toward the light (f*cos, albedo included per lobe)
         wox, woy, woz = to_local(dxl, dyl, dzl)
@@ -985,9 +994,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # gate the WHOLE product: miss lanes carry inf/NaN intermediates
         # (t = BIG positions) that must never touch the accumulator
         gate = nee_ok & ~occluded
-        res_r_ = res_r_ + jnp.where(gate, thr_r_ * base * f_r * lrad_r, 0.0)
-        res_g_ = res_g_ + jnp.where(gate, thr_g_ * base * f_g * lrad_g, 0.0)
-        res_b_ = res_b_ + jnp.where(gate, thr_b_ * base * f_b * lrad_b, 0.0)
+        if not _ABL_NO_NEE:
+            res_r_ = res_r_ + jnp.where(gate, thr_r_ * base * f_r
+                                        * lrad_r, 0.0)
+            res_g_ = res_g_ + jnp.where(gate, thr_g_ * base * f_g
+                                        * lrad_g, 0.0)
+            res_b_ = res_b_ + jnp.where(gate, thr_b_ * base * f_b
+                                        * lrad_b, 0.0)
 
         # --- BSDF sampling: cosine (diffuse) / GGX VNDF (Heitz 2018) ---
         u_c1, u_c2 = _rng2(key, dim0 + 4)

@@ -49,9 +49,15 @@ class Sampler(Object):
         pixel_id = jnp.asarray(pixel_id, jnp.uint32)
         sample_index = jnp.asarray(sample_index, jnp.uint32)
         mixed, _ = rng.sample_tea_32(pixel_id, sample_index)
-        key = rng.lane_key(jnp.uint32(self.base_seed) ^ jnp.uint32(seed),
-                           mixed)
-        return SamplerState(key, jnp.uint32(0), sample_index, pixel_id)
+        full_seed = jnp.uint32(self.base_seed) ^ jnp.uint32(seed)
+        key = rng.lane_key(full_seed, mixed)
+        # lane_id is the structured samplers' per-pixel scramble key: it
+        # must be constant across a pixel's spp samples but MUST mix the
+        # seed, or ldsampler/stratified scrambles repeat across seeded
+        # re-renders (reference compute_per_sequence_seed takes the seed,
+        # ldsampler.cpp:90-118)
+        lane = rng.lane_key(full_seed, pixel_id)
+        return SamplerState(key, jnp.uint32(0), sample_index, lane)
 
     def next_1d(self, state: SamplerState):
         v = self._draw(state, 0)

@@ -429,13 +429,22 @@ class ShapeGroup(Mesh):
         return []   # only instances materialize geometry
 
 
+# below this many TOTAL duplicated faces an instance materializes
+# transformed copies (cheap, keeps the megakernel fast path); above it the
+# scene uses the shared-geometry path: ONE packed copy of the group plus a
+# per-instance to_object transform — O(1) memory in the instance count
+# (shapegroup.h:15 shared sub-accel role)
+INSTANCE_MATERIALIZE_FACES = 4096
+
+
 @register_plugin("shape", "instance")
 class Instance(Mesh):
     """(instance.cpp) instantiates a shapegroup under a transform.
 
-    TPU note: the packed-table design materializes transformed copies at
-    scene compile (shared-BVH instancing is a planned accel feature); the
-    scene-description semantics match the reference."""
+    Small groups materialize transformed copies (fast-path friendly);
+    large ones share ONE packed geometry block through the scene's
+    instance table (render/scene.py _instance_closest_hit), with rays
+    transformed into the group frame like the reference's nested accel."""
 
     def __init__(self, props=None):
         group = None
@@ -447,10 +456,26 @@ class Instance(Mesh):
             raise RuntimeError("instance requires a shapegroup reference")
         self.group = group
         self.to_world = _get_to_world(props)
+        self.materialize = None
+        if props is not None and props.has_property("materialize"):
+            self.materialize = props.bool_("materialize")
         super().__init__(props, vertices=np.zeros((0, 3), np.float32),
                          faces=np.zeros((0, 3), np.int32), name="instance")
+        # shared-path packed transforms
+        M = np.asarray(self.to_world.matrix, np.float64)
+        A = np.linalg.inv(M[:3, :3])
+        self._A = A.astype(np.float32)                 # to_object linear
+        self._b = (-A @ M[:3, 3]).astype(np.float32)
+        self._B = M[:3, :3].astype(np.float32)         # to_world linear
 
-    def expand(self):
+    def is_instance(self):
+        return True
+
+    def group_face_count(self):
+        return sum(len(c.faces) for c in self.group.children
+                   if c.is_mesh())
+
+    def _materialized(self):
         import copy
         out = []
         for child in self.group.children:
@@ -464,6 +489,15 @@ class Instance(Mesh):
             dup.apply_transform(self.to_world)
             out.append(dup)
         return out
+
+    def expand(self):
+        if self.materialize is True:
+            return self._materialized()
+        if self.materialize is False:
+            return [self]
+        if self.group_face_count() <= INSTANCE_MATERIALIZE_FACES:
+            return self._materialized()
+        return [self]
 
 
 @register_plugin("shape", "serialized")

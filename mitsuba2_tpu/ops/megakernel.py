@@ -1634,6 +1634,11 @@ class DiffusePathMegakernel:
         import os
         sort_env = os.environ.get("MK_SORT")
         do_sort = self.streamed if sort_env is None else sort_env == "1"
+        # sort cadence: the lane re-order costs ~200 ms at 4M lanes
+        # (argsort 35 ms + 17-row gather 165 ms, measured), but skipping
+        # bounces loses MORE to incoherent sweeps (35k-face bench:
+        # every=1 0.89 Mpaths/s, every=2 0.63) — sort every bounce
+        sort_every = int(os.environ.get("MK_SORT_EVERY", "1"))
         rows = _ROWS if do_sort else _ROWS - 1
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
@@ -1703,7 +1708,8 @@ class DiffusePathMegakernel:
 
         state = jnp.zeros((rows, n_pad // 128, 128), jnp.float32)
         for depth in range(self.max_depth):
-            if do_sort and 0 < depth < self.max_depth:
+            if do_sort and 0 < depth < self.max_depth \
+                    and (depth - 1) % sort_every == 0:
                 state = _resort(state)
             kernel = functools.partial(
                 _path_kernel,
@@ -1764,6 +1770,8 @@ def megakernel_ineligibility(scene):
         return f"sphere count > {MAX_SPHERES}"
     if getattr(scene, "n_quads", 0) > MAX_SPHERES:
         return f"disk/cylinder count > {MAX_SPHERES}"
+    if getattr(scene, "n_instances", 0):
+        return "shared-geometry instances (wavefront path only)"
     for b in scene.bsdfs:
         if _bsdf_columns(b) is None:
             return f"unsupported BSDF {type(b).__name__}"

@@ -117,6 +117,34 @@ class Scene(Object):
         # face_shape/geometry cover meshes only
         analytic = []
         quadrics = []
+        instanced = []
+        # register shared-instance group children as scene shapes (their
+        # bsdfs/media dispatch like any shape) but keep their geometry out
+        # of the main tables — it packs ONCE per group below
+        seen_groups = {}
+        for s in list(self.shapes):
+            if getattr(s, "is_instance", lambda: False)():
+                g = s.group
+                if id(g) not in seen_groups:
+                    seen_groups[id(g)] = g
+                    for child in g.children:
+                        if child.emitter is not None:
+                            raise NotImplementedError(
+                                "emitters inside instanced shapegroups "
+                                "are not supported (reference parity: "
+                                "shapegroup.cpp forbids them)")
+                        if not child.is_mesh():
+                            continue
+                        child._instanced_only = True
+                        if child not in self.shapes:
+                            if child.bsdf is None:
+                                from ..models.bsdfs import SmoothDiffuse
+                                child.bsdf = SmoothDiffuse()
+                            self.shapes.append(child)
+                            if id(child.bsdf) not in bsdf_index:
+                                bsdf_index[id(child.bsdf)] = \
+                                    len(self.bsdfs)
+                                self.bsdfs.append(child.bsdf)
         for si_idx, s in enumerate(self.shapes):
             shape_bsdf.append(bsdf_index[id(s.bsdf)])
             em = -1
@@ -135,33 +163,20 @@ class Scene(Object):
             if not s.is_mesh():
                 raise NotImplementedError(
                     f"non-mesh shape {type(s).__name__} not yet supported")
-            p = s.vertices[s.faces]                      # (f,3,3)
-            v0 = p[:, 0]
-            e1 = p[:, 1] - p[:, 0]
-            e2 = p[:, 2] - p[:, 0]
-            fn = np.cross(e1, e2)
-            ng = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
-                                 1e-20)
-            if s.normals is not None and not s.face_normals_only:
-                ns = s.normals[s.faces]                  # (f,3,3)
-            else:
-                ns = np.repeat(ng[:, None, :], 3, axis=1)
-            if s.uvs is not None:
-                uvs = s.uvs[s.faces]                     # (f,3,2)
-            else:
-                uvs = np.zeros((len(v0), 3, 2), np.float32)
-                uvs[:, 1, 0] = 1.0
-                uvs[:, 2, 1] = 1.0
-            # uv-parameterization tangents: solve [e1;e2] = J * [duv1;duv2]
-            duv1 = uvs[:, 1] - uvs[:, 0]
-            duv2 = uvs[:, 2] - uvs[:, 0]
-            det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-            ok = np.abs(det) > 1e-9
-            inv = np.where(ok, 1.0 / np.where(det == 0, 1.0, det), 0.0)
-            dp_du = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
-            dp_dv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv[:, None]
-            dp_du = np.where(ok[:, None], dp_du, e1)
-            dp_dv = np.where(ok[:, None], dp_dv, e2)
+            if getattr(s, "_instanced_only", False):
+                continue     # geometry lives in the shared group tables
+            if getattr(s, "is_instance", lambda: False)():
+                instanced.append((si_idx, s))
+                M = np.asarray(s.to_world.matrix, np.float64)
+                for child in s.group.children:
+                    if not child.is_mesh() or not len(child.vertices):
+                        continue
+                    vw = child.vertices @ M[:3, :3].T + M[:3, 3]
+                    bb_min = np.minimum(bb_min, vw.min(0))
+                    bb_max = np.maximum(bb_max, vw.max(0))
+                continue
+            (v0, e1, e2, ng, ns, uvs, dp_du,
+             dp_dv) = _mesh_face_arrays(s)
             v0s.append(v0); e1s.append(e1); e2s.append(e2); ngs.append(ng)
             n0s.append(ns[:, 0]); n1s.append(ns[:, 1]); n2s.append(ns[:, 2])
             uv0s.append(uvs[:, 0]); uv1s.append(uvs[:, 1]); uv2s.append(uvs[:, 2])
@@ -321,6 +336,63 @@ class Scene(Object):
                                 -1.0 if s.flip_normals else 1.0,
                                 0.0, 0.0], np.float32)]))
             self.quad_table = jnp.asarray(np.stack(rows).astype(np.float32))
+
+        # ---- shared-geometry instancing (shapegroup.h:15) ----------------
+        # one packed LOCAL-space geometry + attr block per GROUP; one
+        # (A | b | B | group) transform row per INSTANCE. Memory is O(1)
+        # in the instance count; rays transform into the group frame
+        # (t is preserved: affine map of an unnormalized-direction ray).
+        # prim encoding: base + inst * G_max + local_face.
+        self.n_instances = len(instanced)
+        self._inst_groups = []          # per group: dict of jnp arrays
+        self._inst_rows = None          # (I, 24) np
+        self._inst_group_of = []        # group slot per instance
+        self._inst_gmax = 0
+        if instanced:
+            group_slot = {}
+            for s_idx, inst in instanced:
+                if id(inst.group) not in group_slot:
+                    group_slot[id(inst.group)] = len(self._inst_groups)
+                    ch = [c for c in inst.group.children if c.is_mesh()]
+                    parts = [(_mesh_face_arrays(c), c) for c in ch]
+                    g_v0 = np.concatenate([p[0][0] for p in parts])
+                    g_e1 = np.concatenate([p[0][1] for p in parts])
+                    g_e2 = np.concatenate([p[0][2] for p in parts])
+                    rows = []
+                    for (v0c, e1c, e2c, ngc, nsc, uvc, duc,
+                         dvc), child in parts:
+                        c_sidx = self.shapes.index(child)
+                        ints = np.stack([
+                            np.full(len(v0c), c_sidx, np.float32),
+                            # post-merge dispatch index (the merge block
+                            # above rewrote shape_bsdf)
+                            np.full(len(v0c), shape_bsdf[c_sidx],
+                                    np.float32),
+                            np.full(len(v0c), -1.0, np.float32),
+                            np.full(len(v0c), -1.0, np.float32),
+                            np.full(len(v0c), -1.0, np.float32)], axis=1)
+                        rows.append(np.concatenate([
+                            v0c, e1c, e2c, ngc, nsc[:, 0], nsc[:, 1],
+                            nsc[:, 2], uvc[:, 0], uvc[:, 1], uvc[:, 2],
+                            duc, dvc, ints], axis=1).astype(np.float32))
+                    self._inst_groups.append({
+                        "v0": jnp.asarray(g_v0.astype(np.float32)),
+                        "e1": jnp.asarray(g_e1.astype(np.float32)),
+                        "e2": jnp.asarray(g_e2.astype(np.float32)),
+                        "attr": jnp.asarray(np.concatenate(rows)),
+                        "n_faces": len(g_v0)})
+                self._inst_group_of.append(group_slot[id(inst.group)])
+            self._inst_gmax = max(g["n_faces"]
+                                  for g in self._inst_groups)
+            rows = []
+            for s_idx, inst in instanced:
+                rows.append(np.concatenate([
+                    inst._A.reshape(9), inst._b.reshape(3),
+                    inst._B.reshape(9),
+                    np.asarray([self._inst_group_of[len(rows)],
+                                s_idx, 0.0], np.float32)]))
+            self._inst_rows = np.stack(rows).astype(np.float32)
+            self._inst_table = jnp.asarray(self._inst_rows)
 
         # ---- packed per-face attribute table -----------------------------
         # TPU's dynamic gather is ~100x slower than arithmetic for wavefront
@@ -526,6 +598,30 @@ class Scene(Object):
             q_best = jnp.where(closer, q, q_best)
         return t_best, q_best
 
+    def _instance_closest_hit(self, o, d, mint, maxt):
+        """Shared-geometry instances: transform the ray into each
+        instance's group frame and sweep the group's packed faces
+        (instance.cpp ray path through the nested accel). Returns
+        (t, local_prim (inst*G_max + face) or -1, prim_uv)."""
+        n = o.shape[0]
+        t_best = jnp.full(n, jnp.inf, o.dtype)
+        p_best = jnp.full(n, -1, jnp.int32)
+        uv_best = jnp.zeros((n, 2), o.dtype)
+        for i in range(self.n_instances):
+            A = self._inst_table[i, 0:9].reshape(3, 3).astype(o.dtype)
+            b = self._inst_table[i, 9:12].astype(o.dtype)
+            g = self._inst_groups[self._inst_group_of[i]]
+            o_l = o @ A.T + b
+            d_l = d @ A.T
+            pi = isect_ops.ray_intersect_packets(
+                g["v0"], g["e1"], g["e2"], o_l, d_l, mint, maxt)
+            closer = pi.t < t_best
+            t_best = jnp.where(closer, pi.t, t_best)
+            p_best = jnp.where(closer & (pi.prim_idx >= 0),
+                               i * self._inst_gmax + pi.prim_idx, p_best)
+            uv_best = jnp.where(closer[..., None], pi.prim_uv, uv_best)
+        return t_best, p_best, uv_best
+
     def ray_intersect_preliminary(self, ray, active=None):
         g = self.geom
         maxt = ray.maxt if active is None else jnp.where(active, ray.maxt,
@@ -562,6 +658,16 @@ class Scene(Object):
                                    pi.prim_idx),
                 prim_uv=jnp.where(closer[..., None],
                                   jnp.zeros_like(pi.prim_uv), pi.prim_uv))
+        if self.n_instances:
+            ti, ip, iuv = self._instance_closest_hit(ray.o, ray.d,
+                                                     ray.mint, maxt)
+            closer = ti < pi.t
+            base = n_faces + self.n_spheres + self.n_quads
+            pi = pi._replace(
+                t=jnp.where(closer, ti, pi.t),
+                prim_idx=jnp.where(closer & (ip >= 0), base + ip,
+                                   pi.prim_idx),
+                prim_uv=jnp.where(closer[..., None], iuv, pi.prim_uv))
         shape_idx = g.face_shape[jnp.clip(pi.prim_idx, 0, n_faces - 1)]
         if self.n_spheres:
             is_sph = (pi.prim_idx >= n_faces) \
@@ -573,13 +679,27 @@ class Scene(Object):
                              self.n_spheres - 1)],
                 shape_idx)
         if self.n_quads:
-            is_q = pi.prim_idx >= n_faces + self.n_spheres
+            is_q = (pi.prim_idx >= n_faces + self.n_spheres) \
+                & (pi.prim_idx < n_faces + self.n_spheres + self.n_quads)
             shape_idx = jnp.where(
                 is_q,
                 self.quad_table[:, 24].astype(jnp.int32)[
                     jnp.clip(pi.prim_idx - n_faces - self.n_spheres, 0,
                              self.n_quads - 1)],
                 shape_idx)
+        if self.n_instances:
+            from ..ops.gather import gather_rows as _gr
+            base_i = n_faces + self.n_spheres + self.n_quads
+            rel = pi.prim_idx - base_i
+            for i in range(self.n_instances):
+                g = self._inst_groups[self._inst_group_of[i]]
+                m_i = (rel >= i * self._inst_gmax) \
+                    & (rel < i * self._inst_gmax + g["n_faces"])
+                face_l = jnp.clip(rel - i * self._inst_gmax, 0,
+                                  g["n_faces"] - 1)
+                fs_i = _gr(g["attr"][:, 33:34], face_l)[:, 0] \
+                    .astype(jnp.int32)
+                shape_idx = jnp.where(m_i, fs_i, shape_idx)
         shape_idx = jnp.where(pi.prim_idx >= 0, shape_idx, -1)
         # detach: intersections are non-differentiable, like the reference's
         # HitComputeFlags::NonDifferentiable recompute (scene_optix.inl:432)
@@ -649,7 +769,8 @@ class Scene(Object):
             # analytic disk/cylinder lanes (disk.cpp:182-225 uv/tangent
             # conventions, cylinder.cpp:336-390 incl. the roundoff
             # re-projection along the normal)
-            is_q = pi.prim_idx >= n_faces + self.n_spheres
+            is_q = (pi.prim_idx >= n_faces + self.n_spheres) \
+                & (pi.prim_idx < n_faces + self.n_spheres + self.n_quads)
             q_i = jnp.clip(pi.prim_idx - n_faces - self.n_spheres, 0,
                            self.n_quads - 1)
             row = gather_rows(self.quad_table, q_i)
@@ -713,6 +834,47 @@ class Scene(Object):
             shape_idx = jnp.where(is_q, to_i32q(24), shape_idx)
             bsdf_idx = jnp.where(is_q, to_i32q(25), bsdf_idx)
             emitter_idx = jnp.where(is_q, to_i32q(26), emitter_idx)
+        if self.n_instances:
+            # shared-geometry instance lanes: gather LOCAL-space rows
+            # from the group's packed attr block and transform through
+            # the instance's to_world (normals via A^T, tangents via B)
+            base_i = n_faces + self.n_spheres + self.n_quads
+            rel = pi.prim_idx - base_i
+            is_any_i = pi.prim_idx >= base_i
+            bu_i = pi.prim_uv[..., 0:1]
+            bv_i = pi.prim_uv[..., 1:2]
+            w0_i = 1.0 - bu_i - bv_i
+            for i in range(self.n_instances):
+                g = self._inst_groups[self._inst_group_of[i]]
+                m_i = (rel >= i * self._inst_gmax) \
+                    & (rel < i * self._inst_gmax + g["n_faces"])
+                face_l = jnp.clip(rel - i * self._inst_gmax, 0,
+                                  g["n_faces"] - 1)
+                Arow = gather_rows(g["attr"], face_l)      # (N, 38)
+                A_t = self._inst_table[i, 0:9].reshape(3, 3)
+                B_t = self._inst_table[i, 12:21].reshape(3, 3)
+                ng_l = Arow[:, 9:12]
+                ns_l = (Arow[:, 12:15] * w0_i + Arow[:, 15:18] * bu_i
+                        + Arow[:, 18:21] * bv_i)
+                uv_l = (Arow[:, 21:23] * w0_i + Arow[:, 23:25] * bu_i
+                        + Arow[:, 25:27] * bv_i)
+                ng_w = m.normalize(ng_l @ A_t)             # A^T n
+                ns_w = m.normalize(ns_l @ A_t)
+                du_w = Arow[:, 27:30] @ B_t.T
+                dv_w = Arow[:, 30:33] @ B_t.T
+                p_w = ray.o + pi.t[..., None] * ray.d
+                w = m_i[..., None]
+                p = jnp.where(w, p_w, p)
+                ng = jnp.where(w, ng_w, ng)
+                ns = jnp.where(w, ns_w, ns)
+                uv = jnp.where(w, uv_l, uv)
+                dp_du = jnp.where(w, du_w, dp_du)
+                dp_dv = jnp.where(w, dv_w, dp_dv)
+                shape_idx = jnp.where(
+                    m_i, Arow[:, 33].astype(jnp.int32), shape_idx)
+                bsdf_idx = jnp.where(
+                    m_i, Arow[:, 34].astype(jnp.int32), bsdf_idx)
+                emitter_idx = jnp.where(m_i, -1, emitter_idx)
         # Gram-Schmidt dp_du against the shading normal (mesh.cpp:463)
         s_axis = m.normalize(dp_du - ns * m.dot(ns, dp_du, keepdims=True))
         # guard degenerate tangents
@@ -760,10 +922,17 @@ class Scene(Object):
             inv_r = 1.0 / jnp.maximum(r, 1e-20)
             dn_du = jnp.where(is_sph, si.dp_du * inv_r, dn_du)
             dn_dv = jnp.where(is_sph, si.dp_dv * inv_r, dn_dv)
+        if self.n_instances:
+            is_i = (si.prim_idx >= n_faces + self.n_spheres
+                    + self.n_quads)[..., None]
+            dn_du = jnp.where(is_i, 0.0, dn_du)
+            dn_dv = jnp.where(is_i, 0.0, dn_dv)
         if self.n_quads:
             # disk: dn == 0 (disk.cpp:222); cylinder: dn_du = dp_du /
             # (r * flip), dn_dv = 0 (cylinder.cpp:384-387)
-            is_q = (si.prim_idx >= n_faces + self.n_spheres)[..., None]
+            is_q = ((si.prim_idx >= n_faces + self.n_spheres)
+                    & (si.prim_idx < n_faces + self.n_spheres
+                       + self.n_quads))[..., None]
             q_i = jnp.clip(si.prim_idx - n_faces - self.n_spheres, 0,
                            self.n_quads - 1)
             rowq = gather_rows(self.quad_table, q_i)
@@ -800,6 +969,10 @@ class Scene(Object):
         if self.n_quads:
             tq, _ = self._quad_closest_hit(ray.o, ray.d, ray.mint, maxt)
             hit = hit | jnp.isfinite(tq)
+        if self.n_instances:
+            ti, _, _ = self._instance_closest_hit(ray.o, ray.d, ray.mint,
+                                                  maxt)
+            hit = hit | jnp.isfinite(ti)
         return hit
 
     # ------------------------------------------------------- emitter sampling
@@ -1087,6 +1260,40 @@ class _PerShapeTexture:
     def traverse(self, cb):
         for i, t in enumerate(self.textures):
             cb.put_object(f"source_{i}", t)
+
+
+def _mesh_face_arrays(s):
+    """Per-face SoA attribute arrays for one mesh (the packing math of
+    Scene._compile, shared with the instanced-group tables):
+    -> (v0, e1, e2, ng, ns (f,3,3), uvs (f,3,2), dp_du, dp_dv)."""
+    p = s.vertices[s.faces]                      # (f,3,3)
+    v0 = p[:, 0]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    fn = np.cross(e1, e2)
+    ng = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
+                         1e-20)
+    if s.normals is not None and not s.face_normals_only:
+        ns = s.normals[s.faces]                  # (f,3,3)
+    else:
+        ns = np.repeat(ng[:, None, :], 3, axis=1)
+    if s.uvs is not None:
+        uvs = s.uvs[s.faces]                     # (f,3,2)
+    else:
+        uvs = np.zeros((len(v0), 3, 2), np.float32)
+        uvs[:, 1, 0] = 1.0
+        uvs[:, 2, 1] = 1.0
+    # uv-parameterization tangents: solve [e1;e2] = J * [duv1;duv2]
+    duv1 = uvs[:, 1] - uvs[:, 0]
+    duv2 = uvs[:, 2] - uvs[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = np.abs(det) > 1e-9
+    inv = np.where(ok, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+    dp_du = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
+    dp_dv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv[:, None]
+    dp_du = np.where(ok[:, None], dp_du, e1)
+    dp_dv = np.where(ok[:, None], dp_dv, e2)
+    return v0, e1, e2, ng, ns, uvs, dp_du, dp_dv
 
 
 def _tree_where(mask, a, b):

@@ -122,7 +122,16 @@ def main():
     args = ap.parse_args()
     names = list(BENCHES) if args.scene == "all" else [args.scene]
     for name in names:
-        print(json.dumps(BENCHES[name]()))
+        # one config must never take down the others (the headline
+        # Cornell line prints first); TPU worker faults surface as an
+        # error line instead of a dead process
+        try:
+            print(json.dumps(BENCHES[name]()), flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"metric": f"{name}_path_throughput",
+                              "value": 0.0, "unit": "Mpaths/s/chip",
+                              "vs_baseline": 0.0,
+                              "error": str(exc)[:200]}), flush=True)
     return 0
 
 

@@ -445,6 +445,12 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
     NEE-only estimator. VolumetricMISPathIntegrator (volpathmis) adds the
     directional arm with proper MIS weights."""
 
+    # the volumetric wavefront carries medium interactions + the nested
+    # NEE transmittance walk (~4x the surface path's per-lane HBM
+    # footprint); a 1M-lane pass exhausted the v5e's HBM and crashed the
+    # TPU worker — cap passes at 256k lanes
+    MAX_WAVEFRONT = 1 << 18
+
     # iterations = bounces + null collisions; cap keeps the loop bounded
     NULL_BUDGET = 16
     # volpathmis flips this: emitter hits on every path + MIS weights

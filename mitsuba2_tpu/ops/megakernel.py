@@ -227,10 +227,14 @@ def _ggx_g1(cz, a):
 #   specular_transmittance / plastic specular_reflectance) | uv0 21:23
 #   duv1 23:25 | duv2 25:27 | to_uv affine [m00 m01 m03 m10 m11 m13] 27:33
 #   | diel/plastic: eta_d 33, spec_sampling_weight 34, fdr_int 35,
-#   inv_eta2 36, nonlinear 37 | pad 38:40
+#   inv_eta2 36, nonlinear 37 | flip (qattr only) 38 | pad 39
+#   | bitmap-albedo atlas region 40:43 [v_off, tex_w, tex_h] | pad 43:48
 # albedo (3:6) = diffuse/specular reflectance per kind (traced, see
 # _shape_albedo); c2 (18:21) is also traced (_shape_c1).
-_FA_COLS = 40
+# kind 6 = diffuse with bitmap albedo (atlas fetch at the hit uv).
+_FA_COLS = 48
+ATLAS_W = 64             # fixed atlas texture width (eligibility cap)
+MAX_ATLAS_H = 1024       # total stacked texture rows
 
 
 def _fresnel_diel(cos_i, eta):
@@ -252,12 +256,12 @@ def _fresnel_diel(cos_i, eta):
 
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
-                 sattr_ref, qd_ref, qattr_ref, env_ref, cab_ref, scab_ref,
-                 st_in_ref, st_out_ref, acc_ref, *, depth, max_depth,
-                 rr_depth, n_faces, chunk, spp_pass, width, height,
-                 n_lanes, has_spheres, has_quads, has_env, has_checker,
-                 has_diel, has_plastic, env_w, env_h, streamed,
-                 carry_pixel):
+                 sattr_ref, qd_ref, qattr_ref, env_ref, atlas_ref,
+                 cab_ref, scab_ref, st_in_ref, st_out_ref, acc_ref, *,
+                 depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
+                 width, height, n_lanes, has_spheres, has_quads, has_env,
+                 has_checker, has_bitmap, has_diel, has_plastic, env_w,
+                 env_h, streamed, carry_pixel):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -303,7 +307,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     n_chunks = (woop_ref.shape[1] if streamed else
                 woop_ref.shape[0]) // (3 * C)
     is_last = depth == max_depth - 1
-    need_bary = has_checker and not is_last
+    need_bary = (has_checker or has_bitmap) and not is_last
     zero = jnp.zeros((R,), jnp.float32)          # face-sweep (flat) domain
     one = jnp.ones((R,), jnp.float32)
     dzero = jnp.zeros((G, 128), jnp.float32)     # dense shading domain
@@ -751,7 +755,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         t_f, A_f, bu_f, bv_f = closest_hit(oxf, oyf, ozf, dxf, dyf, dzf,
                                            zero, maxt_f)
 
-        # checker albedo resolve stays flat where the A rows live
+        # checker/bitmap albedo resolve stays flat where the A rows live
         if need_bary:
             # uv from barycentrics -> affine to_uv -> parity select
             uu = A_f[21] + bu_f * A_f[23] + bv_f * A_f[25]
@@ -759,10 +763,53 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             u2 = A_f[27] * uu + A_f[28] * vv + A_f[29]
             v2 = A_f[30] * uu + A_f[31] * vv + A_f[32]
             par = jnp.mod(jnp.floor(u2) + jnp.floor(v2), 2.0)
-            use_c1 = (A_f[10] > 1.5) & (par > 0.5)
+            use_c1 = ((A_f[10] > 1.5) & (A_f[10] < 2.5)) & (par > 0.5)
             alb_r_f = jnp.where(use_c1, A_f[18], A_f[3])
             alb_g_f = jnp.where(use_c1, A_f[19], A_f[4])
             alb_b_f = jnp.where(use_c1, A_f[20], A_f[5])
+            if has_bitmap:
+                # bitmap diffuse (kind 6): bilinear atlas fetch mirroring
+                # BitmapTexture._bilinear (repeat wrap, row-major texel
+                # grid); atlas is (3*ATLAS_W, Ha) channel-blocked rows,
+                # textures stacked along the v axis at A_f[40]
+                atl = atlas_ref[:]
+                Ha = atl.shape[1]
+                Wp = atl.shape[0] // 3
+                voff = A_f[40]
+                tw = jnp.maximum(A_f[41], 1.0)
+                th = jnp.maximum(A_f[42], 1.0)
+                fu = uu * tw - 0.5
+                fv = vv * th - 0.5
+                u0 = jnp.floor(fu)
+                v0 = jnp.floor(fv)
+                wu_ = fu - u0
+                wv_ = fv - v0
+                twi = tw.astype(jnp.int32)
+                thi = th.astype(jnp.int32)
+                iu0 = jnp.mod(u0.astype(jnp.int32), twi)
+                iv0 = jnp.mod(v0.astype(jnp.int32), thi)
+                iu1 = jnp.mod(iu0 + 1, twi)
+                iv1 = jnp.mod(iv0 + 1, thi)
+                vo = voff.astype(jnp.int32)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (Ha, R), 0)
+                wrow = (jnp.where(rows == (iv0 + vo)[None, :],
+                                  1.0 - wv_[None, :], 0.0)
+                        + jnp.where(rows == (iv1 + vo)[None, :],
+                                    wv_[None, :], 0.0))
+                mixed = _dot3(atl, wrow)               # (3Wp, R)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
+                wcol = (jnp.where(cols == iu0[None, :],
+                                  1.0 - wu_[None, :], 0.0)
+                        + jnp.where(cols == iu1[None, :],
+                                    wu_[None, :], 0.0))
+                is_bmp = A_f[10] > 5.5
+                tex = []
+                for ch in range(3):
+                    plane = mixed[ch * Wp:(ch + 1) * Wp]
+                    tex.append(jnp.sum(plane * wcol, axis=0))
+                alb_r_f = jnp.where(is_bmp, tex[0], alb_r_f)
+                alb_g_f = jnp.where(is_bmp, tex[1], alb_g_f)
+                alb_b_f = jnp.where(is_bmp, tex[2], alb_b_f)
         else:
             alb_r_f, alb_g_f, alb_b_f = A_f[3], A_f[4], A_f[5]
 
@@ -820,8 +867,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                          to_dense(A_f[17]))
         if has_diel or has_plastic:
             is_diel = (kind > 2.5) & (kind < 3.5)
-            is_plas = kind > 3.5                 # 4 smooth / 5 rough
-            is_rplas = kind > 4.5
+            is_plas = (kind > 3.5) & (kind < 5.5)  # 4 smooth / 5 rough
+            is_rplas = (kind > 4.5) & (kind < 5.5)
             c2_r, c2_g, c2_b = (to_dense(A_f[18]), to_dense(A_f[19]),
                                 to_dense(A_f[20]))  # spec trans / spec refl
             eta_d = jnp.maximum(to_dense(A_f[33]), 1e-3)
@@ -1231,6 +1278,13 @@ def _bsdf_columns(bsdf):
                 and isinstance(t.color1, ConstantTexture):
             return ("checker", bsdf)
         return None
+    from ..models.textures import BitmapTexture
+    if type(bsdf) is SmoothDiffuse and isinstance(
+            bsdf.reflectance, BitmapTexture):
+        w, h = bsdf.reflectance.resolution
+        if w <= ATLAS_W and h <= MAX_ATLAS_H // 4:
+            return ("bitmap", bsdf)
+        return None
     if type(bsdf) is RoughConductor:
         if _iso_ggx(bsdf) is None:
             return None
@@ -1407,6 +1461,10 @@ class DiffusePathMegakernel:
         shp_touv[:, 4] = 1.0
         # [eta_d, spec_sampling_weight, fdr_int, inv_eta2, nonlinear]
         shp_extra = np.zeros((len(shp_kind), 5), np.float32)
+        # bitmap-albedo atlas regions [v_off, tex_w, tex_h]
+        shp_atlas = np.zeros((len(shp_kind), 3), np.float32)
+        atlas_slot = {}
+        atlas_cursor = 0
         for s_idx, s in enumerate(scene.shapes):
             info = _bsdf_columns(s.bsdf)
             if info is None:
@@ -1426,6 +1484,17 @@ class DiffusePathMegakernel:
                     M = np.asarray(tex.to_uv.matrix, np.float32)
                     shp_touv[s_idx] = [M[0, 0], M[0, 1], M[0, 3],
                                        M[1, 0], M[1, 1], M[1, 3]]
+            elif kind == "bitmap":
+                shp_kind[s_idx] = 6.0
+                tex = b.reflectance
+                key = id(tex)
+                if key not in atlas_slot:
+                    data = np.asarray(tex._rgb_np, np.float32)
+                    atlas_slot[key] = (atlas_cursor, data)
+                    atlas_cursor += data.shape[0]
+                shp_atlas[s_idx] = [atlas_slot[key][0],
+                                    tex.resolution[0],
+                                    tex.resolution[1]]
             elif kind == "dielectric":
                 shp_kind[s_idx] = 3.0
                 shp_extra[s_idx, 0] = float(b.eta)
@@ -1455,7 +1524,21 @@ class DiffusePathMegakernel:
         fattr[:self.n_faces, 25:27] = uv2 - uv0
         fattr[:self.n_faces, 27:33] = shp_touv[fs]
         fattr[:self.n_faces, 33:38] = shp_extra[fs]
+        fattr[:self.n_faces, 40:43] = shp_atlas[fs]
         self.has_checker = bool((shp_kind == 2.0).any())
+        self.has_bitmap = bool((shp_kind == 6.0).any())
+        # channel-blocked (3*ATLAS_W, Ha) texture atlas, v-stacked
+        if self.has_bitmap:
+            Ha = _pad8(max(atlas_cursor, 8))
+            atlas = np.zeros((3 * ATLAS_W, Ha), np.float32)
+            for voff, data in atlas_slot.values():
+                h, w = data.shape[0], data.shape[1]
+                for c in range(3):
+                    atlas[c * ATLAS_W:c * ATLAS_W + w,
+                          voff:voff + h] = data[..., c].T
+            self.atlas = jnp.asarray(atlas)
+        else:
+            self.atlas = jnp.zeros((3 * ATLAS_W, 8), jnp.float32)
         self.has_diel = bool((shp_kind == 3.0).any())
         self.has_plastic = bool((shp_kind >= 4.0).any())
         self._has_c2 = self.has_checker or self.has_diel or self.has_plastic
@@ -1540,11 +1623,13 @@ class DiffusePathMegakernel:
     def _shape_albedo(self, s):
         """Primary traced color (fattr cols 3:6): diffuse reflectance for
         diffuse/plastic, checker color0, specular reflectance otherwise."""
-        from ..models.textures import CheckerboardTexture
+        from ..models.textures import CheckerboardTexture, BitmapTexture
         b = s.bsdf
         tex = getattr(b, "reflectance", None)
         if isinstance(tex, CheckerboardTexture):
             return tex.color0.data.rgb
+        if isinstance(tex, BitmapTexture):
+            return jnp.zeros(3)          # kind 6 fetches the atlas
         if tex is None:
             tex = getattr(b, "diffuse_reflectance", None)
         if tex is None:
@@ -1664,13 +1749,14 @@ class DiffusePathMegakernel:
             pl.BlockSpec((_FA_COLS, self.qd.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.atlas.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
             pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
                   self.sph, self._sattr(), self.qd, self._qattr(),
-                  self.env, self.cab, self.scab)
+                  self.env, self.atlas, self.cab, self.scab)
         # between-bounce ray reordering (the live-ray compaction the
         # reference never had, SURVEY §5): key = origin-morton (8
         # bits/axis over the scene bbox) . direction-octant; dead lanes
@@ -1719,6 +1805,7 @@ class DiffusePathMegakernel:
                 n_lanes=n, has_spheres=self.has_spheres,
                 has_quads=self.has_quads,
                 has_env=self.has_env, has_checker=self.has_checker,
+                has_bitmap=self.has_bitmap,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
                 streamed=self.streamed, carry_pixel=do_sort)
@@ -1778,8 +1865,8 @@ def megakernel_ineligibility(scene):
     for sh in scene.shapes:
         if sh.is_analytic():
             info = _bsdf_columns(sh.bsdf)
-            if info is None or info[0] == "checker":
-                return "checker/unsupported BSDF on analytic shape"
+            if info is None or info[0] in ("checker", "bitmap"):
+                return "uv-textured/unsupported BSDF on analytic shape"
     env = scene.environment_emitter
     for e in scene.emitters:
         if isinstance(e, EnvironmentMap):

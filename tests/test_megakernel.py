@@ -149,6 +149,40 @@ def test_checkerboard_floor(variant_scalar_rgb):
     assert a[..., 0].std() > 0.01
 
 
+def test_bitmap_albedo_floor(variant_scalar_rgb, tmp_path):
+    """Bitmap-textured diffuse albedo rides the megakernel via the
+    in-kernel texture atlas (<=64px textures; VERDICT r1 #4)."""
+    import os
+    from mitsuba2_tpu.utils.io_exr import write_exr
+    rs = np.random.RandomState(5)
+    tex = np.zeros((32, 32, 3), np.float32)
+    tex[..., 0] = np.linspace(0.1, 0.9, 32)[None, :]
+    tex[..., 1] = np.linspace(0.8, 0.2, 32)[:, None]
+    tex[..., 2] = 0.3
+    path = str(tmp_path / "albedo.exr")
+    write_exr(path, tex)
+    d = _base(max_depth=3)
+    d["light"] = _arealight()
+    d["floor"] = {"type": "rectangle", "to_world": T.scale(2),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "bitmap",
+                                           "filename": path}}}
+    scene = mi.load_dict(d)
+    assert scene_supports_megakernel(scene)
+    a, b = _cmp(scene, spp=64, max_depth=3, tol=0.05)
+    # the gradient texture is visible (spatial variance) and matches the
+    # wavefront per-pixel, not just in the mean
+    assert a[..., 0].std() > 0.01
+    # per-pixel agreement within the 64-spp different-seed noise floor
+    assert np.abs(a - b).mean() <= 0.2 * max(b.mean(), 1e-3)
+    # the two images' spatial patterns correlate (same texture layout)
+    ca = a[..., 0] - a[..., 0].mean()
+    cb = b[..., 0] - b[..., 0].mean()
+    corr = (ca * cb).sum() / max(np.sqrt((ca**2).sum() * (cb**2).sum()),
+                                 1e-9)
+    assert corr > 0.95, corr
+
+
 def test_matpreview_eligible_and_matches(variant_scalar_rgb):
     """The matpreview bench config itself rides the megakernel."""
     from mitsuba2_tpu.python.test.scenes import matpreview_dict

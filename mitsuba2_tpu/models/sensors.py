@@ -203,17 +203,22 @@ class IrradianceMeter(Sensor):
 
     def set_shape(self, shape):
         self.shape = shape
+        # build the area-sampling pack EAGERLY: constructing it inside a
+        # jitted sample_ray would fold traced values into host tables.
+        # Analytic prims call set_shape before tessellating — wait for
+        # the mesh re-point from expand()/_tessellate.
+        if not shape.is_mesh():
+            return
+        from .emitters import AreaEmitter  # reuse packing
+        helper = AreaEmitter()
+        helper.shape = shape
+        helper.prepare(None)
+        self._pack = helper
 
     def sample_ray(self, time, wavelength_sample, position_sample,
                    aperture_sample, active=True):
-        from .emitters import AreaEmitter  # reuse packing
-        if self.shape is None:
+        if self.shape is None or not hasattr(self, "_pack"):
             raise RuntimeError("irradiancemeter requires a shape")
-        if not hasattr(self, "_pack"):
-            helper = AreaEmitter()
-            helper.shape = self.shape
-            helper.prepare(None)
-            self._pack = helper
         hp = self._pack
         n = position_sample.shape[0]
         dt = position_sample.dtype

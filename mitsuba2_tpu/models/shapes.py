@@ -142,7 +142,8 @@ class SphereShape(Shape):
         return True
 
     def expand(self):
-        if self.emitter is not None or not self._uniform:
+        if self.emitter is not None or self.sensor is not None \
+                or not self._uniform:
             return [self._tessellate()]
         return [self]
 
@@ -157,10 +158,13 @@ class SphereShape(Shape):
             mesh.normals = -mesh.normals
         mesh.bsdf = self.bsdf
         mesh.emitter = self.emitter
+        mesh.sensor = self.sensor
         mesh.interior_medium = self.interior_medium
         mesh.exterior_medium = self.exterior_medium
         if self.emitter is not None:
             self.emitter.set_shape(mesh)
+        if self.sensor is not None and hasattr(self.sensor, "set_shape"):
+            self.sensor.set_shape(mesh)
         return mesh
 
     def surface_area(self) -> float:
@@ -186,18 +190,21 @@ class _AnalyticQuadric(Shape):
         return True
 
     def expand(self):
-        # emitters need mesh area-sampling tables (like SphereShape)
-        if self.emitter is not None:
+        # emitters/sensors need mesh area-sampling tables (SphereShape)
+        if self.emitter is not None or self.sensor is not None:
             return [self._tessellate()]
         return [self]
 
     def _finish_tessellation(self, mesh):
         mesh.bsdf = self.bsdf
         mesh.emitter = self.emitter
+        mesh.sensor = self.sensor
         mesh.interior_medium = self.interior_medium
         mesh.exterior_medium = self.exterior_medium
         if self.emitter is not None:
             self.emitter.set_shape(mesh)
+        if self.sensor is not None and hasattr(self.sensor, "set_shape"):
+            self.sensor.set_shape(mesh)
         return mesh
 
     def prim_row(self):

@@ -81,6 +81,11 @@ class Scene(Object):
         for s in self.shapes:
             if s.emitter is not None and s.emitter not in self.emitters:
                 self.emitters.append(s.emitter)
+            sens = getattr(s, "sensor", None)
+            if sens is not None and sens not in self.sensors:
+                if hasattr(sens, "set_shape"):
+                    sens.set_shape(s)   # re-point at the expanded shape
+                self.sensors.append(sens)
         self.environment_emitter = None
         for e in self.emitters:
             if e.is_environment():

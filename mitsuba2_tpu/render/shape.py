@@ -27,6 +27,7 @@ class Shape(Object):
         super().__init__(props)
         self.bsdf = None
         self.emitter = None
+        self.sensor = None
         self.interior_medium = None
         self.exterior_medium = None
         if props is not None:
@@ -37,6 +38,11 @@ class Shape(Object):
                 elif kind == "emitter":
                     self.emitter = obj
                     obj.set_shape(self)
+                elif kind == "sensor":
+                    # shape-attached sensors (irradiancemeter.cpp)
+                    self.sensor = obj
+                    if hasattr(obj, "set_shape"):
+                        obj.set_shape(self)
                 elif kind == "medium":
                     if key == "exterior":
                         self.exterior_medium = obj

@@ -1,0 +1,78 @@
+"""Golden-statistics regression tests for the remaining BASELINE.json
+configs (matpreview, heterogeneous volpath, spectral Cornell) — the
+reference's test_renders.py z-test role for scenes beyond the Cornell
+golden test in test_render.py. Reference values captured from the
+wavefront at fixed seeds; the checks use mean + interquartile bracket
+so MC noise at the pinned spp can't trip them, but estimator
+regressions (weighting, MIS, transmittance) do."""
+
+import numpy as np
+
+import mitsuba2_tpu as mi
+from mitsuba2_tpu.core.transform import Transform as T
+
+# (mean, q25, q75) captured 2026-08-17 at the seeds/spp used below
+GOLDEN = {
+    "matpreview": (0.87095, 0.30803, 0.92733),
+    "volpath": (1.12317, 0.61253, 1.60175),
+    "spectral_cornell": (0.16067, 0.01576, 0.10750),
+}
+
+
+def _check(img, key, tol_mean=0.05, tol_q=0.12):
+    mean, q25, q75 = GOLDEN[key]
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - mean) <= tol_mean * mean, (img.mean(), mean)
+    assert abs(np.quantile(img, 0.25) - q25) <= tol_q * max(q25, 0.01)
+    assert abs(np.quantile(img, 0.75) - q75) <= tol_q * max(q75, 0.01)
+
+
+def test_golden_matpreview(variant_scalar_rgb):
+    from mitsuba2_tpu.python.test.scenes import matpreview_dict
+    s = mi.load_dict(matpreview_dict(width=32, height=32, spp=64,
+                                     max_depth=4))
+    img = np.asarray(s.integrator.render(s, seed=11, spp=64))
+    _check(img, "matpreview")
+
+
+def _volpath_scene():
+    grid = np.random.default_rng(7).uniform(
+        0.3, 2.0, (8, 8, 8)).astype(np.float32)
+    d = {"type": "scene",
+         "integrator": {"type": "volpath", "max_depth": 10},
+         "slab": {"type": "cube", "bsdf": {"type": "null"},
+                  "interior": {"type": "heterogeneous",
+                               "sigma_t": {"type": "grid3d",
+                                           "data": grid},
+                               "albedo": {"type": "rgb",
+                                          "value": [0.75] * 3},
+                               "to_world": (T.translate([-1, -1, -1])
+                                            @ T.scale(2.0)),
+                               "phase": {"type": "hg", "g": 0.3}}},
+         "light": {"type": "rectangle",
+                   "to_world": T.translate([0, 0, -2.5]) @ T.scale(2.0),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb",
+                                            "value": [4.0] * 3}}},
+         "sensor": {"type": "perspective", "fov": 35.0,
+                    "to_world": T.look_at([0, 0, 4], [0, 0, 0],
+                                          [0, 1, 0]),
+                    "film": {"type": "hdrfilm", "width": 24,
+                             "height": 24, "rfilter": {"type": "box"}},
+                    "sampler": {"type": "independent",
+                                "sample_count": 48}}}
+    return mi.load_dict(d)
+
+
+def test_golden_volpath_hetero(variant_scalar_rgb):
+    s = _volpath_scene()
+    img = np.asarray(s.integrator.render(s, seed=11, spp=48))
+    _check(img, "volpath")
+
+
+def test_golden_spectral_cornell(variant_scalar_spectral):
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    s = mi.load_dict(cornell_box_dict(width=24, height=24, spp=48,
+                                      max_depth=4))
+    img = np.asarray(s.integrator.render(s, seed=11, spp=48))
+    _check(img, "spectral_cornell")

@@ -287,8 +287,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         inverted boxes so they never pass the slab test.
     scab (n_super_pad, 8): super-chunk AABBs (unions of SUPER chunks).
     st (16, G, 128) block of the (16, n/128, 128) state; see _ROWS.
-    acc (48, R) f32 VMEM scratch for the `streamed` sweep: row 0 t_best,
-        1 bary-u, 2 bary-v, 3 shadow-hit count, 8:48 A_best.
+    acc (8 + _FA_COLS, R) f32 VMEM scratch for the `streamed` sweep:
+        row 0 t_best, 1 bary-u, 2 bary-v, 3 shadow-hit count,
+        8:8+_FA_COLS A_best.
 
     When ``streamed`` is set (large meshes), the face sweep runs as a
     two-level fori_loop (super-chunks of SUPER chunks, then chunks) with
@@ -377,7 +378,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
         if streamed:
             acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
-            acc_ref[8:48, :] = jnp.zeros((40, R), jnp.float32)
+            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
+                                                   jnp.float32)
             if need_bary:
                 acc_ref[1, :] = zero
                 acc_ref[2, :] = zero
@@ -408,8 +410,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                             closer = tmin < acc_ref[0, :]
                             acc_ref[0, :] = jnp.where(
                                 closer, tmin, acc_ref[0, :])
-                            acc_ref[8:48, :] = jnp.where(
-                                closer[None, :], A, acc_ref[8:48, :])
+                            acc_ref[8:8 + _FA_COLS, :] = jnp.where(
+                                closer[None, :], A,
+                                acc_ref[8:8 + _FA_COLS, :])
                             if need_bary:
                                 acc_ref[1, :] = jnp.where(
                                     closer, bu, acc_ref[1, :])
@@ -422,7 +425,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             jax.lax.fori_loop(0, n_super, super_body, 0)
             t_best = acc_ref[0, :]
-            A_best = acc_ref[8:48, :]
+            A_best = acc_ref[8:8 + _FA_COLS, :]
             bu_best = acc_ref[1, :] if need_bary else zero
             bv_best = acc_ref[2, :] if need_bary else zero
         else:
@@ -1817,7 +1820,8 @@ class DiffusePathMegakernel:
                                        lambda i: (0, i, 0)),
                 out_shape=jax.ShapeDtypeStruct(
                     (rows, n_pad // 128, 128), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((48, RAY_TILE), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((8 + _FA_COLS, RAY_TILE),
+                                           jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core.object import register_plugin
@@ -57,6 +58,10 @@ class Grid3DVolume(Volume):
             return v[..., :nch]
         return jnp.repeat(v[..., :1], nch, axis=-1)
 
+    # above this many (depth x height) rows the one-hot matmul outgrows
+    # the native-gather cost (ops/gather.py rationale)
+    _FACTORIZED_MAX_ROWS = 1024
+
     def _interp(self, p_world):
         p = self.to_local.transform_point(p_world)
         d, h, w, c = self.data.shape
@@ -69,17 +74,49 @@ class Grid3DVolume(Volume):
         ix1 = jnp.minimum(ix + 1, w - 1)
         iy1 = jnp.minimum(iy + 1, h - 1)
         iz1 = jnp.minimum(iz + 1, d - 1)
-        tx = jnp.clip(fx - ix, 0.0, 1.0)[..., None]
-        ty = jnp.clip(fy - iy, 0.0, 1.0)[..., None]
-        tz = jnp.clip(fz - iz, 0.0, 1.0)[..., None]
-        g = self.data
-        c00 = g[iz, iy, ix] * (1 - tx) + g[iz, iy, ix1] * tx
-        c10 = g[iz, iy1, ix] * (1 - tx) + g[iz, iy1, ix1] * tx
-        c01 = g[iz1, iy, ix] * (1 - tx) + g[iz1, iy, ix1] * tx
-        c11 = g[iz1, iy1, ix] * (1 - tx) + g[iz1, iy1, ix1] * tx
-        c0 = c00 * (1 - ty) + c10 * ty
-        c1 = c01 * (1 - ty) + c11 * ty
-        out = c0 * (1 - tz) + c1 * tz
+        tx = jnp.clip(fx - ix, 0.0, 1.0)
+        ty = jnp.clip(fy - iy, 0.0, 1.0)
+        tz = jnp.clip(fz - iz, 0.0, 1.0)
+        if d * h <= self._FACTORIZED_MAX_ROWS and p.ndim == 2:
+            # TPU-friendly trilinear: dynamic gathers are ~100x slower
+            # than arithmetic for wavefront index vectors (ops/gather.py)
+            # — fold the z/y lerps into ONE weighted one-hot matmul over
+            # (d*h) rows and the x lerp into a weighted column reduce.
+            n = p.shape[0]
+            g2 = self.data.reshape(d * h, w * c)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, d * h), 1)
+            r00 = (iz * h + iy)[:, None]
+            r01 = (iz * h + iy1)[:, None]
+            r10 = (iz1 * h + iy)[:, None]
+            r11 = (iz1 * h + iy1)[:, None]
+            w00 = ((1 - tz) * (1 - ty))[:, None]
+            w01 = ((1 - tz) * ty)[:, None]
+            w10 = (tz * (1 - ty))[:, None]
+            w11 = (tz * ty)[:, None]
+            W = (jnp.where(rows == r00, w00, 0.0)
+                 + jnp.where(rows == r01, w01, 0.0)
+                 + jnp.where(rows == r10, w10, 0.0)
+                 + jnp.where(rows == r11, w11, 0.0))
+            M = jax.lax.dot_general(
+                W, g2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (n, w*c)
+            M = M.reshape(n, w, c)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+            wc = (jnp.where(cols == ix[:, None], (1 - tx)[:, None], 0.0)
+                  + jnp.where(cols == ix1[:, None], tx[:, None], 0.0))
+            out = (M * wc[..., None]).sum(axis=1)
+        else:
+            txc = tx[..., None]
+            tyc = ty[..., None]
+            tzc = tz[..., None]
+            g = self.data
+            c00 = g[iz, iy, ix] * (1 - txc) + g[iz, iy, ix1] * txc
+            c10 = g[iz, iy1, ix] * (1 - txc) + g[iz, iy1, ix1] * txc
+            c01 = g[iz1, iy, ix] * (1 - txc) + g[iz1, iy, ix1] * txc
+            c11 = g[iz1, iy1, ix] * (1 - txc) + g[iz1, iy1, ix1] * txc
+            c0 = c00 * (1 - tyc) + c10 * tyc
+            c1 = c01 * (1 - tyc) + c11 * tyc
+            out = c0 * (1 - tzc) + c1 * tzc
         inside = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
         return jnp.where(inside[..., None], out, 0.0)
 

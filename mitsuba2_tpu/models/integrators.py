@@ -460,6 +460,76 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
         super().__init__(props)
         self.nee_loop_cap = 64
 
+    # the fused volumetric kernel carries 64 B/lane, so the whole
+    # 256^2@16spp wavefront fits in one launch
+    MAX_WAVEFRONT_MEGAKERNEL = 1 << 22
+
+    def wavefront_cap(self, scene, sensor):
+        if self._vol_megakernel_for(scene, sensor) is not None \
+                and not getattr(self, "_differentiable", False) \
+                and not getattr(self, "_disable_megakernel", False):
+            return self.MAX_WAVEFRONT_MEGAKERNEL
+        return self.MAX_WAVEFRONT
+
+    def render_wavefront(self, scene, sensor, sampler, seed, sample_base,
+                         spp_pass, spp_total):
+        """Route eligible single-medium scenes through the fused
+        volumetric Pallas kernel (ops/volmegakernel.py); general
+        wavefront otherwise."""
+        mk = self._vol_megakernel_for(scene, sensor)
+        if mk is not None and not getattr(self, "_differentiable", False) \
+                and not getattr(self, "_disable_megakernel", False):
+            self.last_engine = "megakernel"
+            return mk.render_pass(sensor, seed, sample_base, spp_pass)
+        self.last_engine = "wavefront"
+        return super().render_wavefront(scene, sensor, sampler, seed,
+                                        sample_base, spp_pass, spp_total)
+
+    def _vol_megakernel_for(self, scene, sensor):
+        cached = getattr(self, "_mk_cache", None)
+        if cached is not None and cached[0] == (id(scene), id(sensor)):
+            return cached[1]
+        mk = None
+        reason = None
+        import jax as _jax
+        from ..core import logger as _log
+        from ..ops.volmegakernel import (VolPathMegakernel,
+                                         vol_megakernel_ineligibility)
+        from ..models.sensors import PerspectiveCamera
+        from ..models.rfilters import BoxFilter
+        interpret = _jax.default_backend() != "tpu"
+        if type(self) is not VolumetricPathIntegrator:
+            reason = "non-volpath integrator subclass"
+        elif type(sensor) is not PerspectiveCamera:
+            reason = f"sensor {type(sensor).__name__}"
+        elif not isinstance(sensor.film.rfilter, BoxFilter):
+            reason = f"rfilter {type(sensor.film.rfilter).__name__}"
+        elif sensor.shutter_open != sensor.shutter_close:
+            reason = "motion blur (open shutter)"
+        elif self.max_depth >= 64:
+            reason = "max_depth >= 64 (static launch unroll)"
+        elif interpret:
+            reason = "non-TPU backend (tests opt in via interpret)"
+        else:
+            reason = vol_megakernel_ineligibility(scene)
+        if reason is None:
+            try:
+                mk = VolPathMegakernel(scene)
+                mk.max_depth = self.max_depth
+                mk.rr_depth = self.rr_depth
+            except Exception as exc:  # observable, never silent
+                mk = None
+                reason = f"megakernel build failed: {exc!r}"
+        if reason is not None and reason.startswith("megakernel build"):
+            _log.Log(_log.Warn, f"volpath: falling back to the XLA "
+                     f"wavefront ({reason})")
+        elif reason is not None:
+            _log.Log(_log.Debug, f"volpath: XLA wavefront engine "
+                     f"({reason})")
+        self.engine_reason = reason
+        self._mk_cache = ((id(scene), id(sensor)), mk)
+        return mk
+
     def sample(self, scene, sampler, state, ray, medium=None, active=True):
         n = ray.o.shape[0]
         dt = ray.o.dtype

@@ -162,6 +162,9 @@ class D65Spectrum(_CurveSpectrum):
         d65 = np.asarray(spec.CIE_D65_TABLE)
         ybar = np.asarray(spec.CIE_XYZ_TABLE)[:, 1]
         norm = np.trapezoid(d65 * ybar, wl)
+        # in-kernel payload: unit reflectance (sigmoid -> 1) times d65
+        self._coeff = np.asarray([0.0, 0.0, 1.0e5], np.float32)
+        self._d65_scale = float(scale / norm)
         self._setup(wl, d65 * (scale / norm))
 
 
@@ -186,6 +189,10 @@ class SRGBD65Spectrum(_CurveSpectrum):
         ybar = np.asarray(spec.cie1931_y(jnp.asarray(wl, jnp.float32)))
         norm = np.trapezoid(d65 * ybar, wl)
         vals = refl * d65 / norm * max(float(color.max()), 1.0)
+        # factored payload for in-kernel evaluation (ops/megakernel.py):
+        # value(wl) = sigmoid(_coeff, wl) * cie_d65(wl) * _d65_scale
+        self._coeff = np.asarray(coeff, np.float32).reshape(3)
+        self._d65_scale = float(max(float(color.max()), 1.0) / norm)
         self._setup(wl, vals)
 
 

@@ -65,12 +65,17 @@ MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
 _BIG = 3.0e38
 _PI = 3.141592653589793
 
-# state rows (HBM layout (_ROWS, n) float32)
-_ROWS = 17
-# 0:3 o | 3:6 d | 6:9 throughput | 9:12 result | 12 prev_pdf
-# 13 active | 14 rng key (uint32 bits) | 15 eta (relative IOR product)
-# 16 pixel id (f32-exact below 2^24) — lanes are re-sorted between
+# state rows (HBM layout (rows, n) float32), nc = color channels (3 rgb /
+# 4 spectral hero wavelengths):
+# 0:3 o | 3:6 d | 6:6+nc throughput | 6+nc:6+2nc result | 6+2nc prev_pdf
+# | +1 active | +2 rng key (uint32 bits) | +3 eta (relative IOR product)
+# | +4 pixel id (f32-exact below 2^24) — lanes are re-sorted between
 # bounces (see render_pass), so pixel identity must ride the state
+_ROWS = 17          # rgb rows incl. pixel (back-compat constant)
+
+
+def _state_rows(nc, carry_pixel):
+    return 6 + 2 * nc + 4 + (1 if carry_pixel else 0)
 
 
 # ----------------------------------------------------------------------------
@@ -219,6 +224,46 @@ def _ggx_g1(cz, a):
     return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
 
 
+# ---- spectral-mode helpers (hero-wavelength transport in-kernel) -----------
+# Matches core/spectrum.py sample_shifted + sample_rgb_spectrum and
+# render/srgb.py srgb_model_eval (sigmoid polynomial), so the megakernel's
+# spectral estimator agrees with the general wavefront's.
+_WL_MIN = 360.0
+_WL_MAX = 830.0
+_D65_ROWS = 96           # 95-sample CIE table padded to a sublane multiple
+
+
+def _sigmoid_poly(c0, c1, c2, x):
+    """Jakob-Hanika sigmoid reflectance at normalized wavelength x."""
+    t = (c0 * x + c1) * x + c2
+    return 0.5 + t / (2.0 * jnp.sqrt(1.0 + t * t))
+
+
+def _wl_norm(wl):
+    return (wl - _WL_MIN) / (_WL_MAX - _WL_MIN) * 2.0 - 1.0
+
+
+def _hero_wavelengths(key, nc):
+    """Per-lane hero wavelengths (nc arrays shaped like key) regenerated
+    from the path's TEA key at sampler dim 1 (constant along the path).
+    Mosaic has no atanh/cosh lowering: atanh via log, cosh via exp."""
+    u, _ = _rng2(key, 1)
+    wls = []
+    wts = []
+    for c in range(nc):
+        uc = u + c * (1.0 / nc)
+        uc = uc - jnp.floor(uc)
+        arg = 0.8569106254698279 - 1.8275019724092267 * uc
+        ath = 0.5 * jnp.log((1.0 + arg)
+                            / jnp.maximum(1.0 - arg, 1e-12))
+        wl = 538.0 - ath * 138.88888888888889
+        e = jnp.exp(0.0072 * (wl - 538.0))
+        ch = 0.5 * (e + 1.0 / e)
+        wls.append(wl)
+        wts.append(253.82 * ch * ch)
+    return wls, wts
+
+
 # fattr layout (F, 40) built row-major, fed to the kernel transposed (40, F):
 #   ng 0:3 | albedo/c0 3:6 | Le 6:9 | lpdf_w 9
 #   kind 10 (0 diffuse, 1 ggx-conductor, 2 diffuse-checkerboard,
@@ -257,11 +302,12 @@ def _fresnel_diel(cos_i, eta):
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  sattr_ref, qd_ref, qattr_ref, env_ref, atlas_ref,
-                 cab_ref, scab_ref, st_in_ref, st_out_ref, acc_ref, *,
+                 d65_ref, cab_ref, scab_ref, st_in_ref, st_out_ref,
+                 acc_ref, *,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_diel, has_plastic, env_w,
-                 env_h, streamed, carry_pixel):
+                 env_h, streamed, carry_pixel, nc=3, spectral=False):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -319,6 +365,19 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     def to_dense(x):
         return x.reshape(G, 128)
+
+    def d65_flat(wl_f):
+        """Linear interp of the 95-sample CIE D65 table at per-lane
+        wavelengths (core/spectrum.py _cie_interp semantics); the table
+        rides VMEM as a (96, 8) column, picked via an iota compare."""
+        tpos = (wl_f - _WL_MIN) * (94.0 / (_WL_MAX - _WL_MIN))
+        i0 = jnp.clip(jnp.floor(tpos), 0.0, 93.0)
+        w1 = jnp.clip(tpos - i0, 0.0, 1.0)
+        i0i = i0.astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_D65_ROWS, R), 0)
+        pickw = (jnp.where(rows == i0i[None, :], 1.0 - w1[None, :], 0.0)
+                 + jnp.where(rows == i0i[None, :] + 1, w1[None, :], 0.0))
+        return jnp.sum(d65_ref[:, 0:1] * pickw, axis=0)
 
     def _sweep_chunk(W, A_tab, odh, mint, maxt):
         """Woop sweep of one chunk -> (tmin, A, u, v, pick). W is
@@ -694,6 +753,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     # ------------------------------------------------------------------
     # load / init state (dense (G, 128) per-lane layout)
     # ------------------------------------------------------------------
+    base_aux = 6 + 2 * nc          # first aux row (prev_pdf)
     if depth == 0:
         sub = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0)
         lnn = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
@@ -723,8 +783,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         ox = jnp.full((G, 128), cam[9])
         oy = jnp.full((G, 128), cam[10])
         oz = jnp.full((G, 128), cam[11])
-        thr_r = thr_g = thr_b = done_
-        res_r = res_g = res_b = dzero
+        if spectral:
+            # sensor spectral weight = 1/pdf of hero sampling
+            # (sensors.py _sample_wavelengths semantics)
+            _, wav_wt = _hero_wavelengths(key, nc)
+            thr = list(wav_wt)
+        else:
+            thr = [done_] * nc
+        res = [dzero] * nc
         active = lane_ok
         prev_pdf = dzero             # 0 => camera ray (no MIS at hit)
         eta_st = done_               # cumulative relative IOR (RR uses it)
@@ -737,14 +803,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         st = st_in_ref[...]
         ox, oy, oz = st[0], st[1], st[2]
         dx, dy, dz = st[3], st[4], st[5]
-        thr_r, thr_g, thr_b = st[6], st[7], st[8]
-        res_r, res_g, res_b = st[9], st[10], st[11]
-        prev_pdf = st[12]
-        active = st[13] > 0.5
-        key = st[14].view(jnp.uint32)
-        eta_st = st[15]
-        pix_f = st[16] if carry_pixel else None
-        any_alive = jnp.sum(st[13]) > 0.0
+        thr = [st[6 + c] for c in range(nc)]
+        res = [st[6 + nc + c] for c in range(nc)]
+        prev_pdf = st[base_aux]
+        active = st[base_aux + 1] > 0.5
+        key = st[base_aux + 2].view(jnp.uint32)
+        eta_st = st[base_aux + 3]
+        pix_f = st[base_aux + 4] if carry_pixel else None
+        any_alive = jnp.sum(st[base_aux + 1]) > 0.0
 
     def run_bounce():
         dim0 = 2 + depth * 8
@@ -758,7 +824,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         t_f, A_f, bu_f, bv_f = closest_hit(oxf, oyf, ozf, dxf, dyf, dzf,
                                            zero, maxt_f)
 
-        # checker/bitmap albedo resolve stays flat where the A rows live
+        # checker/bitmap albedo payload resolve stays flat where the A
+        # rows live. The payload is 3 floats per lane: linear rgb in rgb
+        # mode, sigmoid srgb-model coefficients in spectral mode (the
+        # per-channel reflectance is resolved on the dense grid below).
         if need_bary:
             # uv from barycentrics -> affine to_uv -> parity select
             uu = A_f[21] + bu_f * A_f[23] + bv_f * A_f[25]
@@ -819,22 +888,32 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # ---- densify the sweep outputs; shade on the (G, 128) grid ----
         t = to_dense(t_f)
         ngx, ngy, ngz = to_dense(A_f[0]), to_dense(A_f[1]), to_dense(A_f[2])
-        le_r, le_g, le_b = (to_dense(A_f[6]), to_dense(A_f[7]),
-                            to_dense(A_f[8]))
         lpdf_w = to_dense(A_f[9])
         hit = t < _BIG * 0.5
 
-        res_r_, res_g_, res_b_ = res_r, res_g, res_b
+        if spectral:
+            # hero wavelengths (constant per path, regenerated from the
+            # key) + shared per-bounce D65 interpolation for emission
+            wl_d, _ = _hero_wavelengths(key, nc)
+            wl_x = [_wl_norm(w) for w in wl_d]
+            d65 = [to_dense(d65_flat(to_flat(w))) for w in wl_d]
+            le_scale = to_dense(A_f[43])
+            le = [_sigmoid_poly(to_dense(A_f[6]), to_dense(A_f[7]),
+                                to_dense(A_f[8]), wl_x[c])
+                  * d65[c] * le_scale for c in range(nc)]
+        else:
+            le = [to_dense(A_f[6 + c]) for c in range(nc)]
+
+        res_ = list(res)
         act = active
 
         # --- environment on escape (weight 1: env has no NEE arm) ---
         if has_env:
             er_f, eg_f, eb_f = env_lookup(dxf, dyf, dzf)
-            er, eg, eb = to_dense(er_f), to_dense(eg_f), to_dense(eb_f)
+            env_ch = [to_dense(er_f), to_dense(eg_f), to_dense(eb_f)]
             esc = act & ~hit
-            res_r_ = res_r_ + jnp.where(esc, thr_r * er, 0.0)
-            res_g_ = res_g_ + jnp.where(esc, thr_g * eg, 0.0)
-            res_b_ = res_b_ + jnp.where(esc, thr_b * eb, 0.0)
+            for c in range(nc):
+                res_[c] = res_[c] + jnp.where(esc, thr[c] * env_ch[c], 0.0)
 
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
@@ -847,33 +926,43 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             em_w = jnp.where(prev_pdf > 0.0, _mis(prev_pdf, pdf_l_hit),
                              1.0)
         wgt = jnp.where(act & hit & (cos_hit > 0), em_w, 0.0)
-        res_r_ = res_r_ + wgt * thr_r * le_r
-        res_g_ = res_g_ + wgt * thr_g * le_g
-        res_b_ = res_b_ + wgt * thr_b * le_b
+        for c in range(nc):
+            res_[c] = res_[c] + wgt * thr[c] * le[c]
 
         if is_last:
             # final bounce: only emission can contribute — statically skip
-            # RR, NEE, the shadow sweep, and BSDF sampling
+            # RR, NEE, the shadow sweep, and BSDF sampling. The rng key is
+            # preserved: the spectral develop re-derives wavelengths from it
             st_out_ref[...] = jnp.stack(
-                [dzero] * 9 + [res_r_, res_g_, res_b_] + [dzero] * 4
+                [dzero] * (6 + nc) + res_
+                + [dzero, dzero, key.view(jnp.float32), dzero]
                 + ([pix_f] if carry_pixel else []), axis=0)
             return
 
-        alb_r, alb_g, alb_b = (to_dense(alb_r_f), to_dense(alb_g_f),
-                               to_dense(alb_b_f))
+        pay = [to_dense(alb_r_f), to_dense(alb_g_f), to_dense(alb_b_f)]
+        if spectral:
+            alb = [_sigmoid_poly(pay[0], pay[1], pay[2], wl_x[c])
+                   for c in range(nc)]
+        else:
+            alb = pay
         kind = to_dense(A_f[10])
         is_ggx = (kind > 0.5) & (kind < 1.5)
         alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
-        eta_r, eta_g, eta_b = (to_dense(A_f[12]), to_dense(A_f[13]),
-                               to_dense(A_f[14]))
-        k_r, k_g, k_b = (to_dense(A_f[15]), to_dense(A_f[16]),
-                         to_dense(A_f[17]))
+        # conductor IOR columns are rgb-only (spectral scenes with
+        # conductors are megakernel-ineligible); clamp the channel index
+        eta_k = [to_dense(A_f[12 + min(c, 2)]) for c in range(nc)]
+        kap_k = [to_dense(A_f[15 + min(c, 2)]) for c in range(nc)]
         if has_diel or has_plastic:
             is_diel = (kind > 2.5) & (kind < 3.5)
             is_plas = (kind > 3.5) & (kind < 5.5)  # 4 smooth / 5 rough
             is_rplas = (kind > 4.5) & (kind < 5.5)
-            c2_r, c2_g, c2_b = (to_dense(A_f[18]), to_dense(A_f[19]),
-                                to_dense(A_f[20]))  # spec trans / spec refl
+            c2p = [to_dense(A_f[18]), to_dense(A_f[19]),
+                   to_dense(A_f[20])]  # spec trans / spec refl payload
+            if spectral:
+                c2 = [_sigmoid_poly(c2p[0], c2p[1], c2p[2], wl_x[c])
+                      for c in range(nc)]
+            else:
+                c2 = c2p
             eta_d = jnp.maximum(to_dense(A_f[33]), 1e-3)
             ssw = to_dense(A_f[34])
             fdr = to_dense(A_f[35])
@@ -920,15 +1009,15 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # --- russian roulette (path.cpp:133-141; static gate per depth) ---
         if depth + 1 > rr_depth:
             rr_u, _ = _rng2(key, dim0 + 0)
-            mx = jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b))
+            mx = thr[0]
+            for c in range(1, nc):
+                mx = jnp.maximum(mx, thr[c])
             q = jnp.minimum(mx * eta_st * eta_st, 0.95)
             act = act & (rr_u < q)
             inv_q = 1.0 / jnp.maximum(q, 1e-8)
-            thr_r_ = thr_r * inv_q
-            thr_g_ = thr_g * inv_q
-            thr_b_ = thr_b * inv_q
+            thr_ = [thr[c] * inv_q for c in range(nc)]
         else:
-            thr_r_, thr_g_, thr_b_ = thr_r, thr_g, thr_b
+            thr_ = list(thr)
 
         # --- NEE over the light-face CDF (pick via MXU, flat domain) ---
         u_sel, u_b1 = _rng2(key, dim0 + 1)
@@ -943,7 +1032,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         lpick = (lids == jnp.minimum(li, L - 1)[None, :]).astype(
             jnp.float32)
         LT = _dotpick(lt, lpick)
-        LTd = [to_dense(LT[k]) for k in range(17)]
+        LTd = [to_dense(LT[k]) for k in range(18)]
         s_t = jnp.sqrt(jnp.maximum(1.0 - u_b1, 0.0))
         bu = 1.0 - s_t
         bv = u_b2 * s_t
@@ -952,7 +1041,12 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         plz = LTd[2] + LTd[5] * bu + LTd[8] * bv
         lnx, lny, lnz = LTd[9], LTd[10], LTd[11]
         lw = LTd[13]
-        lrad_r, lrad_g, lrad_b = LTd[14], LTd[15], LTd[16]
+        if spectral:
+            # light rows carry srgb coefficients + a D65 scale (row 17)
+            lrad = [_sigmoid_poly(LTd[14], LTd[15], LTd[16], wl_x[c])
+                    * d65[c] * LTd[17] for c in range(nc)]
+        else:
+            lrad = [LTd[14 + c] for c in range(nc)]
 
         dxl = plx - pxx
         dyl = ply - pyy
@@ -1000,19 +1094,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
         spec_common = D * G_s / jnp.maximum(4.0 * wiz, 1e-20)
         pdf_ggx_l = _ggx_g1(wiz, alpha) * D / jnp.maximum(4.0 * wiz, 1e-20)
-        F_r = _fresnel_cond(ci_h, eta_r, k_r)
-        F_g = _fresnel_cond(ci_h, eta_g, k_g)
-        F_b = _fresnel_cond(ci_h, eta_b, k_b)
+        F_c = [_fresnel_cond(ci_h, eta_k[c], kap_k[c]) for c in range(nc)]
 
         pdf_bsdf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_diff_l)
         fcos_diff = cos_s / _PI
         ggx_ok = (woz > 0).astype(jnp.float32)
-        f_r = jnp.where(is_ggx, alb_r * spec_common * F_r * ggx_ok,
-                        alb_r * fcos_diff)
-        f_g = jnp.where(is_ggx, alb_g * spec_common * F_g * ggx_ok,
-                        alb_g * fcos_diff)
-        f_b = jnp.where(is_ggx, alb_b * spec_common * F_b * ggx_ok,
-                        alb_b * fcos_diff)
+        f = [jnp.where(is_ggx, alb[c] * spec_common * F_c[c] * ggx_ok,
+                       alb[c] * fcos_diff) for c in range(nc)]
         if has_plastic:
             # (rough)plastic NEE (plastic.cpp eval/pdf, roughplastic.cpp):
             # diffuse base behind the coating + GGX dielectric coat (rough)
@@ -1020,22 +1108,17 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             Fp_o, _, _, _ = _fresnel_diel(jnp.maximum(woz, 0.0), eta_d)
             prob_sp = Fp_i * ssw / jnp.maximum(
                 Fp_i * ssw + (1.0 - Fp_i) * (1.0 - ssw), 1e-8)
-            den_r = 1.0 - jnp.where(nonlin, alb_r * fdr, fdr)
-            den_g = 1.0 - jnp.where(nonlin, alb_g * fdr, fdr)
-            den_b = 1.0 - jnp.where(nonlin, alb_b * fdr, fdr)
+            den = [1.0 - jnp.where(nonlin, alb[c] * fdr, fdr)
+                   for c in range(nc)]
             dcom = (1.0 / _PI) * inv_eta2 * jnp.maximum(woz, 0.0) \
                 * (1.0 - Fp_i) * (1.0 - Fp_o)
-            pd_r = alb_r / jnp.maximum(den_r, 1e-8) * dcom
-            pd_g = alb_g / jnp.maximum(den_g, 1e-8) * dcom
-            pd_b = alb_b / jnp.maximum(den_b, 1e-8) * dcom
+            pd = [alb[c] / jnp.maximum(den[c], 1e-8) * dcom
+                  for c in range(nc)]
             Fp_h, _, _, _ = _fresnel_diel(ci_h, eta_d)
             sp = spec_common * Fp_h * ggx_ok
-            f_r = jnp.where(is_plas,
-                            pd_r + jnp.where(is_rplas, c2_r * sp, 0.0), f_r)
-            f_g = jnp.where(is_plas,
-                            pd_g + jnp.where(is_rplas, c2_g * sp, 0.0), f_g)
-            f_b = jnp.where(is_plas,
-                            pd_b + jnp.where(is_rplas, c2_b * sp, 0.0), f_b)
+            f = [jnp.where(is_plas,
+                           pd[c] + jnp.where(is_rplas, c2[c] * sp, 0.0),
+                           f[c]) for c in range(nc)]
             pdf_plas = pdf_diff_l * (1.0 - prob_sp) \
                 + jnp.where(is_rplas, pdf_ggx_l * prob_sp, 0.0)
             pdf_bsdf_l = jnp.where(is_plas, pdf_plas, pdf_bsdf_l)
@@ -1045,12 +1128,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # (t = BIG positions) that must never touch the accumulator
         gate = nee_ok & ~occluded
         if not _ABL_NO_NEE:
-            res_r_ = res_r_ + jnp.where(gate, thr_r_ * base * f_r
-                                        * lrad_r, 0.0)
-            res_g_ = res_g_ + jnp.where(gate, thr_g_ * base * f_g
-                                        * lrad_g, 0.0)
-            res_b_ = res_b_ + jnp.where(gate, thr_b_ * base * f_b
-                                        * lrad_b, 0.0)
+            for c in range(nc):
+                res_[c] = res_[c] + jnp.where(gate, thr_[c] * base * f[c]
+                                              * lrad[c], 0.0)
 
         # --- BSDF sampling: cosine (diffuse) / GGX VNDF (Heitz 2018) ---
         u_c1, u_c2 = _rng2(key, dim0 + 4)
@@ -1096,9 +1176,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         ggx_valid = (goz > 1e-6) & (wm_dot > 0)
         pdf_ggx = _ggx_g1(wiz, alpha) * _ggx_d(mhz, alpha) \
             / jnp.maximum(4.0 * wiz, 1e-20)
-        Fs_r = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_r, k_r)
-        Fs_g = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_g, k_g)
-        Fs_b = _fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_b, k_b)
+        Fs_c = [_fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_k[c], kap_k[c])
+                for c in range(nc)]
         g1o = _ggx_g1(jnp.maximum(goz, 1e-6), alpha)
         # VNDF weight = F * G1(wo) (separable Smith)
         wsel_x = jnp.where(is_ggx, gox, cx_)
@@ -1107,9 +1186,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
         ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & (cz_ > 0))
         # full throughput multiplier (albedo folded in per lobe)
-        m_r = jnp.where(is_ggx, alb_r * Fs_r * g1o, alb_r)
-        m_g = jnp.where(is_ggx, alb_g * Fs_g * g1o, alb_g)
-        m_b = jnp.where(is_ggx, alb_b * Fs_b * g1o, alb_b)
+        mm = [jnp.where(is_ggx, alb[c] * Fs_c[c] * g1o, alb[c])
+              for c in range(nc)]
         # MIS pdf carried to the next emitter hit (0 => delta lobe)
         mis_pdf = bsdf_pdf
         eta_mul = done_
@@ -1126,16 +1204,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             ddy = jnp.where(refl_d, -wiy, -eta_ti_d * wiy)
             ddz = jnp.where(refl_d, wiz_r, cos_t)
             # radiance transport: transmitted weight *= eta_ti^2
-            md_r = jnp.where(refl_d, alb_r, c2_r * eta_ti_d * eta_ti_d)
-            md_g = jnp.where(refl_d, alb_g, c2_g * eta_ti_d * eta_ti_d)
-            md_b = jnp.where(refl_d, alb_b, c2_b * eta_ti_d * eta_ti_d)
+            md = [jnp.where(refl_d, alb[c], c2[c] * eta_ti_d * eta_ti_d)
+                  for c in range(nc)]
             pdf_d = jnp.where(refl_d, F_d, 1.0 - F_d)
             wsel_x = jnp.where(is_diel, ddx, wsel_x)
             wsel_y = jnp.where(is_diel, ddy, wsel_y)
             wsel_z = jnp.where(is_diel, ddz, wsel_z)
-            m_r = jnp.where(is_diel, md_r, m_r)
-            m_g = jnp.where(is_diel, md_g, m_g)
-            m_b = jnp.where(is_diel, md_b, m_b)
+            mm = [jnp.where(is_diel, md[c], mm[c]) for c in range(nc)]
             bsdf_pdf = jnp.where(is_diel, pdf_d, bsdf_pdf)
             mis_pdf = jnp.where(is_diel, 0.0, mis_pdf)
             ok_lobe = ok_lobe | is_diel
@@ -1156,18 +1231,16 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             Fp_os, _, _, _ = _fresnel_diel(jnp.maximum(ppz, 0.0), eta_d)
             dcom_s = (1.0 / _PI) * inv_eta2 * jnp.maximum(ppz, 0.0) \
                 * (1.0 - Fp_i) * (1.0 - Fp_os)
-            fd_r = alb_r / jnp.maximum(den_r, 1e-8) * dcom_s
-            fd_g = alb_g / jnp.maximum(den_g, 1e-8) * dcom_s
-            fd_b = alb_b / jnp.maximum(den_b, 1e-8) * dcom_s
+            fd = [alb[c] / jnp.maximum(den[c], 1e-8) * dcom_s
+                  for c in range(nc)]
             pdf_cos = jnp.maximum(ppz, 0.0) / _PI
             # --- smooth plastic: analytic per-lobe weights; the diffuse
             # lane weight is fd/(pdf_cos*(1-prob_sp)) which reduces to
             # plastic.cpp's diff/denom * inv_eta2 (1-Fi)(1-Fo)/(1-prob_sp)
             inv_pd = 1.0 / jnp.maximum(pdf_cos * (1.0 - prob_sp), 1e-20)
             inv_ps = 1.0 / jnp.maximum(prob_sp, 1e-8)
-            msm_r = jnp.where(sel_sp, c2_r * Fp_i * inv_ps, fd_r * inv_pd)
-            msm_g = jnp.where(sel_sp, c2_g * Fp_i * inv_ps, fd_g * inv_pd)
-            msm_b = jnp.where(sel_sp, c2_b * Fp_i * inv_ps, fd_b * inv_pd)
+            msm = [jnp.where(sel_sp, c2[c] * Fp_i * inv_ps,
+                             fd[c] * inv_pd) for c in range(nc)]
             pdf_sm = jnp.where(sel_sp, prob_sp,
                                pdf_cos * (1.0 - prob_sp))
             mis_sm = jnp.where(sel_sp, 0.0, pdf_cos * (1.0 - prob_sp))
@@ -1188,32 +1261,26 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 / jnp.maximum(4.0 * wiz, 1e-20)
             pdf_rp = pdf_g2 * prob_sp + pdf_cos * (1.0 - prob_sp)
             inv_prp = 1.0 / jnp.maximum(pdf_rp, 1e-20)
-            mrp_r = (c2_r * spec2 + fd_r) * inv_prp
-            mrp_g = (c2_g * spec2 + fd_g) * inv_prp
-            mrp_b = (c2_b * spec2 + fd_b) * inv_prp
-            pm_r = jnp.where(is_rplas, mrp_r, msm_r)
-            pm_g = jnp.where(is_rplas, mrp_g, msm_g)
-            pm_b = jnp.where(is_rplas, mrp_b, msm_b)
+            mrp = [(c2[c] * spec2 + fd[c]) * inv_prp for c in range(nc)]
+            pm = [jnp.where(is_rplas, mrp[c], msm[c]) for c in range(nc)]
             pdf_p = jnp.where(is_rplas, pdf_rp, pdf_sm)
             mis_p = jnp.where(is_rplas, pdf_rp, mis_sm)
             ok_p = ppz > 1e-6
             wsel_x = jnp.where(is_plas, ppx, wsel_x)
             wsel_y = jnp.where(is_plas, ppy, wsel_y)
             wsel_z = jnp.where(is_plas, ppz, wsel_z)
-            m_r = jnp.where(is_plas, pm_r, m_r)
-            m_g = jnp.where(is_plas, pm_g, m_g)
-            m_b = jnp.where(is_plas, pm_b, m_b)
+            mm = [jnp.where(is_plas, pm[c], mm[c]) for c in range(nc)]
             bsdf_pdf = jnp.where(is_plas, pdf_p, bsdf_pdf)
             mis_pdf = jnp.where(is_plas, mis_p, mis_pdf)
             # (no jnp.where on bools: Mosaic lacks the i1 select lowering)
             ok_lobe = (is_plas & ok_p) | (~is_plas & ok_lobe)
 
         ndx, ndy, ndz = to_world(wsel_x, wsel_y, wsel_z)
-        thr_r_ = thr_r_ * jnp.where(act, m_r, 1.0)
-        thr_g_ = thr_g_ * jnp.where(act, m_g, 1.0)
-        thr_b_ = thr_b_ * jnp.where(act, m_b, 1.0)
-        act = act & ok_lobe & (bsdf_pdf > 0) \
-            & ((thr_r_ + thr_g_ + thr_b_) > 0)
+        thr_ = [thr_[c] * jnp.where(act, mm[c], 1.0) for c in range(nc)]
+        thr_sum = thr_[0]
+        for c in range(1, nc):
+            thr_sum = thr_sum + thr_[c]
+        act = act & ok_lobe & (bsdf_pdf > 0) & (thr_sum > 0)
         eta_st_ = jnp.where(act, eta_st * eta_mul, eta_st)
         # offset the new origin to the side the outgoing ray leaves on
         # (transmission continues through the surface)
@@ -1221,8 +1288,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
         st_out_ref[...] = jnp.stack([
             pxx + nx * off, pyy + ny * off, pzz + nz * off,
-            ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
-            res_r_, res_g_, res_b_, mis_pdf,
+            ndx, ndy, ndz] + thr_ + res_ + [mis_pdf,
             act.astype(jnp.float32), key.view(jnp.float32), eta_st_]
             + ([pix_f] if carry_pixel else []), axis=0)
 
@@ -1324,6 +1390,10 @@ class DiffusePathMegakernel:
 
     def __init__(self, scene, interpret: bool = False):
         from .intersect_pallas import build_woop
+        from ..variants import current as _current
+        var = _current()
+        self.spectral = var.is_spectral
+        self.nc = var.n_channels
         g = scene.geom
         v0 = np.asarray(g.v0)
         e1 = np.asarray(g.e1)
@@ -1407,8 +1477,11 @@ class DiffusePathMegakernel:
         self._scene = scene
         self._fs = fs
         self._F = F
-        # emissive faces -> light table
+        # emissive faces -> light table. In spectral mode the radiance
+        # payload is [srgb coeffs, d65 scale] (srgb_d65.cpp semantics);
+        # in rgb it is the linear rgb radiance and scale stays 0.
         le_face = np.zeros((self.n_faces, 3), np.float32)
+        le_scale = np.zeros((self.n_faces,), np.float32)
         lpdf_w = np.zeros((self.n_faces,), np.float32)
         lights = []
         light_shape = []
@@ -1420,12 +1493,18 @@ class DiffusePathMegakernel:
             e1e = np.asarray(e.te1)
             e2e = np.asarray(e.te2)
             ne = np.asarray(e.tn)
-            rad = np.asarray(e.radiance._rgb_np, np.float32).reshape(3)
+            if self.spectral:
+                rad = np.asarray(e.radiance._coeff, np.float32).reshape(3)
+                rscale = float(e.radiance._d65_scale)
+            else:
+                rad = np.asarray(e.radiance._rgb_np,
+                                 np.float32).reshape(3)
+                rscale = 0.0
             sidx = scene.shapes.index(e.shape)
             for k in range(len(areas)):
                 lights.append(np.concatenate([
                     v0e[k], e1e[k], e2e[k], ne[k],
-                    [0.0, 0.0], rad, [0.0] * 7]))
+                    [0.0, 0.0], rad, [rscale], [0.0] * 6]))
                 light_shape.append(sidx)
         lights = np.asarray(lights, np.float32)
         if len(lights):
@@ -1443,6 +1522,7 @@ class DiffusePathMegakernel:
             for row, sidx in enumerate(light_shape):
                 mask = fs == sidx
                 le_face[mask] = lights[row, 14:17]
+                le_scale[mask] = lights[row, 17]
                 lpdf_w[mask] = dens[row]
         else:
             lights = np.zeros((1, 24), np.float32)
@@ -1492,7 +1572,10 @@ class DiffusePathMegakernel:
                 tex = b.reflectance
                 key = id(tex)
                 if key not in atlas_slot:
-                    data = np.asarray(tex._rgb_np, np.float32)
+                    # spectral: the atlas carries per-texel srgb model
+                    # coefficients (bitmap.cpp upsamples at load too)
+                    data = np.asarray(tex.data.coeff if self.spectral
+                                      else tex._rgb_np, np.float32)
                     atlas_slot[key] = (atlas_cursor, data)
                     atlas_cursor += data.shape[0]
                 shp_atlas[s_idx] = [atlas_slot[key][0],
@@ -1514,6 +1597,7 @@ class DiffusePathMegakernel:
         fattr = np.zeros((F, _FA_COLS), np.float32)
         fattr[:self.n_faces, 0:3] = ng
         fattr[:self.n_faces, 6:9] = le_face
+        fattr[:self.n_faces, 43] = le_scale
         fattr[:self.n_faces, 9] = lpdf_w
         fattr[:self.n_faces, 10] = shp_kind[fs]
         fattr[:self.n_faces, 11] = shp_alpha[fs]
@@ -1621,7 +1705,23 @@ class DiffusePathMegakernel:
         else:
             self.env_w, self.env_h = 8, 8
             self.env = jnp.zeros((24, 8), jnp.float32)
+
+        # D65 illuminant column for in-kernel emitter spectra (spectral)
+        if self.spectral:
+            from ..core.spectrum import CIE_D65_TABLE
+            tbl = np.asarray(CIE_D65_TABLE, np.float32)      # (95,)
+            d65 = np.zeros((_D65_ROWS, 8), np.float32)
+            d65[:95, :] = tbl[:, None]
+            d65[95, :] = tbl[94]
+            self.d65 = jnp.asarray(d65)
+        else:
+            self.d65 = jnp.zeros((_D65_ROWS, 8), jnp.float32)
         self.interpret = interpret
+
+    def _payload(self, tex):
+        """Per-variant color payload of a constant texture: linear rgb,
+        or the 3 srgb sigmoid coefficients in spectral mode."""
+        return tex.data.coeff if self.spectral else tex.data.rgb
 
     def _shape_albedo(self, s):
         """Primary traced color (fattr cols 3:6): diffuse reflectance for
@@ -1630,14 +1730,14 @@ class DiffusePathMegakernel:
         b = s.bsdf
         tex = getattr(b, "reflectance", None)
         if isinstance(tex, CheckerboardTexture):
-            return tex.color0.data.rgb
+            return self._payload(tex.color0)
         if isinstance(tex, BitmapTexture):
             return jnp.zeros(3)          # kind 6 fetches the atlas
         if tex is None:
             tex = getattr(b, "diffuse_reflectance", None)
         if tex is None:
             tex = getattr(b, "specular_reflectance", None)
-        return tex.data.rgb if tex is not None else jnp.zeros(3)
+        return self._payload(tex) if tex is not None else jnp.zeros(3)
 
     def _shape_c1(self, s):
         """Secondary traced color (fattr cols 18:21): checker color1,
@@ -1648,11 +1748,11 @@ class DiffusePathMegakernel:
         b = s.bsdf
         tex = getattr(b, "reflectance", None)
         if isinstance(tex, CheckerboardTexture):
-            return tex.color1.data.rgb
+            return self._payload(tex.color1)
         if type(b) is SmoothDielectric:
-            return b.specular_transmittance.data.rgb
+            return self._payload(b.specular_transmittance)
         if type(b) in (SmoothPlastic, RoughPlastic):
-            return b.specular_reflectance.data.rgb
+            return self._payload(b.specular_reflectance)
         return jnp.zeros(3)
 
     def _fattr(self):
@@ -1727,7 +1827,8 @@ class DiffusePathMegakernel:
         # bounces loses MORE to incoherent sweeps (35k-face bench:
         # every=1 0.89 Mpaths/s, every=2 0.63) — sort every bounce
         sort_every = int(os.environ.get("MK_SORT_EVERY", "1"))
-        rows = _ROWS if do_sort else _ROWS - 1
+        rows = _state_rows(self.nc, do_sort)
+        base_aux = 6 + 2 * self.nc
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
         tan_half = float(np.tan(np.deg2rad(sensor.x_fov) * 0.5))
@@ -1753,13 +1854,14 @@ class DiffusePathMegakernel:
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.atlas.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.d65.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
             pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
                   self.sph, self._sattr(), self.qd, self._qattr(),
-                  self.env, self.atlas, self.cab, self.scab)
+                  self.env, self.atlas, self.d65, self.cab, self.scab)
         # between-bounce ray reordering (the live-ray compaction the
         # reference never had, SURVEY §5): key = origin-morton (8
         # bits/axis over the scene bbox) . direction-octant; dead lanes
@@ -1790,7 +1892,8 @@ class DiffusePathMegakernel:
                       + 2 * (flat[4] > 0).astype(jnp.int32)
                       + 4 * (flat[5] > 0).astype(jnp.int32))
             key = (((q[0] << 2) | (q[1] << 1) | q[2]) << 3) | octant
-            key = jnp.where(flat[13] > 0.5, key, jnp.int32(0x7FFFFFFF))
+            key = jnp.where(flat[base_aux + 1] > 0.5, key,
+                            jnp.int32(0x7FFFFFFF))
             order = jnp.argsort(key)
             return jnp.take(flat, order, axis=1).reshape(
                 rows, n_pad // 128, 128)
@@ -1811,7 +1914,8 @@ class DiffusePathMegakernel:
                 has_bitmap=self.has_bitmap,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
-                streamed=self.streamed, carry_pixel=do_sort)
+                streamed=self.streamed, carry_pixel=do_sort,
+                nc=self.nc, spectral=self.spectral)
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
@@ -1830,13 +1934,28 @@ class DiffusePathMegakernel:
         # were re-sorted between bounces; padding lanes carry the trash
         # pixel w*h and sort past the real ones), then reshape-reduce
         flat = state.reshape(rows, n_pad)
-        if not do_sort:
-            # lanes never left pixel-major order
-            rgb = flat[9:12][:, :n].reshape(3, w * h, spp_pass).sum(axis=2)
+        res_rows = flat[6 + self.nc:6 + 2 * self.nc]
+        key_row = flat[base_aux + 2]
+        if do_sort:
+            order = jnp.argsort(flat[base_aux + 4].astype(jnp.int32))
+            res_rows = jnp.take(res_rows, order, axis=1)
+            if self.spectral:
+                key_row = jnp.take(key_row, order)
+        vals = res_rows[:, :n]
+        if self.spectral:
+            # spectral develop: re-derive the hero wavelengths from the
+            # per-path TEA key (dim 1, matching the kernel), integrate
+            # against the CIE CMFs, convert to working rgb — the same
+            # pipeline as the wavefront (integrator.py to_rgb)
+            from ..core import spectrum as spec
+            keys = jax.lax.bitcast_convert_type(key_row[:n], jnp.uint32)
+            u, _ = _rng2(keys, 1)
+            wl, _ = spec.sample_wavelength(u, self.nc)   # weight in thr
+            xyz = spec.spectrum_to_xyz(vals.T, wl)       # (n, 3)
+            rgb = spec.xyz_to_srgb(xyz).T
         else:
-            order = jnp.argsort(flat[16].astype(jnp.int32))
-            rgb = jnp.take(flat[9:12], order, axis=1)[:, :n] \
-                .reshape(3, w * h, spp_pass).sum(axis=2)
+            rgb = vals
+        rgb = rgb.reshape(3, w * h, spp_pass).sum(axis=2)
         img = jnp.concatenate(
             [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
             axis=0)
@@ -1849,8 +1968,31 @@ def megakernel_ineligibility(scene):
     from ..models.emitters import AreaEmitter, EnvironmentMap
     from ..variants import current
     import numpy as _np
-    if not current().is_rgb:
-        return "non-rgb variant"
+    var = current()
+    if var.is_monochromatic:
+        return "mono variant"
+    if var.polarized:
+        return "polarized variant"
+    if var.double_precision:
+        return "double-precision variant"
+    if var.is_spectral:
+        # spectral fast path: hero-wavelength transport in-kernel with
+        # srgb-upsampled reflectances + D65 emitter spectra; scenes
+        # outside that scope ride the wavefront
+        if scene.environment_emitter is not None:
+            return "envmap in spectral mode"
+        from ..models.bsdfs import RoughConductor
+        for b in scene.bsdfs:
+            members = getattr(b, "merged_instances", None) or [b]
+            for bb in members:
+                if type(bb) is RoughConductor:
+                    return "conductor IOR spectra in spectral mode"
+        for e in scene.emitters:
+            if type(e) is AreaEmitter and (
+                    not hasattr(e.radiance, "_coeff")
+                    or not hasattr(e.radiance, "_d65_scale")):
+                return ("area emitter spectrum without srgb_d65 payload "
+                        "in spectral mode")
     if scene.has_media:
         return "participating media"
     if scene.geom.v0.shape[0] > MAX_FACES:

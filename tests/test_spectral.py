@@ -113,3 +113,47 @@ def test_wavelengths_threaded_through_path(variant_scalar_spectral):
     wl = np.asarray(ray.wavelengths)
     assert wl.min() >= 360 and wl.max() <= 830
     assert weight.shape == (4, 4)
+
+
+def test_spectral_megakernel_matches_wavefront(variant_scalar_spectral):
+    """The spectral fast path (hero wavelengths + srgb sigmoid + D65 in
+    ops/megakernel.py) agrees with the spectral XLA wavefront AND with the
+    rgb megakernel image (metameric round-trip) on the Cornell box."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    from mitsuba2_tpu.ops.megakernel import (DiffusePathMegakernel,
+                                             megakernel_ineligibility)
+    W, SPP = 20, 32
+    scene = mi.load_dict(cornell_box_dict(width=W, height=W, spp=SPP,
+                                          max_depth=3))
+    assert megakernel_ineligibility(scene) is None
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    mk.max_depth, mk.rr_depth = 3, 1000
+    img = np.asarray(mk.render_pass(scene.sensors[0], 0, 0, SPP))[..., :3] \
+        / SPP
+    ref = np.asarray(scene.integrator.render(scene, seed=7, spp=SPP))
+    assert abs(img.mean() - ref.mean()) <= 0.05 * ref.mean(), \
+        (img.mean(), ref.mean())
+
+    mi.set_variant("scalar_rgb")
+    scene2 = mi.load_dict(cornell_box_dict(width=W, height=W, spp=SPP,
+                                           max_depth=3))
+    mk2 = DiffusePathMegakernel(scene2, interpret=True)
+    mk2.max_depth, mk2.rr_depth = 3, 1000
+    img2 = np.asarray(mk2.render_pass(scene2.sensors[0], 0, 0,
+                                      SPP))[..., :3] / SPP
+    # spectral upsample -> D65 -> CIE -> sRGB round-trips the rgb render
+    assert abs(img.mean() - img2.mean()) <= 0.04 * img2.mean(), \
+        (img.mean(), img2.mean())
+
+
+def test_spectral_megakernel_eligibility_scope(variant_scalar_spectral):
+    """Spectral-mode fast-path gates: conductors and envmaps fall back."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    from mitsuba2_tpu.ops.megakernel import megakernel_ineligibility
+    d = cornell_box_dict(width=8, height=8, spp=4, max_depth=2)
+    d["tallbox"]["bsdf"] = {"type": "roughconductor", "alpha": 0.2,
+                            "distribution": "ggx", "material": "Au"}
+    scene = mi.load_dict(d)
+    assert megakernel_ineligibility(scene) is not None

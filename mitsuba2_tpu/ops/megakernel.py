@@ -301,13 +301,14 @@ def _fresnel_diel(cos_i, eta):
 
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
-                 sattr_ref, qd_ref, qattr_ref, env_ref, atlas_ref,
+                 sattr_ref, qd_ref, qattr_ref, env_ref, envs_ref, atlas_ref,
                  d65_ref, cab_ref, scab_ref, st_in_ref, st_out_ref,
                  acc_ref, *,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_diel, has_plastic, env_w,
-                 env_h, streamed, carry_pixel, nc=3, spectral=False):
+                 env_h, streamed, carry_pixel, nc=3, spectral=False,
+                 p_env=0.0, env_rot=None, env_rot_inv=None):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -717,14 +718,30 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             cnt = cnt + jnp.sum(okq.astype(jnp.float32), axis=0)
         return cnt    # float occlusion count (flat); > 0 => occluded
 
-    def env_lookup(dx, dy, dz):
-        """Lat-long bilinear radiance fetch (envmap.cpp uv convention:
-        u = atan2(x, -z)/2pi + .5, v = acos(y)/pi; wrap-u, wrap-v like
+    def _rot3(M, dx, dy, dz):
+        """Apply a constant 3x3 (row-major 9-tuple) + renormalize."""
+        rx = M[0] * dx + M[1] * dy + M[2] * dz
+        ry = M[3] * dx + M[4] * dy + M[5] * dz
+        rz = M[6] * dx + M[7] * dy + M[8] * dz
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz,
+                                        1e-20))
+        return rx * inv, ry * inv, rz * inv
+
+    def env_uv(dx, dy, dz):
+        """World direction -> env-local (u, v, sin_theta) (envmap.cpp uv
+        convention: u = atan2(x, -z)/2pi + .5, v = acos(y)/pi)."""
+        if env_rot_inv is not None:
+            dx, dy, dz = _rot3(env_rot_inv, dx, dy, dz)
+        u = _atan2(dx, -dz) * (0.5 / _PI) + 0.5
+        v = _acos(dy) * (1.0 / _PI)
+        st = jnp.sqrt(jnp.maximum(1.0 - dy * dy, 1e-12))
+        return u, v, st
+
+    def env_fetch_uv(u, v):
+        """Lat-long bilinear radiance fetch at (u, v) (wrap-u, wrap-v like
         BitmapTexture). env is (3W, H) channel-blocked rows; rows via a
         weighted one-hot matmul, columns via a weighted mask-reduce."""
         env = env_ref[:]
-        u = _atan2(dx, -dz) * (0.5 / _PI) + 0.5
-        v = _acos(dy) * (1.0 / _PI)
         fu = u * env_w - 0.5
         fv = v * env_h - 0.5
         u0 = jnp.floor(fu)
@@ -749,6 +766,64 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             plane = mixed[ch * Wp:(ch + 1) * Wp]
             out.append(jnp.sum(plane * wcol, axis=0))
         return out[0], out[1], out[2]
+
+    def env_lookup(dx, dy, dz):
+        u, v, _ = env_uv(dx, dy, dz)
+        return env_fetch_uv(u, v)
+
+    def env_pdf(dx, dy, dz):
+        """Claimed NEE solid-angle density of the env arm at a world
+        direction: nearest-texel pmf * W*H / (2 pi^2 sin_theta). Must be
+        the same function of direction the env_sample arm claims, so the
+        MIS weights at the sample site and the escape site sum to 1."""
+        u, v, st = env_uv(dx, dy, dz)
+        iu = jnp.mod(jnp.floor(u * env_w).astype(jnp.int32), env_w)
+        iv = jnp.clip(jnp.floor(v * env_h).astype(jnp.int32), 0, env_h - 1)
+        envs = envs_ref[:]
+        Wp2 = (envs.shape[0] - 8) // 2
+        H = envs.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
+        vrow = (rows == iv[None, :]).astype(jnp.float32)
+        pmfcol = _dot3(envs[Wp2:2 * Wp2], vrow)            # (Wp2, R)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Wp2, R), 0)
+        pmf = jnp.sum(jnp.where(cols == iu[None, :], pmfcol, 0.0), axis=0)
+        return pmf * (env_w * env_h) / jnp.maximum(
+            2.0 * _PI * _PI * st, 1e-8)
+
+    def env_sample(u1, u2, j1, j2):
+        """Importance-sample the env (marginal CDF over rows v, then the
+        row's conditional CDF over u, uniform jitter within the texel) —
+        the kernel's Hierarchical2D role (envmap.cpp:67). Flat domain.
+        -> (dx, dy, dz world, pdf_sa, r, g, b)."""
+        envs = envs_ref[:]
+        Wp2 = (envs.shape[0] - 8) // 2
+        H = envs.shape[1]
+        marg_cdf = envs[2 * Wp2]                           # (H,)
+        iv = jnp.sum((marg_cdf[:, None] <= u1[None, :]).astype(jnp.int32),
+                     axis=0)
+        iv = jnp.clip(iv, 0, env_h - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
+        vrow = (rows == iv[None, :]).astype(jnp.float32)
+        both = _dot3(envs[:2 * Wp2], vrow)                 # (2Wp2, R)
+        cond_cdf, pmfcol = both[:Wp2], both[Wp2:]
+        iu = jnp.sum((cond_cdf <= u2[None, :]).astype(jnp.int32), axis=0)
+        iu = jnp.clip(iu, 0, env_w - 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Wp2, R), 0)
+        pmf = jnp.sum(jnp.where(cols == iu[None, :], pmfcol, 0.0), axis=0)
+        uu = (iu.astype(jnp.float32) + j1) / env_w
+        vv = (iv.astype(jnp.float32) + j2) / env_h
+        theta = vv * _PI
+        phi = (uu - 0.5) * (2.0 * _PI)
+        st = jnp.sin(theta)
+        ldx = st * jnp.sin(phi)
+        ldy = jnp.cos(theta)
+        ldz = -st * jnp.cos(phi)
+        pdf_sa = pmf * (env_w * env_h) / jnp.maximum(
+            2.0 * _PI * _PI * st, 1e-8)
+        er, eg, eb = env_fetch_uv(uu, vv)
+        if env_rot is not None:
+            ldx, ldy, ldz = _rot3(env_rot, ldx, ldy, ldz)
+        return ldx, ldy, ldz, pdf_sa, er, eg, eb
 
     # ------------------------------------------------------------------
     # load / init state (dense (G, 128) per-lane layout)
@@ -907,13 +982,20 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         res_ = list(res)
         act = active
 
-        # --- environment on escape (weight 1: env has no NEE arm) ---
+        # --- environment on escape (MIS against the env NEE arm) ---
         if has_env:
             er_f, eg_f, eb_f = env_lookup(dxf, dyf, dzf)
             env_ch = [to_dense(er_f), to_dense(eg_f), to_dense(eb_f)]
             esc = act & ~hit
+            if p_env > 0.0 and depth > 0:
+                epdf_esc = to_dense(env_pdf(dxf, dyf, dzf)) * p_env
+                w_esc = jnp.where(prev_pdf > 0.0,
+                                  _mis(prev_pdf, epdf_esc), 1.0)
+            else:
+                w_esc = done_
             for c in range(nc):
-                res_[c] = res_[c] + jnp.where(esc, thr[c] * env_ch[c], 0.0)
+                res_[c] = res_[c] + jnp.where(esc, w_esc * thr[c]
+                                              * env_ch[c], 0.0)
 
         # --- emission with MIS against NEE (one-sided) ---
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
@@ -1020,11 +1102,21 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             thr_ = list(thr)
 
         # --- NEE over the light-face CDF (pick via MXU, flat domain) ---
+        # with an envmap the strategy is two-armed (scene.cpp:165-214
+        # role): env with probability p_env (CDF-inverted Hierarchical2D
+        # stand-in), area faces with 1-p_env (the light-table densities
+        # already carry that factor)
         u_sel, u_b1 = _rng2(key, dim0 + 1)
         u_b2, _ = _rng2(key, dim0 + 2)
+        env_arm = has_env and p_env > 0.0 and not spectral
+        if env_arm:
+            use_env = u_sel < p_env
+            u_area = (u_sel - p_env) / max(1.0 - p_env, 1e-8)
+        else:
+            u_area = u_sel
         lt = lt_ref[:]                                     # (24, L)
         L = lt.shape[1]
-        u_sel_f = to_flat(u_sel)
+        u_sel_f = to_flat(u_area)
         cdf = lt[12]                                       # (L,)
         li = jnp.sum((cdf[:, None] <= u_sel_f[None, :]).astype(jnp.int32),
                      axis=0)
@@ -1056,9 +1148,22 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         inv_dist = 1.0 / dist
         dxl, dyl, dzl = dxl * inv_dist, dyl * inv_dist, dzl * inv_dist
         cos_l = -(dxl * lnx + dyl * lny + dzl * lnz)
-        cos_s = dxl * nx + dyl * ny + dzl * nz
         pdf_l = jnp.where(cos_l > 1e-6,
                           dist2 * lw / jnp.maximum(cos_l, 1e-6), 0.0)
+        if env_arm:
+            ej1, ej2 = _rng2(key, dim0 + 5)
+            edx_f, edy_f, edz_f, epdf_f, eer_f, eeg_f, eeb_f = env_sample(
+                to_flat(u_b1), to_flat(u_b2), to_flat(ej1), to_flat(ej2))
+            dxl = jnp.where(use_env, to_dense(edx_f), dxl)
+            dyl = jnp.where(use_env, to_dense(edy_f), dyl)
+            dzl = jnp.where(use_env, to_dense(edz_f), dzl)
+            pdf_l = jnp.where(use_env, to_dense(epdf_f) * p_env, pdf_l)
+            erad = [to_dense(x) for x in (eer_f, eeg_f, eeb_f)][:nc]
+            lrad = [jnp.where(use_env, erad[c], lrad[c])
+                    for c in range(nc)]
+            # env shadow rays test the whole open segment
+            dist = jnp.where(use_env, 1e7, dist)
+        cos_s = dxl * nx + dyl * ny + dzl * nz
         # NEE at vertex k+1 creates a path of length k+2: allowed only while
         # k+2 <= max_depth (static here: this branch has depth<max_depth-1)
         nee_ok = act & (pdf_l > 0) & (cos_s > 0)
@@ -1477,6 +1582,8 @@ class DiffusePathMegakernel:
         self._scene = scene
         self._fs = fs
         self._F = F
+        env_e = scene.environment_emitter
+        self.has_env = env_e is not None
         # emissive faces -> light table. In spectral mode the radiance
         # payload is [srgb coeffs, d65 scale] (srgb_d65.cpp semantics);
         # in rgb it is the linear rgb radiance and scale stays 0.
@@ -1507,15 +1614,21 @@ class DiffusePathMegakernel:
                     [0.0, 0.0], rad, [rscale], [0.0] * 6]))
                 light_shape.append(sidx)
         lights = np.asarray(lights, np.float32)
+        # NEE arm selection: with an envmap present, env is sampled with
+        # probability p_env and the area-face arm with 1-p_env; the
+        # per-area densities below carry that factor so MIS weights stay
+        # the actual sampling density (scene.cpp:165-214 role)
+        self.p_env = (0.5 if len(lights) else 1.0) if self.has_env else 0.0
         if len(lights):
-            # the kernel's NEE samples area faces with probability 1
-            # (env gets no NEE arm), area-weighted; the claimed density
-            # MUST be the actual renormalized one — a 1/n_em uniform-pick
-            # factor here makes mixed area+env scenes ~n_em x too bright
+            # area faces are sampled area-weighted within their arm; the
+            # claimed density MUST be the actual renormalized one — a
+            # 1/n_em uniform-pick factor here makes mixed area+env scenes
+            # ~n_em x too bright
             tri_area = 0.5 * np.linalg.norm(
                 np.cross(lights[:, 3:6], lights[:, 6:9]), axis=1)
             sel = tri_area / max(tri_area.sum(), 1e-20)
             dens = sel / np.maximum(tri_area, 1e-20)   # per-area density
+            dens = dens * (1.0 - self.p_env)
             lights[:, 13] = dens
             cdf = np.cumsum(sel)
             lights[:, 12] = cdf
@@ -1690,9 +1803,10 @@ class DiffusePathMegakernel:
         self.qd = jnp.asarray(qd.T.copy())             # (16, Q)
         self._qattr_static = qattr
 
-        # envmap (identity to_world, checked by eligibility)
+        # envmap (rigid to_world rotations handled in-kernel)
         env_e = scene.environment_emitter
         self.has_env = env_e is not None
+        self.env_rot = self.env_rot_inv = None
         if self.has_env:
             data = np.asarray(env_e.bitmap._rgb_np, np.float32)
             h, w = data.shape[0], data.shape[1]
@@ -1702,9 +1816,36 @@ class DiffusePathMegakernel:
                 env[c * wp:c * wp + w, :h] = data[..., c].T
             self.env_w, self.env_h = w, h
             self.env = jnp.asarray(env)                    # (3W, H)
+            # NEE tables (Hierarchical2D role, envmap.cpp:67): texel
+            # importance = luminance * sin(theta_row); rows 0:wp = per-row
+            # conditional CDF over u, rows wp:2wp = joint pmf, row 2wp =
+            # marginal CDF over v. Padded entries: cdf 2.0 (never
+            # selected), pmf 0.
+            lum = (0.2126 * data[..., 0] + 0.7152 * data[..., 1]
+                   + 0.0722 * data[..., 2])
+            stheta = np.sin((np.arange(h) + 0.5) * np.pi / h)
+            imp = np.maximum(lum, 0.0) * stheta[:, None] + 1e-12
+            pmf = (imp / imp.sum()).astype(np.float32)     # (h, w)
+            row_sum = pmf.sum(axis=1)
+            marg_cdf = np.cumsum(row_sum)
+            cond_cdf = np.cumsum(
+                pmf / np.maximum(row_sum[:, None], 1e-20), axis=1)
+            envs = np.zeros((2 * wp + 8, hp), np.float32)
+            envs[:wp, :] = 2.0
+            envs[:w, :h] = cond_cdf.T
+            envs[wp:wp + w, :h] = pmf.T
+            envs[2 * wp, :h] = marg_cdf
+            envs[2 * wp, h:] = 2.0
+            self.envs = jnp.asarray(envs)                  # (2W+8, H)
+            M = np.asarray(env_e.to_world.matrix, np.float32)[:3, :3]
+            if not np.allclose(M, np.eye(3), atol=1e-6):
+                self.env_rot = tuple(float(x) for x in M.reshape(-1))
+                self.env_rot_inv = tuple(
+                    float(x) for x in M.T.reshape(-1))
         else:
             self.env_w, self.env_h = 8, 8
             self.env = jnp.zeros((24, 8), jnp.float32)
+            self.envs = jnp.zeros((24, 8), jnp.float32)
 
         # D65 illuminant column for in-kernel emitter spectra (spectral)
         if self.spectral:
@@ -1853,6 +1994,7 @@ class DiffusePathMegakernel:
             pl.BlockSpec((_FA_COLS, self.qd.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.envs.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.atlas.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.d65.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
@@ -1861,7 +2003,8 @@ class DiffusePathMegakernel:
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
                   self.sph, self._sattr(), self.qd, self._qattr(),
-                  self.env, self.atlas, self.d65, self.cab, self.scab)
+                  self.env, self.envs, self.atlas, self.d65, self.cab,
+                  self.scab)
         # between-bounce ray reordering (the live-ray compaction the
         # reference never had, SURVEY §5): key = origin-morton (8
         # bits/axis over the scene bbox) . direction-octant; dead lanes
@@ -1915,7 +2058,9 @@ class DiffusePathMegakernel:
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
                 streamed=self.streamed, carry_pixel=do_sort,
-                nc=self.nc, spectral=self.spectral)
+                nc=self.nc, spectral=self.spectral,
+                p_env=self.p_env, env_rot=self.env_rot,
+                env_rot_inv=self.env_rot_inv)
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
@@ -2020,9 +2165,9 @@ def megakernel_ineligibility(scene):
                 return "multiple envmaps"
             if e.res[0] > MAX_ENV_W or e.res[1] > MAX_ENV_W:
                 return f"envmap larger than {MAX_ENV_W}"
-            if not _np.allclose(_np.asarray(e.to_world.matrix),
-                                _np.eye(4), atol=1e-6):
-                return "rotated envmap"
+            M = _np.asarray(e.to_world.matrix)[:3, :3]
+            if not _np.allclose(M @ M.T, _np.eye(3), atol=1e-5):
+                return "non-rigid envmap to_world"
             continue
         if type(e) is not AreaEmitter:
             return f"unsupported emitter {type(e).__name__}"

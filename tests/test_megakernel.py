@@ -99,6 +99,35 @@ def test_envmap_escape(variant_scalar_rgb):
     _cmp(scene, spp=128, max_depth=3, tol=0.08)
 
 
+def test_env_nee_diffuse_floor(variant_scalar_rgb):
+    """Diffuse floor lit by the sky envmap (with its high-power sun
+    blob): exercises the in-kernel env NEE arm (CDF inversion + MIS,
+    scene.cpp:165-214 + envmap.cpp:67 roles). Must match the
+    wavefront's env-NEE estimator at moderate spp."""
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base(max_depth=3)
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path()}
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -1, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "diffuse"}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=64, max_depth=3, tol=0.08)
+
+
+def test_env_rotated_matches(variant_scalar_rgb):
+    """Rigid envmap to_world rotations ride the fast path (in-kernel
+    constant 3x3 on lookup/sample directions)."""
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base(max_depth=3)
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path(),
+                "to_world": T.rotate([0, 1, 0], 90)}
+    d["ball"] = {"type": "sphere", "radius": 0.8,
+                 "bsdf": {"type": "diffuse"}}
+    scene = mi.load_dict(d)
+    _cmp(scene, spp=64, max_depth=3, tol=0.08)
+
+
 def test_cornell_regression(variant_scalar_rgb):
     from mitsuba2_tpu.python.test.scenes import cornell_box_dict
     scene = mi.load_dict(cornell_box_dict(width=24, height=24, spp=64,
@@ -116,12 +145,15 @@ def test_eligibility_gates(variant_scalar_rgb):
     d["m"] = {"type": "rectangle",
               "bsdf": {"type": "roughdielectric", "alpha": 0.2}}
     assert not scene_supports_megakernel(mi.load_dict(d))
-    # rotated envmap -> fall back
+    # rotated (rigid) envmap is now in-kernel; non-rigid still falls back
     from mitsuba2_tpu.python.test.scenes import _sky_exr_path
     d = _base()
     d["m"] = {"type": "rectangle", "bsdf": {"type": "diffuse"}}
     d["env"] = {"type": "envmap", "filename": _sky_exr_path(),
                 "to_world": T.rotate([0, 1, 0], 30)}
+    assert scene_supports_megakernel(mi.load_dict(d))
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path(),
+                "to_world": T.scale([1.0, 2.0, 1.0])}
     assert not scene_supports_megakernel(mi.load_dict(d))
     # media -> fall back
     d = _base()

@@ -65,14 +65,11 @@ class PathIntegrator(MonteCarloIntegrator):
         from ..ops.megakernel import (DiffusePathMegakernel,
                                       megakernel_ineligibility)
         from ..models.sensors import PerspectiveCamera
-        from ..models.rfilters import BoxFilter
         interpret = _jax.default_backend() != "tpu"
         if type(self) is not PathIntegrator:
             reason = "non-path integrator subclass"
         elif type(sensor) is not PerspectiveCamera:
             reason = f"sensor {type(sensor).__name__}"
-        elif not isinstance(sensor.film.rfilter, BoxFilter):
-            reason = f"rfilter {type(sensor.film.rfilter).__name__}"
         elif sensor.shutter_open != sensor.shutter_close:
             reason = "motion blur (open shutter)"
         elif interpret:

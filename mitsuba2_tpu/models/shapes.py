@@ -405,11 +405,15 @@ class PLYShape(Mesh):
         p = props
         filename = p.string("filename")
         face_normals = p.bool_("face_normals", False)
-        v, f, n, uv = load_ply(filename)
+        v, f, n, uv, attrs = load_ply(filename)
         if face_normals:
             n = None
         super().__init__(props, vertices=v, faces=f, normals=n, uvs=uv,
                          name=filename)
+        # custom vertex attributes -> mesh attribute buffers
+        # (ply.cpp:180-267, mesh.h:68-76)
+        for name, data in attrs.items():
+            self.add_attribute(name, data.shape[1], data)
         self.apply_transform(_get_to_world(props))
 
 

@@ -1,6 +1,10 @@
 """Stanford PLY loader (parity: src/shapes/ply.cpp:1-786 — ascii +
 binary little/big endian, vertex properties x/y/z, nx/ny/nz, u/v (or s/t),
-polygon triangulation)."""
+polygon triangulation, and custom vertex attributes: consecutive
+properties named {prefix}_{x|y|z|w} / _{r|g|b|a} / _{0..3} / _{1..4}
+group into a multidimensional "vertex_{prefix}" attribute; bare
+r/g/b/a or red/green/blue/alpha group into "vertex_color"
+(ply.cpp:50-58). Integer-typed attributes normalize to [0, 1]."""
 
 from __future__ import annotations
 
@@ -99,6 +103,53 @@ def load_ply(filename: str):
             uv = np.stack([cols[ux], cols[vx]], -1).astype(np.float32)
             break
 
+    # custom vertex attributes (ply.cpp:50-58 grouping rules)
+    reserved = {"x", "y", "z", "nx", "ny", "nz", "u", "v", "s", "t",
+                "texture_u", "texture_v"}
+    prop_types = {q[0]: q[1] for q in props if q[0] != "list"}
+
+    def _norm(nm):
+        col = cols[nm].astype(np.float64)
+        ty = prop_types.get(nm, "f4")
+        if ty[0] in "iu":  # integer attribute: normalize to [0, 1]
+            col = col / np.iinfo(np.dtype(ty)).max
+        return col.astype(np.float32)
+
+    _SUFFIX_SETS = (("x", "y", "z", "w"), ("r", "g", "b", "a"),
+                    ("0", "1", "2", "3"), ("1", "2", "3", "4"))
+    attrs = {}
+    remaining = [nm for nm in names if nm not in reserved]
+    # bare color names
+    for group in (("r", "g", "b", "a"), ("red", "green", "blue", "alpha")):
+        comps = [nm for nm in group if nm in remaining]
+        if len(comps) >= 3:
+            attrs["vertex_color"] = np.stack(
+                [_norm(nm) for nm in comps], -1)
+            remaining = [nm for nm in remaining if nm not in comps]
+    consumed = set()
+    for nm in list(remaining):
+        if nm in consumed or "_" not in nm:
+            continue
+        prefix, suffix = nm.rsplit("_", 1)
+        for suffixes in _SUFFIX_SETS:
+            if suffix != suffixes[0]:
+                continue
+            comps = []
+            for sfx in suffixes:
+                cand = f"{prefix}_{sfx}"
+                if cand in remaining and cand not in consumed:
+                    comps.append(cand)
+                else:
+                    break
+            if comps:
+                attrs[f"vertex_{prefix}"] = np.stack(
+                    [_norm(c) for c in comps], -1)
+                consumed.update(comps)
+                break
+    for nm in remaining:
+        if nm not in consumed:   # scalar custom attribute
+            attrs[f"vertex_{nm}"] = _norm(nm)[:, None]
+
     # faces
     faces = []
     fkey = "face" if "face" in data else None
@@ -117,4 +168,4 @@ def load_ply(filename: str):
                 for k in range(1, len(ids) - 1):
                     faces.append([int(ids[0]), int(ids[k]), int(ids[k + 1])])
     f_arr = np.asarray(faces, np.int32) if faces else np.zeros((0, 3), np.int32)
-    return v, f_arr, n, uv
+    return v, f_arr, n, uv, attrs

@@ -57,6 +57,43 @@ def test_ply_ascii_roundtrip(variant_scalar_rgb, tmp_path):
     assert len(m.vertices) == 3 and len(m.faces) == 1
 
 
+def test_ply_custom_vertex_attributes(variant_scalar_rgb, tmp_path):
+    """ply.cpp:50-58 attribute grouping: bare red/green/blue -> a
+    normalized vertex_color; {prefix}_{x,y,z} -> vertex_{prefix};
+    leftover scalars -> 1-wide attributes; all usable by mesh_attribute
+    textures."""
+    import struct
+    p = str(tmp_path / "attr.ply")
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 3\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"property uchar red\nproperty uchar green\n"
+                b"property uchar blue\n"
+                b"property float disp_x\nproperty float disp_y\n"
+                b"property float disp_z\n"
+                b"property float mask\n"
+                b"element face 1\n"
+                b"property list uchar int vertex_indices\n"
+                b"end_header\n")
+        for i, (x, y, z) in enumerate([(0, 0, 0), (1, 0, 0), (0, 1, 0)]):
+            f.write(struct.pack("<fff", x, y, z))
+            f.write(struct.pack("<BBB", 255, 128, 0))
+            f.write(struct.pack("<fff", i * 1.0, i * 2.0, i * 3.0))
+            f.write(struct.pack("<f", 0.5 + i))
+        f.write(struct.pack("<B", 3) + struct.pack("<iii", 0, 1, 2))
+    m = mi.load_dict({"type": "ply", "filename": p})
+    assert set(m.attributes) == {"vertex_color", "vertex_disp",
+                                 "vertex_mask"}
+    size, color = m.attributes["vertex_color"]
+    assert size == 3
+    assert np.allclose(color[0], [1.0, 128 / 255.0, 0.0], atol=1e-6)
+    size, disp = m.attributes["vertex_disp"]
+    assert size == 3 and np.allclose(disp[2], [2.0, 4.0, 6.0])
+    size, mask = m.attributes["vertex_mask"]
+    assert size == 1 and np.allclose(mask[:, 0], [0.5, 1.5, 2.5])
+
+
 def test_obj_to_world_applies(variant_scalar_rgb, tmp_path):
     p = str(tmp_path / "tri2.obj")
     _write_obj(p)

@@ -53,3 +53,27 @@ def variants_color(request):
     import mitsuba2_tpu as mi
     mi.set_variant(request.param)
     return mi
+
+
+# ---------------------------------------------------------------------------
+# Fast CI tier (VERDICT r2 #8): interpret-mode Pallas kernels and the big
+# MC batteries are minutes-per-file on the 1-CPU rig; mark them `slow` so
+# `pytest -m "not slow"` is a <5 min smoke tier. The full suite remains
+# the release gate.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_megakernel.py", "test_volmegakernel.py", "test_pallas.py",
+    "test_spectral.py", "test_warp.py", "test_measured.py",
+    "test_measured_polarized.py", "test_rb.py", "test_render.py",
+    "test_emitters.py", "test_independent_reference.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        if fname == "test_tpu_hardware.py":
+            item.add_marker(pytest.mark.tpu)

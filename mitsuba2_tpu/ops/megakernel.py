@@ -60,6 +60,12 @@ FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 UNROLLED_CHUNKS = 8
 SUPER = 8                # chunks per super-chunk (second culling level)
 MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
+# beyond MAX_FACES the face tables stay in HBM: a range-median BVH over
+# 512-face leaves is traversed per ray tile with an SMEM stack, surviving
+# leaves DMA'd into VMEM scratch and swept (kdtree.h:2079's role, tiled)
+LEAF_CHUNKS = 4          # FACE_CHUNK-chunks per HBM leaf (512 faces)
+MAX_FACES_HBM = 2048 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (2048 leaves)
+_STACK_DEPTH = 64
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
 _BIG = 3.0e38
@@ -302,13 +308,14 @@ def _fresnel_diel(cos_i, eta):
 
 def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  sattr_ref, qd_ref, qattr_ref, env_ref, envs_ref, atlas_ref,
-                 d65_ref, cab_ref, scab_ref, st_in_ref, st_out_ref,
-                 acc_ref, *,
+                 d65_ref, cab_ref, scab_ref, nodes_ref, ab_ref,
+                 st_in_ref, st_out_ref,
+                 acc_ref, wbuf_ref, abuf_ref, stk_ref, dsem_ref, *,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_diel, has_plastic, env_w,
                  env_h, streamed, carry_pixel, nc=3, spectral=False,
-                 p_env=0.0, env_rot=None, env_rot_inv=None):
+                 p_env=0.0, env_rot=None, env_rot_inv=None, hbm=False):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -430,13 +437,93 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                             1e-12) for v in (dx, dy, dz))
         return o3d, inv3d
 
+    def _bvh_traverse(o3d, inv3d, mint_d, cap_fn, leaf_fn):
+        """Tile-uniform BVH walk over the chunk-level range-median tree
+        (nodes_ref VMEM boxes, ab_ref SMEM child/leaf ids): per-lane slab
+        tests gate whole subtrees, an SMEM stack drives uniform control
+        flow, and surviving 512-face leaves are DMA'd from HBM by
+        leaf_fn. cap_fn re-reads the tightening per-lane segment cap
+        (current best hit / occlusion) at every pop."""
+        stk_ref[0] = jnp.int32(0)
+
+        def tcond(sp):
+            return sp > 0
+
+        def tbody(sp):
+            sp = sp - 1
+            node = stk_ref[sp]
+            live = _box_live(nodes_ref, node, o3d, inv3d, mint_d,
+                             cap_fn())
+            a = ab_ref[node, 0]
+            b = ab_ref[node, 1]
+            leaf = a < 0
+
+            @pl.when((live > 0.0) & ~leaf)
+            def _():
+                stk_ref[sp] = a
+                stk_ref[sp + 1] = b
+
+            @pl.when((live > 0.0) & leaf)
+            def _():
+                leaf_fn(-a - 1)
+
+            return sp + jnp.where((live > 0.0) & ~leaf, 2, 0)
+
+        jax.lax.while_loop(tcond, tbody, jnp.int32(1))
+
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
         tiles. Returns (t, A (40,R) attrs, bary u, bary v)."""
         odh = jnp.concatenate([
             jnp.stack([ox, oy, oz, one], axis=0),
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
-        if streamed:
+        if hbm:
+            acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
+            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
+                                                   jnp.float32)
+            if need_bary:
+                acc_ref[1, :] = zero
+                acc_ref[2, :] = zero
+            o3d, inv3d = _dense_rays(ox, oy, oz, dx, dy, dz)
+            mint_d = to_dense(mint)
+            maxt_d = to_dense(maxt)
+
+            def cap():
+                return jnp.minimum(maxt_d, to_dense(acc_ref[0, :]))
+
+            def leaf(lf):
+                base = lf * LEAF_CHUNKS
+                cw = pltpu.make_async_copy(
+                    woop_ref.at[:, pl.ds(base * 3 * C,
+                                         LEAF_CHUNKS * 3 * C)],
+                    wbuf_ref, dsem_ref.at[0])
+                ca = pltpu.make_async_copy(
+                    fattr_ref.at[:, pl.ds(base * C, LEAF_CHUNKS * C)],
+                    abuf_ref, dsem_ref.at[1])
+                cw.start()
+                ca.start()
+                cw.wait()
+                ca.wait()
+                for k in range(LEAF_CHUNKS):
+                    tmin, A, bu, bv = _sweep_chunk(
+                        wbuf_ref[:, k * 3 * C:(k + 1) * 3 * C],
+                        abuf_ref[:, k * C:(k + 1) * C], odh, mint, maxt)
+                    closer = tmin < acc_ref[0, :]
+                    acc_ref[0, :] = jnp.where(closer, tmin, acc_ref[0, :])
+                    acc_ref[8:8 + _FA_COLS, :] = jnp.where(
+                        closer[None, :], A, acc_ref[8:8 + _FA_COLS, :])
+                    if need_bary:
+                        acc_ref[1, :] = jnp.where(closer, bu,
+                                                  acc_ref[1, :])
+                        acc_ref[2, :] = jnp.where(closer, bv,
+                                                  acc_ref[2, :])
+
+            _bvh_traverse(o3d, inv3d, mint_d, cap, leaf)
+            t_best = acc_ref[0, :]
+            A_best = acc_ref[8:8 + _FA_COLS, :]
+            bu_best = acc_ref[1, :] if need_bary else zero
+            bv_best = acc_ref[2, :] if need_bary else zero
+        elif streamed:
             acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
             acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
                                                    jnp.float32)
@@ -654,7 +741,34 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         odh = jnp.concatenate([
             jnp.stack([ox, oy, oz, one], axis=0),
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
-        if streamed:
+        if hbm:
+            acc_ref[3, :] = zero
+            o3d, inv3d = _dense_rays(ox, oy, oz, dx, dy, dz)
+            mint_d = to_dense(mint)
+            maxt_d = to_dense(maxt)
+
+            def cap():
+                # already-occluded lanes shrink their segment to empty so
+                # fully-occluded subtrees prune
+                return jnp.where(to_dense(acc_ref[3, :]) > 0.0, -_BIG,
+                                 maxt_d)
+
+            def leaf(lf):
+                base = lf * LEAF_CHUNKS
+                cw = pltpu.make_async_copy(
+                    woop_ref.at[:, pl.ds(base * 3 * C,
+                                         LEAF_CHUNKS * 3 * C)],
+                    wbuf_ref, dsem_ref.at[0])
+                cw.start()
+                cw.wait()
+                for k in range(LEAF_CHUNKS):
+                    acc_ref[3, :] = acc_ref[3, :] + _shadow_chunk(
+                        wbuf_ref[:, k * 3 * C:(k + 1) * 3 * C], odh,
+                        mint, maxt)
+
+            _bvh_traverse(o3d, inv3d, mint_d, cap, leaf)
+            cnt = acc_ref[3, :]
+        elif streamed:
             acc_ref[3, :] = zero
             o3d, inv3d = _dense_rays(ox, oy, oz, dx, dy, dz)
             mint_d = to_dense(mint)
@@ -1492,6 +1606,42 @@ def _pad8(x):
     return max(8, int(np.ceil(x / 8)) * 8)
 
 
+def _build_range_bvh(boxes):
+    """Range-median binary BVH over contiguous leaf boxes. The face order
+    is already the host SAH builder's leaf order (scene packing), so
+    range splits recover its topology without reordering faces.
+    -> (nodes (pad8(Nn), 8) f32 rows [lo3 | hi3 | 0 0],
+       ab (Nn, 2) int32 rows: internal -> child node ids; leaf ->
+       a = -(leaf_idx + 1)). Padded/empty leaves carry NaN boxes, which
+       fail every slab comparison and are never visited."""
+    rows, ab = [], []
+
+    def rec(i, j):
+        idx = len(rows)
+        rows.append(None)
+        ab.append(None)
+        if j - i == 1:
+            rows[idx] = np.concatenate([boxes[i, 0:3], boxes[i, 3:6],
+                                        [0.0, 0.0]])
+            ab[idx] = (-(i + 1), 0)
+        else:
+            m = (i + j) // 2
+            a = rec(i, m)
+            b = rec(m, j)
+            lo = np.fmin(rows[a][0:3], rows[b][0:3])
+            hi = np.fmax(rows[a][3:6], rows[b][3:6])
+            rows[idx] = np.concatenate([lo, hi, [0.0, 0.0]])
+            ab[idx] = (a, b)
+        return idx
+
+    rec(0, len(boxes))
+    nb = np.asarray(rows, np.float32)
+    pad = _pad8(len(nb)) - len(nb)
+    if pad:
+        nb = np.concatenate([nb, np.full((pad, 8), np.nan, np.float32)])
+    return nb, np.asarray(ab, np.int32)
+
+
 class DiffusePathMegakernel:
     """Builds device tables once and renders pixel-major wavefronts."""
 
@@ -1508,11 +1658,19 @@ class DiffusePathMegakernel:
         wu, wv, wz = build_woop(v0, e1, e2)
         self.n_faces = wu.shape[1]
         # chunked face layout: pad to a sublane multiple (8) for a single
-        # chunk, to the chunk size for unrolled multi-chunk sweeps, or to
-        # a full super-chunk (SUPER chunks) for the streamed sweep
-        if self.n_faces <= FACE_CHUNK:
+        # chunk, to the chunk size for unrolled multi-chunk sweeps, to a
+        # full super-chunk (SUPER chunks) for the streamed sweep, or to a
+        # full BVH leaf for the HBM tier (> MAX_FACES)
+        import os as _osm
+        self.hbm = (self.n_faces > MAX_FACES
+                    or _osm.environ.get("MK_HBM") == "1")
+        if self.n_faces <= FACE_CHUNK and not self.hbm:
             self.chunk = _pad8(self.n_faces)
             F = self.chunk
+        elif self.hbm:
+            self.chunk = FACE_CHUNK
+            step = LEAF_CHUNKS * FACE_CHUNK
+            F = int(np.ceil(self.n_faces / step)) * step
         else:
             self.chunk = FACE_CHUNK
             F = int(np.ceil(self.n_faces / FACE_CHUNK)) * FACE_CHUNK
@@ -1534,7 +1692,7 @@ class DiffusePathMegakernel:
         # BVH-AABB culling; faces are already BVH-leaf-ordered by Scene
         # packing, so chunk boxes are spatially tight
         C = self.chunk
-        self.streamed = (F // C) > UNROLLED_CHUNKS
+        self.streamed = (F // C) > UNROLLED_CHUNKS or self.hbm
         # per-chunk [Wu | Wv | Wz] blocks. Streamed: transposed
         # (4, n_chunks*3C) — the 4-axis on sublanes costs 2x padding vs
         # 32x for a 4-lane row-major table (53 MB at 35k faces).
@@ -1569,6 +1727,23 @@ class DiffusePathMegakernel:
             scab = np.zeros((8, 8), np.float32)
         self.cab = jnp.asarray(cab)
         self.scab = jnp.asarray(scab)
+        # HBM tier: range-median BVH over LEAF_CHUNKS-chunk leaves
+        if self.hbm:
+            n_chunks = F // C
+            n_leaves = n_chunks // LEAF_CHUNKS
+            lb = cab[:n_chunks, :6].reshape(n_leaves, LEAF_CHUNKS, 6)
+            llo = lb[:, :, 0:3].min(1)
+            lhi = lb[:, :, 3:6].max(1)
+            empty = ~np.isfinite(llo).all(1) | ~np.isfinite(lhi).all(1)
+            llo[empty] = np.nan
+            lhi[empty] = np.nan
+            nb, ab = _build_range_bvh(
+                np.concatenate([llo, lhi], 1).astype(np.float64))
+            self.nodes = jnp.asarray(nb)
+            self.ab = jnp.asarray(ab)
+        else:
+            self.nodes = jnp.zeros((8, 8), jnp.float32)
+            self.ab = jnp.zeros((8, 2), jnp.int32)
 
         # scene bounds for the between-bounce morton sort keys
         bb_lo, bb_hi = scene.bbox()
@@ -1981,13 +2156,21 @@ class DiffusePathMegakernel:
             jnp.zeros(3, jnp.float32)])[None]
         meta = jnp.stack([jnp.asarray(seed, jnp.int32),
                           jnp.asarray(sample_base, jnp.int32)])[None]
+        if self.hbm:
+            # face tables stay in HBM; leaves are DMA'd by the traversal
+            woop_spec = pl.BlockSpec(memory_space=pl.ANY)
+            fattr_spec = pl.BlockSpec(memory_space=pl.ANY)
+        else:
+            woop_spec = pl.BlockSpec(self.woop.shape, lambda i: (0, 0))
+            fattr_spec = pl.BlockSpec((_FA_COLS, self._F),
+                                      lambda i: (0, 0))
         in_specs = [
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(self.woop.shape, lambda i: (0, 0)),
-            pl.BlockSpec((_FA_COLS, self._F), lambda i: (0, 0)),
+            woop_spec,
+            fattr_spec,
             pl.BlockSpec(self.lights.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
             pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
@@ -2001,12 +2184,15 @@ class DiffusePathMegakernel:
             pl.BlockSpec(self.d65.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.nodes.shape, lambda i: (0, 0)),
+            pl.BlockSpec(self.ab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]
         tables = (cam, meta, self.woop, self._fattr(), self.lights,
                   self.sph, self._sattr(), self.qd, self._qattr(),
                   self.env, self.envs, self.atlas, self.d65, self.cab,
-                  self.scab)
+                  self.scab, self.nodes, self.ab)
         # between-bounce ray reordering (the live-ray compaction the
         # reference never had, SURVEY §5): key = origin-morton (8
         # bits/axis over the scene bbox) . direction-octant; dead lanes
@@ -2062,7 +2248,8 @@ class DiffusePathMegakernel:
                 streamed=self.streamed, carry_pixel=do_sort,
                 nc=self.nc, spectral=self.spectral,
                 p_env=self.p_env, env_rot=self.env_rot,
-                env_rot_inv=self.env_rot_inv)
+                env_rot_inv=self.env_rot_inv, hbm=self.hbm)
+            C = self.chunk
             state = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
@@ -2071,8 +2258,13 @@ class DiffusePathMegakernel:
                                        lambda i: (0, i, 0)),
                 out_shape=jax.ShapeDtypeStruct(
                     (rows, n_pad // 128, 128), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((8 + _FA_COLS, RAY_TILE),
-                                           jnp.float32)],
+                scratch_shapes=[
+                    pltpu.VMEM((8 + _FA_COLS, RAY_TILE), jnp.float32),
+                    pltpu.VMEM((4, LEAF_CHUNKS * 3 * C), jnp.float32),
+                    pltpu.VMEM((_FA_COLS, LEAF_CHUNKS * C), jnp.float32),
+                    pltpu.SMEM((_STACK_DEPTH,), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
                 interpret=self.interpret,
@@ -2176,8 +2368,8 @@ def megakernel_ineligibility(scene):
                         "in spectral mode")
     if scene.has_media:
         return "participating media"
-    if scene.geom.v0.shape[0] > MAX_FACES:
-        return f"face count {scene.geom.v0.shape[0]} > {MAX_FACES}"
+    if scene.geom.v0.shape[0] > MAX_FACES_HBM:
+        return f"face count {scene.geom.v0.shape[0]} > {MAX_FACES_HBM}"
     if not scene.shapes:
         return "no shapes"
     if getattr(scene, "n_spheres", 0) > MAX_SPHERES:

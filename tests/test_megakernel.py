@@ -258,6 +258,22 @@ def test_streamed_large_mesh(variant_scalar_rgb):
     _cmp(scene, spp=48, max_depth=3, tol=0.06)
 
 
+def test_hbm_bvh_tier(variant_scalar_rgb, monkeypatch):
+    """The HBM tier (face tables in HBM, per-tile BVH traversal with SMEM
+    stack + leaf DMA — kdtree.h:2079's role) must produce the same image
+    as the wavefront. Forced on via MK_HBM so a CI-sized mesh exercises
+    the traversal."""
+    from mitsuba2_tpu.ops.megakernel import DiffusePathMegakernel
+    from mitsuba2_tpu.python.test.scenes import bumpy_sphere_dict
+    monkeypatch.setenv("MK_HBM", "1")
+    scene = mi.load_dict(bumpy_sphere_dict(width=24, height=24, spp=48,
+                                           max_depth=3, nu=32, nv=20))
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    assert mk.hbm and mk.streamed
+    assert int(np.asarray(mk.ab)[0, 0]) >= 0, "root should be internal"
+    _cmp(scene, spp=48, max_depth=3, tol=0.06)
+
+
 def test_analytic_disk_cylinder_in_kernel(variant_scalar_rgb):
     """Disk + cylinder prims ride the megakernel through the in-kernel
     quad table (canonical-frame quadric hits, exact silhouettes)."""

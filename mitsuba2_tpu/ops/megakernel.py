@@ -284,8 +284,10 @@ def _hero_wavelengths(key, nc):
 # _shape_albedo); c2 (18:21) is also traced (_shape_c1).
 # kind 6 = diffuse with bitmap albedo (atlas fetch at the hit uv).
 _FA_COLS = 48
-ATLAS_W = 64             # fixed atlas texture width (eligibility cap)
-MAX_ATLAS_H = 1024       # total stacked texture rows
+ATLAS_W = 64             # minimum atlas width (the actual atlas width is
+#                          the widest scene texture, padded to 8)
+MAX_ATLAS_W = 1024       # per-texture width cap (fetch matmul is O(W))
+MAX_ATLAS_H = 2048       # total stacked texture rows (VMEM budget)
 
 
 def _fresnel_diel(cos_i, eta):
@@ -1572,7 +1574,7 @@ def _bsdf_columns(bsdf):
     if type(bsdf) is SmoothDiffuse and isinstance(
             bsdf.reflectance, BitmapTexture):
         w, h = bsdf.reflectance.resolution
-        if w <= ATLAS_W and h <= MAX_ATLAS_H // 4:
+        if w <= MAX_ATLAS_W and h <= MAX_ATLAS_H:
             return ("bitmap", bsdf)
         return None
     if type(bsdf) is RoughConductor:
@@ -1904,14 +1906,21 @@ class DiffusePathMegakernel:
         fattr[:self.n_faces, 40:43] = shp_atlas[fs]
         self.has_checker = bool((shp_kind == 2.0).any())
         self.has_bitmap = bool((shp_kind == 6.0).any())
-        # channel-blocked (3*ATLAS_W, Ha) texture atlas, v-stacked
+        # channel-blocked (3*aw, Ha) texture atlas, v-stacked; the atlas
+        # width is the widest scene texture (the kernel reads it from the
+        # ref shape), so photo-sized textures stay on the fast path
         if self.has_bitmap:
+            if atlas_cursor > MAX_ATLAS_H:
+                raise RuntimeError(
+                    f"bitmap atlas rows {atlas_cursor} > {MAX_ATLAS_H}")
+            aw = _pad8(max([ATLAS_W] + [d.shape[1]
+                                        for _, d in atlas_slot.values()]))
             Ha = _pad8(max(atlas_cursor, 8))
-            atlas = np.zeros((3 * ATLAS_W, Ha), np.float32)
+            atlas = np.zeros((3 * aw, Ha), np.float32)
             for voff, data in atlas_slot.values():
                 h, w = data.shape[0], data.shape[1]
                 for c in range(3):
-                    atlas[c * ATLAS_W:c * ATLAS_W + w,
+                    atlas[c * aw:c * aw + w,
                           voff:voff + h] = data[..., c].T
             self.atlas = jnp.asarray(atlas)
         else:

@@ -58,8 +58,11 @@ def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
         mk = integrator._megakernel_for(scene, sensor)
 
     if mk is not None:
+        # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry
+        # no varying-mesh-axes annotation, which the checker rejects
+        # (found by tests/test_parallel.py's n=2 megakernel parity test)
         @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
-                 out_specs=P())
+                 out_specs=P(), check_vma=False)
         def shard_fn(dev_ids):
             base = dev_ids[0] * jnp.int32(spp_per_dev)
             img = mk.render_pass(sensor, jnp.int32(seed), base,

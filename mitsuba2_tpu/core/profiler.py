@@ -81,3 +81,103 @@ def device_op_summary(log_dir: str = "/tmp/mitsuba2_tpu_profile",
         lines.append(f"  {dur/1e3:9.2f} ms {100*dur/max(total,1):5.1f}%  "
                      f"{name[:60]}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Megakernel MFU accounting (VERDICT r2 weak #8 / #3): analytic FLOP/byte
+# counts for the path megakernel's per-bounce launch, combined with
+# measured per-depth wall times into a roofline utilization table.
+# ---------------------------------------------------------------------------
+
+# v5e per-chip peaks (public TPU v5e specs); override for other gens.
+PEAK_MXU_BF16 = 197e12        # FLOP/s
+# a (M,4)@(4,N) Woop contraction occupies 4 of the MXU's 128 contraction
+# rows: the shape-limited ceiling for the face sweep is 4/128 of peak
+PEAK_MXU_K4 = PEAK_MXU_BF16 * 4.0 / 128.0
+PEAK_VPU = 4.9e12             # FLOP/s (8x128 lanes, ~2 ops @ ~1.9 GHz)
+PEAK_HBM = 819e9              # B/s
+
+
+def megakernel_flop_count(mk, n_lanes):
+    """Analytic FLOP/byte tally of ONE bounce over ``n_lanes`` lanes.
+    -> dict with mxu/vpu FLOPs and hbm bytes. Counts the dominant terms:
+    Woop sweeps (closest + shadow), attribute pick matmuls, t/u/v + pick
+    epilogues, env lookup, and the state round-trip."""
+    F = int(mk.woop.shape[1] // 3 if not mk.streamed
+            else mk.woop.shape[1] // 3)
+    n = n_lanes
+    # _dot3/_dot3T: (3C,4)@(4,2R) per chunk, xyz passes merged in the
+    # table; 3-pass bf16 split triples the matmul work
+    mxu_sweep = 3 * F * 4 * (2 * n) * 2 * 3
+    # shadow sweep: same Woop work, no pick epilogue
+    mxu_shadow = mxu_sweep
+    # attribute pick: (48, C)@(C, R) per chunk == (48, F) over n lanes
+    C = mk.chunk
+    n_chunks = max(F // max(C, 1), 1)
+    mxu_pick = 48 * C * n * 2 * 3 * 1  # one pick per lane per bounce
+    vpu_sweep = F * n * 20             # t/u/v tests + argmin/cand ops
+    vpu_shadow = F * n * 8
+    vpu_shade = n * 600                # NEE + BSDF sampling elementwise
+    mxu_env = 0
+    if mk.has_env:
+        W3, H = mk.env.shape
+        mxu_env = 2 * (W3 * H * n * 2 * 3)   # escape lookup + NEE fetch
+    rows = 17 if not mk.spectral else 19
+    hbm_state = rows * n * 4 * 2       # read + write per bounce
+    return {"mxu": mxu_sweep + mxu_shadow + mxu_pick + mxu_env,
+            "vpu": vpu_sweep + vpu_shadow + vpu_shade,
+            "hbm": hbm_state, "faces": F, "lanes": n}
+
+
+def megakernel_mfu_report(scene, sensor=0, spp=64, max_depth=6, runs=3):
+    """Measure per-depth wall time on the current backend and combine
+    with the analytic tally into a roofline table. Returns (report_str,
+    rows list). Honest timing: np.asarray forces the transfer (the
+    tunnel's block_until_ready lies)."""
+    import time
+    import numpy as np
+    from ..ops.megakernel import DiffusePathMegakernel
+    if isinstance(sensor, int):
+        sensor = scene.sensors[sensor]
+    w, h = sensor.film.crop_size
+    n = w * h * spp
+    mk = DiffusePathMegakernel(scene)
+    mk.rr_depth = 10**9
+    times = {}
+    for d in range(1, max_depth + 1):
+        mk.max_depth = d
+        np.asarray(mk.render_pass(sensor, 0, 0, spp))   # compile+warm
+        best = float("inf")
+        for r in range(runs):
+            t0 = time.perf_counter()
+            np.asarray(mk.render_pass(sensor, r + 1, 0, spp))
+            best = min(best, time.perf_counter() - t0)
+        times[d] = best
+    tally = megakernel_flop_count(mk, n)
+    rows = []
+    header = (f"megakernel MFU ({tally['faces']} padded faces, "
+              f"{n/1e6:.2f}M lanes, {w}x{h}@{spp}spp)\n"
+              f"depth  wall_ms  bounce_ms  MXU_TF  %K4roof  VPU_GF  %VPU"
+              f"  HBM_GB/s  %HBM")
+    lines = [header]
+    prev = 0.0
+    for d, t in times.items():
+        bounce = t - prev if d > 1 else t
+        prev = t
+        mxu_rate = tally["mxu"] / max(bounce, 1e-9)
+        vpu_rate = tally["vpu"] / max(bounce, 1e-9)
+        hbm_rate = tally["hbm"] / max(bounce, 1e-9)
+        row = {"depth": d, "wall_ms": t * 1e3, "bounce_ms": bounce * 1e3,
+               "mxu_tflops": mxu_rate / 1e12,
+               "pct_mxu_k4": 100 * mxu_rate / PEAK_MXU_K4,
+               "vpu_gflops": vpu_rate / 1e9,
+               "pct_vpu": 100 * vpu_rate / PEAK_VPU,
+               "hbm_gbs": hbm_rate / 1e9,
+               "pct_hbm": 100 * hbm_rate / PEAK_HBM}
+        rows.append(row)
+        lines.append(
+            f"{d:5d} {row['wall_ms']:8.1f} {row['bounce_ms']:10.1f} "
+            f"{row['mxu_tflops']:7.2f} {row['pct_mxu_k4']:8.1f} "
+            f"{row['vpu_gflops']:7.1f} {row['pct_vpu']:5.1f} "
+            f"{row['hbm_gbs']:9.1f} {row['pct_hbm']:5.1f}")
+    return "\n".join(lines), rows

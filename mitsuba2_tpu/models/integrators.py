@@ -142,8 +142,7 @@ class PathIntegrator(MonteCarloIntegrator):
                 si, em_sample, True, active_e)
             active_e = active_e & (ds.pdf != 0)
             wo = si.to_local(ds.d)
-            bsdf_val = scene.bsdf_eval(ctx, si, wo, active_e)
-            bsdf_pdf = scene.bsdf_pdf(ctx, si, wo, active_e)
+            bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(ctx, si, wo, active_e)
             mis = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
             contrib = mis[..., None] * throughput * bsdf_val * emitter_val
             result = result + jnp.where(active_e[..., None], contrib, 0.0)
@@ -257,8 +256,7 @@ class DirectIntegrator(SamplingIntegrator):
                 si, em_sample, True, active_e)
             active_e = active_e & (ds.pdf != 0)
             wo = si.to_local(ds.d)
-            bsdf_val = scene.bsdf_eval(ctx, si, wo, active_e)
-            bsdf_pdf = scene.bsdf_pdf(ctx, si, wo, active_e)
+            bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(ctx, si, wo, active_e)
             mis = jnp.where(ds.delta, 1.0,
                             _mis_w(ds.pdf * self.frac_lum,
                                    bsdf_pdf * self.frac_bsdf))
@@ -495,7 +493,10 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
         from ..models.sensors import PerspectiveCamera
         from ..models.rfilters import BoxFilter
         interpret = _jax.default_backend() != "tpu"
-        if type(self) is not VolumetricPathIntegrator:
+        # volpathmis rides the kernel's MIS arm (scalar-extinction scope:
+        # the transmittance-ratio factors cancel in the weights)
+        mis = type(self) is VolumetricMISPathIntegrator
+        if type(self) is not VolumetricPathIntegrator and not mis:
             reason = "non-volpath integrator subclass"
         elif type(sensor) is not PerspectiveCamera:
             reason = f"sensor {type(sensor).__name__}"
@@ -511,7 +512,7 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             reason = vol_megakernel_ineligibility(scene)
         if reason is None:
             try:
-                mk = VolPathMegakernel(scene)
+                mk = VolPathMegakernel(scene, mis=mis)
                 mk.max_depth = self.max_depth
                 mk.rr_depth = self.rr_depth
             except Exception as exc:  # observable, never silent

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .megakernel import (RAY_TILE, VMEM_LIMIT, FACE_CHUNK, UNROLLED_CHUNKS,
                          _BIG, _PI, _dot3, _dotpick, _tea, _rng2, _u01,
-                         _concentric, _pad8)
+                         _concentric, _pad8, _mis)
 
 MAX_VOL_FACES = UNROLLED_CHUNKS * FACE_CHUNK     # unrolled sweep only
 MAX_GRID_DH = 1024        # (D*H) one-hot rows per fetch (VMEM transient)
@@ -126,7 +126,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
                     lt_ref, grid_ref, st_in_ref, st_out_ref, *,
                     is_init, max_depth, rr_depth, chunk, spp_pass, width,
                     height, n_lanes, D, H, W, g_hg, maj, scale, alb_med,
-                    has_hg):
+                    has_hg, mis_mode=False):
     """One program = one volumetric event round for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: camera basis/origin/tan_half_fov (megakernel).
@@ -283,6 +283,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         depth = dzero
         active = lane_ok
         spec = lane_ok     # camera rays start a specular chain
+        prev_pdf = dzero   # mis_mode: 0 => camera ray (weight-1 emission)
         any_alive = jnp.asarray(True)
     else:
         st = st_in_ref[...]
@@ -294,6 +295,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         active = st[13] > 0.5
         key = st[14].view(jnp.uint32)
         spec = st[15] > 0.5
+        prev_pdf = st[15]          # row 15 carries prev_pdf in mis_mode
         any_alive = jnp.sum(st[13]) > 0.0
 
     def run_round():
@@ -382,11 +384,29 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
 
         res_r_, res_g_, res_b_ = res_r, res_g, res_b
-        # emitter hits on specular chains only (NEE-only estimator)
-        emit = act_surf & spec & (cos_hit > 0.0)
-        res_r_ = res_r_ + jnp.where(emit, thr_r_ * le_r, 0.0)
-        res_g_ = res_g_ + jnp.where(emit, thr_g_ * le_g, 0.0)
-        res_b_ = res_b_ + jnp.where(emit, thr_b_ * le_b, 0.0)
+        if mis_mode:
+            # volpathmis arm: emitter hits weighted by MIS vs the NEE
+            # density (volpath.cpp:294-332's role; with the kernel's
+            # scalar-extinction scope the transmittance factors are
+            # common to both strategies, so the weight reduces to the
+            # directional power heuristic)
+            lpdfh = to_dense(A_f[9])
+            pdf_l_hit = jnp.where(
+                cos_hit > 1e-6,
+                t_surf * t_surf * lpdfh / jnp.maximum(cos_hit, 1e-6),
+                0.0)
+            em_w = jnp.where(prev_pdf > 0.0, _mis(prev_pdf, pdf_l_hit),
+                             1.0)
+            emit = act_surf & (cos_hit > 0.0)
+            res_r_ = res_r_ + jnp.where(emit, em_w * thr_r_ * le_r, 0.0)
+            res_g_ = res_g_ + jnp.where(emit, em_w * thr_g_ * le_g, 0.0)
+            res_b_ = res_b_ + jnp.where(emit, em_w * thr_b_ * le_b, 0.0)
+        else:
+            # emitter hits on specular chains only (NEE-only estimator)
+            emit = act_surf & spec & (cos_hit > 0.0)
+            res_r_ = res_r_ + jnp.where(emit, thr_r_ * le_r, 0.0)
+            res_g_ = res_g_ + jnp.where(emit, thr_g_ * le_g, 0.0)
+            res_b_ = res_b_ + jnp.where(emit, thr_b_ * le_b, 0.0)
         # FrontSide: backside hits terminate
         act_surf = act_surf & (cos_hit > 0.0)
         pxx = ox + t_surf * dx
@@ -488,7 +508,15 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         # budget-exhausted walks keep their partial T (the wavefront
         # caps its walk at nee_loop_cap the same way)
 
-        base = T / jnp.maximum(pdf_l, 1e-20)
+        if mis_mode:
+            # directional density of the continuation strategy toward
+            # the light: phase pdf (== phase value) or cosine pdf
+            pdf_dir = jnp.where(act_real, ph_val,
+                                jnp.maximum(cos_s, 0.0) / _PI)
+            w_nee = _mis(pdf_l, pdf_dir)
+        else:
+            w_nee = done_
+        base = w_nee * T / jnp.maximum(pdf_l, 1e-20)
         res_r_ = res_r_ + jnp.where(nee_ok, thr_r_ * base * f_r * lrad_r,
                                     0.0)
         res_g_ = res_g_ + jnp.where(nee_ok, thr_g_ * base * f_g * lrad_g,
@@ -551,6 +579,17 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         ndy = jnp.where(act_real, mdy, jnp.where(bounce, sdy, dy))
         ndz = jnp.where(act_real, mdz, jnp.where(bounce, sdz, dz))
         spec_ = spec & ~act_real & ~bounce
+        if mis_mode:
+            if has_hg:
+                tmp_o = 1.0 + g_hg * g_hg - 2.0 * g_hg * cth
+                pdf_ph_out = (1.0 / (4.0 * _PI)) * (1.0 - g_hg * g_hg) \
+                    / jnp.maximum(
+                        tmp_o * jnp.sqrt(jnp.maximum(tmp_o, 1e-8)), 1e-8)
+            else:
+                pdf_ph_out = jnp.full((G, 128), 1.0 / (4.0 * _PI))
+            prev_pdf_ = jnp.where(
+                act_real, pdf_ph_out,
+                jnp.where(bounce, jnp.maximum(cz_, 0.0) / _PI, prev_pdf))
 
         act = (act_real | bounce | stalled) & (depth_ < max_depth) \
             & ((thr_r_ + thr_g_ + thr_b_) > 0.0) & ~died
@@ -573,7 +612,8 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
             nox, noy, noz, ndx, ndy, ndz, thr_r_, thr_g_, thr_b_,
             res_r_, res_g_, res_b_, depth_,
             act.astype(jnp.float32), key.view(jnp.float32),
-            spec_.astype(jnp.float32)], axis=0)
+            prev_pdf_ if mis_mode else spec_.astype(jnp.float32)],
+            axis=0)
 
     if is_init:
         run_round()
@@ -595,11 +635,13 @@ class VolPathMegakernel:
     """Builds device tables once and renders pixel-major wavefronts
     through the fused volumetric kernel."""
 
-    def __init__(self, scene, interpret: bool = False):
+    def __init__(self, scene, interpret: bool = False,
+                 mis: bool = False):
         from .intersect_pallas import build_woop
         med = scene.media[0]
         self._scene = scene
         self.interpret = interpret
+        self.mis = mis
 
         # medium scalars / transform
         M = np.asarray(med.to_local.matrix, np.float32)
@@ -762,7 +804,7 @@ class VolPathMegakernel:
             chunk=self.chunk, spp_pass=spp_pass, width=w, height=h,
             n_lanes=n, D=self.D, H=self.H, W=self.W, g_hg=self.g_hg,
             maj=self.maj, scale=self.scale, alb_med=self.alb_med,
-            has_hg=self.has_hg)
+            has_hg=self.has_hg, mis_mode=self.mis)
         # the launch index rides SMEM, so only TWO kernels compile
         # (init + continuation) regardless of max_depth
         for launch in range(n_launches):

@@ -115,13 +115,17 @@ def test_reason_grid_too_large(variant_scalar_rgb):
     assert r is not None and "cap" in r
 
 
-def test_volpathmis_not_routed(variant_scalar_rgb):
+def test_volpathmis_gate(variant_scalar_rgb):
+    """volpathmis now rides the kernel's MIS arm on TPU; on the CPU rig
+    the engine gate still reports the non-TPU fallback reason (not a
+    subclass rejection)."""
     d = _slab_scene(spp=4, width=8, height=8)
     d["integrator"] = {"type": "volpathmis", "max_depth": 4}
     scene = mi.load_dict(d)
     integ = scene.integrator
     np.asarray(integ.render(scene, seed=0, spp=4))
     assert integ.last_engine == "wavefront"
+    assert "non-TPU" in (integ.engine_reason or "")
 
 
 def test_engine_reason_recorded_cpu(variant_scalar_rgb):
@@ -189,6 +193,28 @@ def test_kernel_transmittance_constant_grid(variant_scalar_rgb):
     mk.max_depth = 3
     mk.rr_depth = integ.rr_depth
     img = np.asarray(mk.render_pass(scene.sensors[0], 5, 0, 16))
+    out = img[..., :3] / np.maximum(img[..., 3:4], 1.0)
+    assert np.isfinite(out).all()
+    m_ref = float(ref.mean())
+    m_out = float(out.mean())
+    assert m_ref > 1e-3
+    assert abs(m_out - m_ref) / m_ref < 0.12, (m_out, m_ref)
+
+
+
+def test_volpathmis_kernel_matches_wavefront(variant_scalar_rgb):
+    """The kernel's MIS arm (mis=True) agrees with the wavefront
+    volpathmis estimator in the mean — emission weighted vs the NEE
+    density instead of specular-chain gating (VERDICT r2 #5c)."""
+    d = _slab_scene(width=20, height=20, spp=16, max_depth=4)
+    d["integrator"] = {"type": "volpathmis", "max_depth": 4}
+    scene = mi.load_dict(d)
+    integ = scene.integrator
+    ref = np.asarray(integ.render(scene, seed=3, spp=16))[..., :3]
+    mk = VolPathMegakernel(scene, interpret=True, mis=True)
+    mk.max_depth = 4
+    mk.rr_depth = integ.rr_depth
+    img = np.asarray(mk.render_pass(scene.sensors[0], 3, 0, 16))
     out = img[..., :3] / np.maximum(img[..., 3:4], 1.0)
     assert np.isfinite(out).all()
     m_ref = float(ref.mean())

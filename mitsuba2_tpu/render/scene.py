@@ -1158,6 +1158,18 @@ class Scene(Object):
         idx = self.bsdf_index_at(si)
         return jnp.where(idx >= 0, flags[jnp.maximum(idx, 0)], 0)
 
+    def _sorted_dispatch_ok(self, n_lanes: int) -> bool:
+        """True when heterogeneous-family dispatch should ride the sorted
+        tile queue (ops/sorted_dispatch.py) instead of masked sweeps."""
+        import os
+        mode = os.environ.get("MI_SORTED_DISPATCH", "auto")
+        if mode == "off":
+            return False
+        from ..ops.sorted_dispatch import worth_sorting
+        if mode == "on":
+            return len(self.bsdfs) > 1 and n_lanes >= 8192
+        return worth_sorting(n_lanes, len(self.bsdfs))
+
     def bsdf_eval(self, ctx, si, wo, active):
         nch = current_variant().n_channels
         out = jnp.zeros(si.t.shape + (nch,), si.t.dtype)
@@ -1175,13 +1187,88 @@ class Scene(Object):
             out = jnp.where(mask, b.pdf(ctx, si, wo, mask), out)
         return out
 
+    def bsdf_eval_pdf(self, ctx, si, wo, active):
+        """eval + pdf fused in one dispatch (the NEE hot pair). On
+        many-family scenes lanes are sorted by family so each uniform
+        tile runs one family's code (bsdf.h:522-532 vcall partitioning;
+        ops/sorted_dispatch.py)."""
+        n = si.t.shape[0]
+        nch = current_variant().n_channels
+        idx = self.bsdf_index_at(si)
+        active = jnp.asarray(active) & (idx >= 0)
+        if not self._sorted_dispatch_ok(n):
+            return (self.bsdf_eval(ctx, si, wo, active),
+                    self.bsdf_pdf(ctx, si, wo, active))
+        from ..ops.sorted_dispatch import dispatch_sorted
+
+        def make_branch(i, b):
+            def br(ops):
+                si_t, wo_t, act_t, idx_t = ops
+                mask = act_t & (idx_t == i)
+                val = jnp.where(mask[..., None],
+                                b.eval(ctx, si_t, wo_t, mask), 0.0)
+                pdf = jnp.where(mask, b.pdf(ctx, si_t, wo_t, mask), 0.0)
+                return val, pdf
+
+            return br
+
+        def fallback(ops):
+            si_t, wo_t, act_t, idx_t = ops
+            val = jnp.zeros(si_t.t.shape + (nch,), si_t.t.dtype)
+            pdf = jnp.zeros(si_t.t.shape, si_t.t.dtype)
+            for i, b in enumerate(self.bsdfs):
+                mask = act_t & (idx_t == i)
+                val = jnp.where(mask[..., None],
+                                b.eval(ctx, si_t, wo_t, mask), val)
+                pdf = jnp.where(mask, b.pdf(ctx, si_t, wo_t, mask), pdf)
+            return val, pdf
+
+        branches = [make_branch(i, b) for i, b in enumerate(self.bsdfs)]
+        lane_idx = jnp.where(active, idx, -1)
+        return dispatch_sorted(lane_idx, (si, wo, active, idx),
+                               branches, fallback)
+
     def bsdf_sample(self, ctx, si, sample1, sample2, active):
         from ..render.bsdf import zero_bsdf_sample
         n = si.t.shape[0]
         nch = current_variant().n_channels
+        idx = self.bsdf_index_at(si)
+        if self._sorted_dispatch_ok(n):
+            from ..ops.sorted_dispatch import dispatch_sorted
+            active_ = jnp.asarray(active) & (idx >= 0)
+
+            def make_branch(i, b):
+                def br(ops):
+                    si_t, s1_t, s2_t, act_t, idx_t = ops
+                    mask = act_t & (idx_t == i)
+                    bs_i, val_i = b.sample(ctx, si_t, s1_t, s2_t, mask)
+                    nt = si_t.t.shape[0]
+                    bs0 = zero_bsdf_sample(nt, si_t.t.dtype)
+                    return (_tree_where(mask, bs_i, bs0),
+                            jnp.where(mask[..., None], val_i, 0.0))
+
+                return br
+
+            def fallback(ops):
+                si_t, s1_t, s2_t, act_t, idx_t = ops
+                nt = si_t.t.shape[0]
+                bs = zero_bsdf_sample(nt, si_t.t.dtype)
+                value = jnp.zeros((nt, nch), si_t.t.dtype)
+                for i, b in enumerate(self.bsdfs):
+                    mask = act_t & (idx_t == i)
+                    bs_i, val_i = b.sample(ctx, si_t, s1_t, s2_t, mask)
+                    bs = _tree_where(mask, bs_i, bs)
+                    value = jnp.where(mask[..., None], val_i, value)
+                return bs, value
+
+            branches = [make_branch(i, b)
+                        for i, b in enumerate(self.bsdfs)]
+            lane_idx = jnp.where(active_, idx, -1)
+            return dispatch_sorted(
+                lane_idx, (si, sample1, sample2, active_, idx),
+                branches, fallback)
         bs = zero_bsdf_sample(n, si.t.dtype)
         value = jnp.zeros((n, nch), si.t.dtype)
-        idx = self.bsdf_index_at(si)
         for i, b in enumerate(self.bsdfs):
             mask = jnp.asarray(active) & (idx == i)
             bs_i, val_i = b.sample(ctx, si, sample1, sample2, mask)

@@ -194,6 +194,23 @@ def cie_d65(wavelength):
     return _cie_interp(CIE_D65_TABLE, wavelength)
 
 
+_D65_Y_NORM = None
+
+
+def d65_y_normalization() -> float:
+    """∫ d65(λ)·ȳ(λ) dλ — the whitepoint normalization emitter spectra
+    divide by so an rgb-(1,1,1) light has unit luminance (the reference's
+    Texture::D65 normalization, d65.cpp; same trapezoid convention as
+    models/spectra.py SRGBD65Spectrum)."""
+    global _D65_Y_NORM
+    if _D65_Y_NORM is None:
+        wl = np.linspace(MTS_CIE_MIN, MTS_CIE_MAX, 256)
+        wlj = jnp.asarray(wl, jnp.float32)
+        _D65_Y_NORM = float(np.trapezoid(
+            np.asarray(cie_d65(wlj)) * np.asarray(cie1931_y(wlj)), wl))
+    return _D65_Y_NORM
+
+
 def spectrum_to_xyz(value, wavelengths):
     """Hero-wavelength spectrum (..., S) -> XYZ (..., 3) (spectrum.h:209)."""
     xyz = cie1931_xyz(wavelengths)          # (..., S, 3)

@@ -346,6 +346,21 @@ class EnvironmentMap(Emitter):
         self.bitmap = BitmapTexture(data=data)
         h, w = data.shape[0], data.shape[1]
         self.res = (w, h)
+        if current_variant().is_spectral:
+            # per-texel HDR decomposition (envmap.cpp:95-115): scale =
+            # 2*max(rgb), srgb sigmoid coefficients of rgb/scale; eval
+            # = sigmoid(λ) · scale · d65(λ)/∫d65·ȳ  (whitepoint folded
+            # into the stored scale, like the megakernel's env table)
+            from ..render.srgb import srgb_model_fetch
+            from ..core.spectrum import d65_y_normalization
+            sc = 2.0 * data.max(axis=-1)
+            unit = data / np.maximum(sc, 1e-8)[..., None]
+            self._spec_coeff = jnp.asarray(
+                np.asarray(srgb_model_fetch(unit), np.float32)
+                .reshape(h * w, 3))
+            self._spec_scale = jnp.asarray(
+                (sc / d65_y_normalization()).reshape(h * w)
+                .astype(np.float32))
         # importance table: luminance * sin(theta) at texel vertices
         lum = (0.212671 * data[..., 0] + 0.715160 * data[..., 1]
                + 0.072169 * data[..., 2])
@@ -371,12 +386,43 @@ class EnvironmentMap(Emitter):
         return m.normalize(self.to_world.transform_vector(d)), st
 
     def _radiance_at_uv(self, uv, it_or_si, active):
+        if current_variant().is_spectral:
+            return self._radiance_spectral(uv, it_or_si.wavelengths)
         si = _si_on_emitter(
             jnp.zeros(uv.shape[:-1] + (3,), uv.dtype),
             jnp.zeros(uv.shape[:-1] + (3,), uv.dtype).at[..., 2].set(1.0),
             uv, jnp.zeros(uv.shape[:-1] + (3,), uv.dtype).at[..., 2].set(1.0),
             it_or_si)
         return self.bitmap.eval(si, active)
+
+    def _radiance_spectral(self, uv, wavelengths):
+        """Hero-wavelength radiance at (u, v): per-corner sigmoid evals
+        bilinearly blended, scale blended linearly, times the D65
+        whitepoint (envmap.cpp:269-307 eval_spectrum)."""
+        from ..render.srgb import srgb_model_eval
+        from ..core import spectrum as spec_mod
+        w, h = self.res
+        fu = uv[..., 0] * w - 0.5
+        fv = uv[..., 1] * h - 0.5
+        u0 = jnp.floor(fu)
+        v0 = jnp.floor(fv)
+        wu = fu - u0
+        wv = fv - v0
+        iu0 = jnp.mod(u0.astype(jnp.int32), w)
+        iv0 = jnp.mod(v0.astype(jnp.int32), h)
+        iu1 = jnp.mod(iu0 + 1, w)
+        iv1 = jnp.mod(iv0 + 1, h)
+        out = 0.0
+        scl = 0.0
+        for iv, wy in ((iv0, 1.0 - wv), (iv1, wv)):
+            for iu, wx in ((iu0, 1.0 - wu), (iu1, wu)):
+                idx = iv * w + iu
+                wgt = wy * wx
+                out = out + wgt[..., None] * srgb_model_eval(
+                    self._spec_coeff[idx], wavelengths)
+                scl = scl + wgt * self._spec_scale[idx]
+        d65 = spec_mod.cie_d65(wavelengths)
+        return out * scl[..., None] * d65
 
     def eval(self, si, active):
         uv = self._dir_to_uv(-si.to_world(si.wi))

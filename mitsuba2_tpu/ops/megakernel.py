@@ -853,9 +853,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         st = jnp.sqrt(jnp.maximum(1.0 - dy * dy, 1e-12))
         return u, v, st
 
+    n_env_pl = 4 if spectral else 3   # rgb | srgb coeffs + HDR scale
+
     def env_fetch_uv(u, v):
-        """Lat-long bilinear radiance fetch at (u, v) (wrap-u, wrap-v like
-        BitmapTexture). env is (3W, H) channel-blocked rows; rows via a
+        """Lat-long bilinear fetch at (u, v) (wrap-u, wrap-v like
+        BitmapTexture). env is channel-blocked rows — 3 rgb planes, or
+        3 sigmoid-coefficient planes + an HDR scale plane in spectral
+        mode (envmap.cpp:95-115's per-texel decomposition, interpolated
+        the same way: coefficients and scale bilinearly). Rows via a
         weighted one-hot matmul, columns via a weighted mask-reduce."""
         env = env_ref[:]
         fu = u * env_w - 0.5
@@ -869,19 +874,19 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         iu1 = jnp.mod(iu0 + 1, env_w)
         iv1 = jnp.mod(iv0 + 1, env_h)
         H = env.shape[1]
-        Wp = env.shape[0] // 3
+        Wp = env.shape[0] // n_env_pl
         rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
         wrow = (jnp.where(rows == iv0[None, :], 1.0 - wv_[None, :], 0.0)
                 + jnp.where(rows == iv1[None, :], wv_[None, :], 0.0))
-        mixed = _dot3(env, wrow)                           # (3W, R)
+        mixed = _dot3(env, wrow)                           # (nP*W, R)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
         wcol = (jnp.where(cols == iu0[None, :], 1.0 - wu_[None, :], 0.0)
                 + jnp.where(cols == iu1[None, :], wu_[None, :], 0.0))
         out = []
-        for ch in range(3):
+        for ch in range(n_env_pl):
             plane = mixed[ch * Wp:(ch + 1) * Wp]
             out.append(jnp.sum(plane * wcol, axis=0))
-        return out[0], out[1], out[2]
+        return out
 
     def env_lookup(dx, dy, dz):
         u, v, _ = env_uv(dx, dy, dz)
@@ -910,7 +915,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         """Importance-sample the env (marginal CDF over rows v, then the
         row's conditional CDF over u, uniform jitter within the texel) —
         the kernel's Hierarchical2D role (envmap.cpp:67). Flat domain.
-        -> (dx, dy, dz world, pdf_sa, r, g, b)."""
+        -> (dx, dy, dz world, pdf_sa, [payload planes])."""
         envs = envs_ref[:]
         Wp2 = (envs.shape[0] - 8) // 2
         H = envs.shape[1]
@@ -936,10 +941,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         ldz = -st * jnp.cos(phi)
         pdf_sa = pmf * (env_w * env_h) / jnp.maximum(
             2.0 * _PI * _PI * st, 1e-8)
-        er, eg, eb = env_fetch_uv(uu, vv)
+        payload = env_fetch_uv(uu, vv)
         if env_rot is not None:
             ldx, ldy, ldz = _rot3(env_rot, ldx, ldy, ldz)
-        return ldx, ldy, ldz, pdf_sa, er, eg, eb
+        return ldx, ldy, ldz, pdf_sa, payload
 
     # ------------------------------------------------------------------
     # load / init state (dense (G, 128) per-lane layout)
@@ -1102,8 +1107,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
         # --- environment on escape (MIS against the env NEE arm) ---
         if has_env:
-            er_f, eg_f, eb_f = env_lookup(dxf, dyf, dzf)
-            env_ch = [to_dense(er_f), to_dense(eg_f), to_dense(eb_f)]
+            epl = [to_dense(x) for x in env_lookup(dxf, dyf, dzf)]
+            if spectral:
+                # sigmoid coeffs + HDR scale planes -> hero radiance
+                # (envmap.cpp:293-307: s * whitepoint * f * scale)
+                env_ch = [_sigmoid_poly(epl[0], epl[1], epl[2], wl_x[c])
+                          * epl[3] * d65[c] for c in range(nc)]
+            else:
+                env_ch = epl[:nc]
             esc = act & ~hit
             if p_env > 0.0 and depth > 0:
                 epdf_esc = to_dense(env_pdf(dxf, dyf, dzf)) * p_env
@@ -1226,7 +1237,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # already carry that factor)
         u_sel, u_b1 = _rng2(key, dim0 + 1)
         u_b2, _ = _rng2(key, dim0 + 2)
-        env_arm = has_env and p_env > 0.0 and not spectral
+        env_arm = has_env and p_env > 0.0
         if env_arm:
             use_env = u_sel < p_env
             u_area = (u_sel - p_env) / max(1.0 - p_env, 1e-8)
@@ -1270,13 +1281,18 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                           dist2 * lw / jnp.maximum(cos_l, 1e-6), 0.0)
         if env_arm:
             ej1, ej2 = _rng2(key, dim0 + 5)
-            edx_f, edy_f, edz_f, epdf_f, eer_f, eeg_f, eeb_f = env_sample(
+            edx_f, edy_f, edz_f, epdf_f, epay = env_sample(
                 to_flat(u_b1), to_flat(u_b2), to_flat(ej1), to_flat(ej2))
             dxl = jnp.where(use_env, to_dense(edx_f), dxl)
             dyl = jnp.where(use_env, to_dense(edy_f), dyl)
             dzl = jnp.where(use_env, to_dense(edz_f), dzl)
             pdf_l = jnp.where(use_env, to_dense(epdf_f) * p_env, pdf_l)
-            erad = [to_dense(x) for x in (eer_f, eeg_f, eeb_f)][:nc]
+            epay = [to_dense(x) for x in epay]
+            if spectral:
+                erad = [_sigmoid_poly(epay[0], epay[1], epay[2], wl_x[c])
+                        * epay[3] * d65[c] for c in range(nc)]
+            else:
+                erad = epay[:nc]
             lrad = [jnp.where(use_env, erad[c], lrad[c])
                     for c in range(nc)]
             # env shadow rays test the whole open segment
@@ -1997,11 +2013,29 @@ class DiffusePathMegakernel:
             data = np.asarray(env_e.bitmap._rgb_np, np.float32)
             h, w = data.shape[0], data.shape[1]
             wp, hp = _pad8(w), _pad8(h)
-            env = np.zeros((3 * wp, hp), np.float32)
-            for c in range(3):
-                env[c * wp:c * wp + w, :h] = data[..., c].T
+            if self.spectral:
+                # envmap.cpp:95-115 per-texel HDR decomposition: scale =
+                # 2*max(rgb), srgb sigmoid coefficients of rgb/scale;
+                # plane layout c0|c1|c2|scale, all bilinearly interpolated
+                # in-kernel like the reference's Vector4f texels
+                from ..render.srgb import srgb_model_fetch
+                from ..core.spectrum import d65_y_normalization
+                sc = 2.0 * data.max(axis=-1)
+                unit = data / np.maximum(sc, 1e-8)[..., None]
+                coeff = np.asarray(srgb_model_fetch(unit), np.float32)
+                env = np.zeros((4 * wp, hp), np.float32)
+                for c in range(3):
+                    env[c * wp:c * wp + w, :h] = coeff[..., c].T
+                # whitepoint normalization folded into the scale plane
+                # (the kernel multiplies by the raw D65 table)
+                env[3 * wp:3 * wp + w, :h] = \
+                    (sc / d65_y_normalization()).T
+            else:
+                env = np.zeros((3 * wp, hp), np.float32)
+                for c in range(3):
+                    env[c * wp:c * wp + w, :h] = data[..., c].T
             self.env_w, self.env_h = w, h
-            self.env = jnp.asarray(env)                    # (3W, H)
+            self.env = jnp.asarray(env)                    # (nP*W, H)
             # NEE tables (Hierarchical2D role, envmap.cpp:67): texel
             # importance = luminance * sin(theta_row); rows 0:wp = per-row
             # conditional CDF over u, rows wp:2wp = joint pmf, row 2wp =
@@ -2359,10 +2393,9 @@ def megakernel_ineligibility(scene):
         return "double-precision variant"
     if var.is_spectral:
         # spectral fast path: hero-wavelength transport in-kernel with
-        # srgb-upsampled reflectances + D65 emitter spectra; scenes
-        # outside that scope ride the wavefront
-        if scene.environment_emitter is not None:
-            return "envmap in spectral mode"
+        # srgb-upsampled reflectances + D65 emitter spectra (envmaps ride
+        # coefficient+scale planes, envmap.cpp:95-115); scenes outside
+        # that scope ride the wavefront
         from ..models.bsdfs import RoughConductor
         for b in scene.bsdfs:
             members = getattr(b, "merged_instances", None) or [b]

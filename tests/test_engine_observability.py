@@ -53,9 +53,15 @@ def test_reason_unsupported_bsdf(variant_scalar_rgb):
 
 
 def test_reason_spectral(variant_scalar_spectral):
+    """Spectral scenes within the srgb-coefficient + D65 scope ride the
+    fast path; conductor IOR spectra still explain their fallback."""
     scene = mi.load_dict(_base())
-    r = megakernel_ineligibility(scene)
-    assert r is not None and "rgb" in r
+    assert megakernel_ineligibility(scene) is None
+    scene2 = mi.load_dict(_base(
+        m={"type": "rectangle",
+           "bsdf": {"type": "roughconductor", "alpha": 0.3}}))
+    r = megakernel_ineligibility(scene2)
+    assert r is not None and "spectral" in r
 
 
 def test_reason_instances(variant_scalar_rgb):

@@ -148,7 +148,8 @@ def test_spectral_megakernel_matches_wavefront(variant_scalar_spectral):
 
 
 def test_spectral_megakernel_eligibility_scope(variant_scalar_spectral):
-    """Spectral-mode fast-path gates: conductors and envmaps fall back."""
+    """Spectral-mode fast-path gates: conductor IOR spectra fall back
+    (envmaps are now eligible via coefficient+scale planes)."""
     import mitsuba2_tpu as mi
     from mitsuba2_tpu.python.test.scenes import cornell_box_dict
     from mitsuba2_tpu.ops.megakernel import megakernel_ineligibility
@@ -157,3 +158,61 @@ def test_spectral_megakernel_eligibility_scope(variant_scalar_spectral):
                             "distribution": "ggx", "material": "Au"}
     scene = mi.load_dict(d)
     assert megakernel_ineligibility(scene) is not None
+
+
+def test_spectral_envmap_megakernel_matches_wavefront(
+        variant_scalar_spectral):
+    """Spectral envmap fast path (sigmoid coefficient + HDR scale planes,
+    envmap.cpp:95-115/269-307): the kernel's escape + env-NEE arms agree
+    with the spectral wavefront, and metamerically with the rgb kernel."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.core.transform import Transform as T
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    from mitsuba2_tpu.ops.megakernel import (DiffusePathMegakernel,
+                                             megakernel_ineligibility)
+
+    def scene_dict(width, spp):
+        return {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "envmap": {"type": "envmap", "filename": _sky_exr_path()},
+            "ball": {"type": "sphere", "radius": 1.0,
+                     "center": [0, 0, 1.0],
+                     "bsdf": {"type": "diffuse",
+                              "reflectance": {"type": "rgb",
+                                              "value": [0.6, 0.4, 0.25]}}},
+            "floor": {"type": "rectangle", "to_world": T.scale([8, 8, 1]),
+                      "bsdf": {"type": "diffuse",
+                               "reflectance": {"type": "rgb",
+                                               "value": 0.5}}},
+            "sensor": {
+                "type": "perspective", "fov": 40.0,
+                "to_world": T.look_at(origin=[3.0, -3.5, 2.2],
+                                      target=[0, 0, 0.8], up=[0, 0, 1]),
+                "film": {"type": "hdrfilm", "width": width, "height": width,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": spp}},
+        }
+
+    W, SPP = 16, 32
+    scene = mi.load_dict(scene_dict(W, SPP))
+    assert megakernel_ineligibility(scene) is None
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    mk.max_depth, mk.rr_depth = 3, 1000
+    img = np.asarray(mk.render_pass(scene.sensors[0], 0, 0, SPP))[..., :3] \
+        / SPP
+    ref = np.asarray(scene.integrator.render(scene, seed=5, spp=SPP))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) <= 0.08 * ref.mean(), \
+        (img.mean(), ref.mean())
+
+    mi.set_variant("scalar_rgb")
+    scene2 = mi.load_dict(scene_dict(W, SPP))
+    mk2 = DiffusePathMegakernel(scene2, interpret=True)
+    mk2.max_depth, mk2.rr_depth = 3, 1000
+    img2 = np.asarray(mk2.render_pass(scene2.sensors[0], 0, 0,
+                                      SPP))[..., :3] / SPP
+    # srgb-upsampled env spectra -> CIE -> sRGB round-trips the rgb render
+    # (the sun blob's HDR decomposition is exact: sigmoid*scale == rgb)
+    assert abs(img.mean() - img2.mean()) <= 0.08 * img2.mean(), \
+        (img.mean(), img2.mean())

@@ -44,9 +44,18 @@ _DITHER = None
 
 
 def dither_matrix():
+    """256x256 threshold matrix in [0,1). Prefers the generated blue-noise
+    rank table (data/bluenoise256.npy, see benchmarks/gen_bluenoise.py —
+    the role of dither-matrix256.cpp); Bayer fallback when absent."""
     global _DITHER
     if _DITHER is None:
-        _DITHER = _dither_matrix(256)
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "bluenoise256.npy")
+        if os.path.exists(path):
+            rank = np.load(path)
+            _DITHER = (rank.astype(np.float32) + 0.5) / rank.size
+        else:
+            _DITHER = _dither_matrix(256)
     return _DITHER
 
 

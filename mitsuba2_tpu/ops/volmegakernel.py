@@ -36,8 +36,10 @@ otherwise — see vol_megakernel_ineligibility):
   medium-frame) or constant sigma_t, constant rgb albedo, HG/isotropic
   phase, bounded by a null-BSDF box whose local AABB is the medium's
   [0,1]^3,
-- other geometry: triangles with diffuse BSDFs (constant/per-shape
-  reflectance) and area emitters, unrolled sweep size (<= 1024 faces),
+- other geometry: triangles with diffuse, rough-conductor (isotropic
+  GGX) or smooth-dielectric BSDFs (constant/per-shape parameters) and
+  area emitters on the diffuse ones, unrolled sweep size (<= 1024
+  faces),
 - rgb mode, perspective pinhole, box filter.
 """
 
@@ -53,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .megakernel import (RAY_TILE, VMEM_LIMIT, FACE_CHUNK, UNROLLED_CHUNKS,
                          _BIG, _PI, _dot3, _dotpick, _tea, _rng2, _u01,
-                         _concentric, _pad8, _mis)
+                         _concentric, _pad8, _mis, _ggx_d, _ggx_g1,
+                         _fresnel_cond, _fresnel_diel, _bsdf_columns)
 
 MAX_VOL_FACES = UNROLLED_CHUNKS * FACE_CHUNK     # unrolled sweep only
 MAX_GRID_DH = 1024        # (D*H) one-hot rows per fetch (VMEM transient)
@@ -66,8 +69,10 @@ LAUNCH_SLACK = 2          # extra launches for budget-exhausted lanes
 _VROWS = 16
 # 0:3 o | 3:6 d | 6:9 throughput | 9:12 result | 12 depth
 # 13 active | 14 rng key (uint32 bits) | 15 specular-chain flag
-_VFA = 16
-# face attrs (16, F): ng 0:3 | albedo 3:6 | Le 6:9 | lpdf_w 9 | pad
+_VFA = 24
+# face attrs (24, F): ng 0:3 | albedo 3:6 | Le 6:9 | lpdf_w 9 |
+# kind 10 (0 diffuse / 1 ggx / 3 dielectric) | alpha 11 | eta 12:15 |
+# k 15:18 | c2 18:21 (spec transmittance) | eta_d 21 | pad 22:24
 
 
 def _trilinear_sigma(grid, a_rows, lx, ly, lz, D, H, W, scale):
@@ -126,7 +131,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
                     lt_ref, grid_ref, st_in_ref, st_out_ref, *,
                     is_init, max_depth, rr_depth, chunk, spp_pass, width,
                     height, n_lanes, D, H, W, g_hg, maj, scale, alb_med,
-                    has_hg, mis_mode=False):
+                    has_hg, mis_mode=False, has_ggx=False, has_diel=False):
     """One program = one volumetric event round for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: camera basis/origin/tan_half_fov (megakernel).
@@ -135,7 +140,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         continuation) regardless of max_depth.
     med_ref (1,16) SMEM: world->local affine [A00..A22, b0,b1,b2, pad].
     woop_ref (n_chunks*3C, 4): row-major Woop table, opaque faces only.
-    fattr (16, F): _VFA columns transposed.
+    fattr (24, F): _VFA columns transposed.
     lt (24, L): light faces (megakernel layout).
     grid_ref (Wp, DHp): sigma_t grid, x on sublanes, (z*H + y) on lanes.
     st (16, G, 128): state block; see _VROWS.
@@ -193,7 +198,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
                                 scale)
 
     def closest_hit(ox, oy, oz, dx, dy, dz, maxt):
-        """Unrolled Woop closest hit over opaque faces -> (t, A (16,R))."""
+        """Unrolled Woop closest hit over opaque faces -> (t, A (_VFA,R))."""
         odh = jnp.concatenate([
             jnp.stack([ox, oy, oz, one], axis=0),
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
@@ -371,7 +376,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         psy = oy + t_scat * dy
         psz = oz + t_scat * dz
 
-        # ---- surface shading prep (diffuse only) ----
+        # ---- surface shading prep ----
         ngx = to_dense(A_f[0])
         ngy = to_dense(A_f[1])
         ngz = to_dense(A_f[2])
@@ -382,6 +387,38 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         le_g = to_dense(A_f[7])
         le_b = to_dense(A_f[8])
         cos_hit = -(dx * ngx + dy * ngy + dz * ngz)
+        if has_ggx or has_diel:
+            kind = to_dense(A_f[10])
+            is_ggx = (kind > 0.5) & (kind < 1.5)
+            is_diel = (kind > 2.5) & (kind < 3.5)
+            alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
+            eta_k = [to_dense(A_f[12 + c]) for c in range(3)]
+            kap_k = [to_dense(A_f[15 + c]) for c in range(3)]
+            c2 = [to_dense(A_f[18 + c]) for c in range(3)]
+            eta_d = jnp.maximum(to_dense(A_f[21]), 1e-3)
+        else:
+            is_ggx = jnp.zeros_like(active)
+            is_diel = jnp.zeros_like(active)
+        # local shading frame at the hit (Duff ONB around ng) — used by
+        # the cosine bounce, the GGX lobes, and the dielectric lobes
+        s_n = jnp.where(ngz >= 0.0, 1.0, -1.0)
+        oan = -1.0 / (s_n + ngz)
+        obn = ngx * ngy * oan
+        n1x, n1y, n1z = 1.0 + s_n * ngx * ngx * oan, s_n * obn, -s_n * ngx
+        n2x, n2y, n2z = obn, s_n + ngy * ngy * oan, -ngy
+
+        def sl_local(vx, vy, vz):
+            return (vx * n1x + vy * n1y + vz * n1z,
+                    vx * n2x + vy * n2y + vz * n2z,
+                    vx * ngx + vy * ngy + vz * ngz)
+
+        def sl_world(vx, vy, vz):
+            return (vx * n1x + vy * n2x + vz * ngx,
+                    vx * n1y + vy * n2y + vz * ngy,
+                    vx * n1z + vy * n2z + vz * ngz)
+
+        wix, wiy, wiz_r = sl_local(-dx, -dy, -dz)   # wiz_r == cos_hit
+        wiz = jnp.maximum(wiz_r, 1e-6)              # FrontSide lobes
 
         res_r_, res_g_, res_b_ = res_r, res_g, res_b
         if mis_mode:
@@ -407,8 +444,12 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
             res_r_ = res_r_ + jnp.where(emit, thr_r_ * le_r, 0.0)
             res_g_ = res_g_ + jnp.where(emit, thr_g_ * le_g, 0.0)
             res_b_ = res_b_ + jnp.where(emit, thr_b_ * le_b, 0.0)
-        # FrontSide: backside hits terminate
-        act_surf = act_surf & (cos_hit > 0.0)
+        # FrontSide BSDFs terminate on backside hits; dielectrics are
+        # two-sided (dielectric.cpp)
+        if has_diel:
+            act_surf = act_surf & ((cos_hit > 0.0) | is_diel)
+        else:
+            act_surf = act_surf & (cos_hit > 0.0)
         pxx = ox + t_surf * dx
         pyy = oy + t_surf * dy
         pzz = oz + t_surf * dz
@@ -442,7 +483,10 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         lrad_r, lrad_g, lrad_b = LTd[14], LTd[15], LTd[16]
 
         # NEE origin: scatter point (medium) or offset surface point
+        # (delta dielectric lobes carry no NEE arm)
         nee_surf = act_surf & (depth_ + 1.0 < max_depth)
+        if has_diel:
+            nee_surf = nee_surf & ~is_diel
         sox = jnp.where(act_real, psx, pxx + ngx * eps)
         soy = jnp.where(act_real, psy, pyy + ngy * eps)
         soz = jnp.where(act_real, psz, pzz + ngz * eps)
@@ -467,11 +511,35 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         else:
             ph_val = jnp.full((G, 128), 1.0 / (4.0 * _PI))
         cos_s = dxl * ngx + dyl * ngy + dzl * ngz
-        f_sc = jnp.where(act_real, ph_val,
-                         jnp.maximum(cos_s, 0.0) / _PI)
-        f_r = jnp.where(act_real, f_sc, f_sc * alb_r)
-        f_g = jnp.where(act_real, f_sc, f_sc * alb_g)
-        f_b = jnp.where(act_real, f_sc, f_sc * alb_b)
+        fcos_diff = jnp.maximum(cos_s, 0.0) / _PI
+        pdf_surf_l = fcos_diff                     # cosine pdf toward light
+        if has_ggx:
+            # GGX f*cos toward the light (megakernel NEE arm math)
+            wox, woy, woz = sl_local(dxl, dyl, dzl)
+            hx_ = wix + wox
+            hy_ = wiy + woy
+            hz_ = wiz + woz
+            hinv = jax.lax.rsqrt(jnp.maximum(
+                hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
+            hx_, hy_, hz_ = hx_ * hinv, hy_ * hinv, hz_ * hinv
+            ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
+            D_l = _ggx_d(hz_, alpha)
+            G_l = _ggx_g1(wiz, alpha) \
+                * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
+            spec_common = D_l * G_l / jnp.maximum(4.0 * wiz, 1e-20)
+            pdf_ggx_l = _ggx_g1(wiz, alpha) * D_l \
+                / jnp.maximum(4.0 * wiz, 1e-20)
+            ggx_ok = (woz > 0).astype(jnp.float32)
+            F_l = [_fresnel_cond(ci_h, eta_k[c], kap_k[c])
+                   for c in range(3)]
+            fs = [jnp.where(is_ggx, spec_common * F_l[c] * ggx_ok,
+                            fcos_diff) for c in range(3)]
+            pdf_surf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_surf_l)
+        else:
+            fs = [fcos_diff] * 3
+        f_r = jnp.where(act_real, ph_val, fs[0] * alb_r)
+        f_g = jnp.where(act_real, ph_val, fs[1] * alb_g)
+        f_b = jnp.where(act_real, ph_val, fs[2] * alb_b)
 
         nee_ok = (act_real | nee_surf) & (pdf_l > 0.0) \
             & (jnp.where(act_real, 1.0, cos_s) > 0.0)
@@ -510,9 +578,8 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
 
         if mis_mode:
             # directional density of the continuation strategy toward
-            # the light: phase pdf (== phase value) or cosine pdf
-            pdf_dir = jnp.where(act_real, ph_val,
-                                jnp.maximum(cos_s, 0.0) / _PI)
+            # the light: phase pdf (== phase value), cosine or GGX pdf
+            pdf_dir = jnp.where(act_real, ph_val, pdf_surf_l)
             w_nee = _mis(pdf_l, pdf_dir)
         else:
             w_nee = done_
@@ -547,38 +614,115 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         mdy = sth * cph * t1y + sth * sph_ * t2y + cth * dy
         mdz = sth * cph * t1z + sth * sph_ * t2z + cth * dz
 
-        # surface: cosine-hemisphere bounce, thr *= albedo
+        # surface lobes: cosine (diffuse) / GGX VNDF / dielectric delta
         u_c1, u_c2 = rng2(dim0 + 35)
         cx_, cy_ = _concentric(u_c1, u_c2)
         cz_ = jnp.sqrt(jnp.maximum(1.0 - cx_ * cx_ - cy_ * cy_, 0.0))
-        s_n = jnp.where(ngz >= 0.0, 1.0, -1.0)
-        oan = -1.0 / (s_n + ngz)
-        obn = ngx * ngy * oan
-        n1x, n1y, n1z = 1.0 + s_n * ngx * ngx * oan, s_n * obn, -s_n * ngx
-        n2x, n2y, n2z = obn, s_n + ngy * ngy * oan, -ngy
-        sdx = cx_ * n1x + cy_ * n2x + cz_ * ngx
-        sdy = cx_ * n1y + cy_ * n2y + cz_ * ngy
-        sdz = cx_ * n1z + cy_ * n2z + cz_ * ngz
-        bounce = act_surf & (cz_ > 0.0)
-        thr_r_ = jnp.where(bounce, thr_r_ * alb_r, thr_r_)
-        thr_g_ = jnp.where(bounce, thr_g_ * alb_g, thr_g_)
-        thr_b_ = jnp.where(bounce, thr_b_ * alb_b, thr_b_)
+        wsel_x, wsel_y, wsel_z = cx_, cy_, cz_
+        ok_lobe = cz_ > 0.0
+        mm_r, mm_g, mm_b = alb_r, alb_g, alb_b
+        pdf_bounce = jnp.maximum(cz_, 0.0) / _PI
+        if has_ggx:
+            # GGX VNDF candidate (Heitz 2018; megakernel sampling arm)
+            vhx = alpha * wix
+            vhy = alpha * wiy
+            vhz = wiz
+            vinv = jax.lax.rsqrt(jnp.maximum(
+                vhx * vhx + vhy * vhy + vhz * vhz, 1e-20))
+            vhx, vhy, vhz = vhx * vinv, vhy * vinv, vhz * vinv
+            lensq = vhx * vhx + vhy * vhy
+            linv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+            t1x = jnp.where(lensq > 1e-12, -vhy * linv, 1.0)
+            t1y = jnp.where(lensq > 1e-12, vhx * linv, 0.0)
+            t1z = jnp.zeros_like(t1x)
+            t2x = vhy * t1z - vhz * t1y
+            t2y = vhz * t1x - vhx * t1z
+            t2z = vhx * t1y - vhy * t1x
+            rr_ = jnp.sqrt(jnp.maximum(u_c1, 0.0))
+            phiv = 2.0 * _PI * u_c2
+            p1 = rr_ * jnp.cos(phiv)
+            p2 = rr_ * jnp.sin(phiv)
+            s_v = 0.5 * (1.0 + vhz)
+            p2 = (1.0 - s_v) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+                + s_v * p2
+            pz_ = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+            nhx = p1 * t1x + p2 * t2x + pz_ * vhx
+            nhy = p1 * t1y + p2 * t2y + pz_ * vhy
+            nhz = p1 * t1z + p2 * t2z + pz_ * vhz
+            mhx = alpha * nhx
+            mhy = alpha * nhy
+            mhz = jnp.maximum(nhz, 1e-6)
+            minv = jax.lax.rsqrt(mhx * mhx + mhy * mhy + mhz * mhz)
+            mhx, mhy, mhz = mhx * minv, mhy * minv, mhz * minv
+            wm_dot = wix * mhx + wiy * mhy + wiz * mhz
+            gox = 2.0 * wm_dot * mhx - wix
+            goy = 2.0 * wm_dot * mhy - wiy
+            goz = 2.0 * wm_dot * mhz - wiz
+            ggx_valid = (goz > 1e-6) & (wm_dot > 0)
+            pdf_ggx = _ggx_g1(wiz, alpha) * _ggx_d(mhz, alpha) \
+                / jnp.maximum(4.0 * wiz, 1e-20)
+            g1o = _ggx_g1(jnp.maximum(goz, 1e-6), alpha)
+            Fs = [_fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_k[c],
+                                kap_k[c]) for c in range(3)]
+            wsel_x = jnp.where(is_ggx, gox, wsel_x)
+            wsel_y = jnp.where(is_ggx, goy, wsel_y)
+            wsel_z = jnp.where(is_ggx, goz, wsel_z)
+            ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & ok_lobe)
+            # VNDF weight = F * G1(wo) (separable Smith)
+            mm_r = jnp.where(is_ggx, alb_r * Fs[0] * g1o, mm_r)
+            mm_g = jnp.where(is_ggx, alb_g * Fs[1] * g1o, mm_g)
+            mm_b = jnp.where(is_ggx, alb_b * Fs[2] * g1o, mm_b)
+            pdf_bounce = jnp.where(is_ggx, pdf_ggx, pdf_bounce)
+        if has_diel:
+            # smooth dielectric: two delta lobes by Fresnel
+            # (dielectric.cpp semantics; megakernel dielectric arm)
+            u_lobe, _ = rng2(dim0 + 37)
+            F_dl, cos_t, eta_it_d, eta_ti_d = _fresnel_diel(wiz_r, eta_d)
+            refl_d = u_lobe <= F_dl
+            ddx = jnp.where(refl_d, -wix, -eta_ti_d * wix)
+            ddy = jnp.where(refl_d, -wiy, -eta_ti_d * wiy)
+            ddz = jnp.where(refl_d, wiz_r, cos_t)
+            # radiance transport: transmitted weight *= eta_ti^2
+            wsel_x = jnp.where(is_diel, ddx, wsel_x)
+            wsel_y = jnp.where(is_diel, ddy, wsel_y)
+            wsel_z = jnp.where(is_diel, ddz, wsel_z)
+            mm_r = jnp.where(is_diel, jnp.where(
+                refl_d, alb_r, c2[0] * eta_ti_d * eta_ti_d), mm_r)
+            mm_g = jnp.where(is_diel, jnp.where(
+                refl_d, alb_g, c2[1] * eta_ti_d * eta_ti_d), mm_g)
+            mm_b = jnp.where(is_diel, jnp.where(
+                refl_d, alb_b, c2[2] * eta_ti_d * eta_ti_d), mm_b)
+            ok_lobe = ok_lobe | is_diel
+            pdf_bounce = jnp.where(is_diel, 0.0, pdf_bounce)
+        sdx, sdy, sdz = sl_world(wsel_x, wsel_y, wsel_z)
+        bounce = act_surf & ok_lobe \
+            & ((mm_r + mm_g + mm_b) > 0.0)
+        thr_r_ = jnp.where(bounce, thr_r_ * mm_r, thr_r_)
+        thr_g_ = jnp.where(bounce, thr_g_ * mm_g, thr_g_)
+        thr_b_ = jnp.where(bounce, thr_b_ * mm_b, thr_b_)
         depth_ = depth_ + jnp.where(bounce, 1.0, 0.0)
 
         # ---- next ray state ----
+        # offset to the side the outgoing ray leaves on (dielectric
+        # transmission continues through the surface)
+        offs = jnp.where(wsel_z >= 0.0, eps, 0.0 - eps)
         nox = jnp.where(act_real, psx,
-                        jnp.where(bounce, pxx + ngx * eps,
+                        jnp.where(bounce, pxx + ngx * offs,
                                   ox + t_cur * dx))
         noy = jnp.where(act_real, psy,
-                        jnp.where(bounce, pyy + ngy * eps,
+                        jnp.where(bounce, pyy + ngy * offs,
                                   oy + t_cur * dy))
         noz = jnp.where(act_real, psz,
-                        jnp.where(bounce, pzz + ngz * eps,
+                        jnp.where(bounce, pzz + ngz * offs,
                                   oz + t_cur * dz))
         ndx = jnp.where(act_real, mdx, jnp.where(bounce, sdx, dx))
         ndy = jnp.where(act_real, mdy, jnp.where(bounce, sdy, dy))
         ndz = jnp.where(act_real, mdz, jnp.where(bounce, sdz, dz))
-        spec_ = spec & ~act_real & ~bounce
+        # delta (dielectric) bounces keep the specular chain alive so the
+        # NEE-only estimator still collects their emitter hits
+        diel_b = bounce & is_diel if has_diel \
+            else jnp.zeros_like(active)
+        spec_ = spec & ~act_real & (~bounce | diel_b)
         if mis_mode:
             if has_hg:
                 tmp_o = 1.0 + g_hg * g_hg - 2.0 * g_hg * cth
@@ -587,9 +731,10 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
                         tmp_o * jnp.sqrt(jnp.maximum(tmp_o, 1e-8)), 1e-8)
             else:
                 pdf_ph_out = jnp.full((G, 128), 1.0 / (4.0 * _PI))
+            # pdf_bounce is 0 for delta lobes -> weight-1 emission next
             prev_pdf_ = jnp.where(
                 act_real, pdf_ph_out,
-                jnp.where(bounce, jnp.maximum(cz_, 0.0) / _PI, prev_pdf))
+                jnp.where(bounce, pdf_bounce, prev_pdf))
 
         act = (act_real | bounce | stalled) & (depth_ < max_depth) \
             & ((thr_r_ + thr_g_ + thr_b_) > 0.0) & ~died
@@ -755,17 +900,54 @@ class VolPathMegakernel:
             lights = np.concatenate([lights, padl])
         self.lights = jnp.asarray(lights.T.copy())
 
-        shp_alb = np.zeros((max(len(scene.shapes), 1), 3), np.float32)
+        n_shapes = max(len(scene.shapes), 1)
+        shp_alb = np.zeros((n_shapes, 3), np.float32)
+        shp_kind = np.zeros((n_shapes,), np.float32)
+        shp_alpha = np.zeros((n_shapes,), np.float32)
+        shp_eta = np.zeros((n_shapes, 3), np.float32)
+        shp_k = np.zeros((n_shapes, 3), np.float32)
+        shp_c2 = np.zeros((n_shapes, 3), np.float32)
+        shp_etad = np.zeros((n_shapes,), np.float32)
+
+        def _rgb(tex):
+            return np.asarray(np.broadcast_to(
+                np.asarray(tex.data.rgb), (3,)), np.float32)
+
         for s_idx, s in enumerate(scene.shapes):
-            tex = getattr(s.bsdf, "reflectance", None)
-            if tex is not None and hasattr(tex, "data"):
-                shp_alb[s_idx] = np.asarray(
-                    np.broadcast_to(np.asarray(tex.data.rgb), (3,)))
+            info = _bsdf_columns(s.bsdf)
+            if info is None:
+                continue
+            kd, b = info
+            if kd == "diffuse":
+                shp_alb[s_idx] = _rgb(b.reflectance)
+            elif kd == "ggx":
+                shp_kind[s_idx] = 1.0
+                shp_alpha[s_idx] = float(b.alpha_u)
+                shp_alb[s_idx] = _rgb(b.specular_reflectance)
+                shp_eta[s_idx] = np.asarray(
+                    b.eta_tex._rgb_np, np.float32).reshape(3)
+                shp_k[s_idx] = np.asarray(
+                    b.k_tex._rgb_np, np.float32).reshape(3)
+            elif kd == "dielectric":
+                shp_kind[s_idx] = 3.0
+                shp_alb[s_idx] = _rgb(b.specular_reflectance)
+                shp_c2[s_idx] = _rgb(b.specular_transmittance)
+                shp_etad[s_idx] = float(b.eta)
+        self.has_ggx = bool((shp_kind[np.unique(fs_k)] == 1.0).any()) \
+            if self.n_faces else False
+        self.has_diel = bool((shp_kind[np.unique(fs_k)] == 3.0).any()) \
+            if self.n_faces else False
         fattr = np.zeros((F, _VFA), np.float32)
         fattr[:self.n_faces, 0:3] = ng
         fattr[:self.n_faces, 3:6] = shp_alb[fs_k]
         fattr[:self.n_faces, 6:9] = le_face
         fattr[:self.n_faces, 9] = lpdf_w
+        fattr[:self.n_faces, 10] = shp_kind[fs_k]
+        fattr[:self.n_faces, 11] = shp_alpha[fs_k]
+        fattr[:self.n_faces, 12:15] = shp_eta[fs_k]
+        fattr[:self.n_faces, 15:18] = shp_k[fs_k]
+        fattr[:self.n_faces, 18:21] = shp_c2[fs_k]
+        fattr[:self.n_faces, 21] = shp_etad[fs_k]
         self.fattr = jnp.asarray(fattr.T.copy())
         self._F = F
 
@@ -804,7 +986,8 @@ class VolPathMegakernel:
             chunk=self.chunk, spp_pass=spp_pass, width=w, height=h,
             n_lanes=n, D=self.D, H=self.H, W=self.W, g_hg=self.g_hg,
             maj=self.maj, scale=self.scale, alb_med=self.alb_med,
-            has_hg=self.has_hg, mis_mode=self.mis)
+            has_hg=self.has_hg, mis_mode=self.mis,
+            has_ggx=self.has_ggx, has_diel=self.has_diel)
         # the launch index rides SMEM, so only TWO kernels compile
         # (init + continuation) regardless of max_depth
         for launch in range(n_launches):
@@ -903,6 +1086,7 @@ def vol_megakernel_ineligibility(scene):
     n_opaque = int((~bmask).sum())
     if n_opaque > MAX_VOL_FACES:
         return f"opaque face count {n_opaque} > {MAX_VOL_FACES}"
+    from .megakernel import _bsdf_columns as _cols
     for s in scene.shapes:
         if s is bshape:
             continue
@@ -910,11 +1094,12 @@ def vol_megakernel_ineligibility(scene):
             return "additional medium-linked shape"
         if isinstance(s.bsdf, NullBSDF):
             return "null BSDF outside the medium boundary"
-        if type(s.bsdf) is not SmoothDiffuse:
+        info = _cols(s.bsdf)
+        if info is None or info[0] not in ("diffuse", "ggx", "dielectric"):
             return f"unsupported BSDF {type(s.bsdf).__name__}"
-        if not isinstance(s.bsdf.reflectance,
-                          (ConstantTexture, _PerShapeTexture)):
-            return "textured diffuse reflectance"
+        if getattr(s, "emitter", None) is not None \
+                and info[0] != "diffuse":
+            return "emitter on a non-diffuse surface"
     for e in scene.emitters:
         if type(e) is not AreaEmitter:
             return f"unsupported emitter {type(e).__name__}"

@@ -113,8 +113,24 @@ def bench_volpath():
             "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
+def bench_biggeo():
+    """262,144-face displaced sphere: the production-size-geometry config
+    (VERDICT r2 #7 — absolute number for the HBM BVH traversal tier)."""
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.python.test.scenes import bumpy_sphere_dict
+    scene = mi.load_dict(bumpy_sphere_dict(width=WIDTH, height=HEIGHT,
+                                           spp=32, max_depth=5,
+                                           nu=512, nv=257))
+    mpaths, engine = _throughput(scene, 32)
+    return {"metric": "biggeo_262k_path_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
+
+
 BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,
-           "spectral": bench_spectral, "volpath": bench_volpath}
+           "spectral": bench_spectral, "volpath": bench_volpath,
+           "biggeo": bench_biggeo}
 
 
 def main():

@@ -154,3 +154,13 @@ def test_progress_reporter(variant_scalar_rgb):
     pr = ProgressReporter("TestOp", total=4)
     for i in range(4):
         pr.update(i + 1)   # final update prints the done line
+
+
+def test_biggeo_bench_scene_eligible(variant_scalar_rgb):
+    """bench.py's 262k-face config must ride the HBM BVH tier (the gate
+    accepts it; VERDICT r2 #7's absolute-number config)."""
+    from mitsuba2_tpu.python.test.scenes import bumpy_sphere_dict
+    scene = mi.load_dict(bumpy_sphere_dict(width=8, height=8, spp=2,
+                                           max_depth=2, nu=512, nv=257))
+    assert scene.geom.v0.shape[0] >= 262144
+    assert megakernel_ineligibility(scene) is None

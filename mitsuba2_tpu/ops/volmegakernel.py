@@ -32,10 +32,10 @@ depth > rr_depth). Images agree in distribution, not sample-for-sample
 
 Fast-path scope (selected by the volpath integrator, wavefront
 otherwise — see vol_megakernel_ineligibility):
-- ONE HeterogeneousMedium with a Grid3DVolume (D*H <= 1024, W <= 128,
-  medium-frame) or constant sigma_t, constant rgb albedo, HG/isotropic
-  phase, bounded by a null-BSDF box whose local AABB is the medium's
-  [0,1]^3,
+- ONE HeterogeneousMedium with a Grid3DVolume (D*H <= 4096 — 64^3
+  grids ride an R-chunked fetch — W <= 128, medium-frame) or constant
+  sigma_t, constant rgb albedo, HG/isotropic phase, bounded by a
+  null-BSDF box whose local AABB is the medium's [0,1]^3,
 - other geometry: triangles with diffuse, rough-conductor (isotropic
   GGX) or smooth-dielectric BSDFs (constant/per-shape parameters) and
   area emitters on the diffuse ones, unrolled sweep size (<= 1024
@@ -59,7 +59,8 @@ from .megakernel import (RAY_TILE, VMEM_LIMIT, FACE_CHUNK, UNROLLED_CHUNKS,
                          _fresnel_cond, _fresnel_diel, _bsdf_columns)
 
 MAX_VOL_FACES = UNROLLED_CHUNKS * FACE_CHUNK     # unrolled sweep only
-MAX_GRID_DH = 1024        # (D*H) one-hot rows per fetch (VMEM transient)
+MAX_GRID_DH = 4096        # (D*H) one-hot rows per fetch (R-chunked)
+_DH_TRANSIENT = 1 << 20   # cap the (DHp, R_chunk) one-hot at ~4 MB f32
 MAX_GRID_W = 128          # x-axis must fit one lane tile of sublanes
 NULL_BUDGET = 16          # delta-tracking steps per launch
 TR_BUDGET = 16            # ratio-tracking steps per NEE walk
@@ -103,21 +104,38 @@ def _trilinear_sigma(grid, a_rows, lx, ly, lz, D, H, W, scale):
     ty = jnp.clip(fy - iy.astype(jnp.float32), 0.0, 1.0)
     tz = jnp.clip(fz - iz.astype(jnp.float32), 0.0, 1.0)
     DHp = grid.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (DHp, R), 0)
-    r00 = (iz * H + iy)[None, :]
-    r01 = (iz * H + iy1)[None, :]
-    r10 = (iz1 * H + iy)[None, :]
-    r11 = (iz1 * H + iy1)[None, :]
-    w00 = ((1.0 - tz) * (1.0 - ty))[None, :]
-    w01 = ((1.0 - tz) * ty)[None, :]
-    w10 = (tz * (1.0 - ty))[None, :]
-    w11 = (tz * ty)[None, :]
-    wrow = (jnp.where(rows == r00, w00, 0.0)
-            + jnp.where(rows == r01, w01, 0.0)
-            + jnp.where(rows == r10, w10, 0.0)
-            + jnp.where(rows == r11, w11, 0.0))
-    mixed = _dot3(grid, wrow)                    # (Wp, R)
     Wp = grid.shape[0]
+    r00 = iz * H + iy
+    r01 = iz * H + iy1
+    r10 = iz1 * H + iy
+    r11 = iz1 * H + iy1
+    w00 = (1.0 - tz) * (1.0 - ty)
+    w01 = (1.0 - tz) * ty
+    w10 = tz * (1.0 - ty)
+    w11 = tz * ty
+
+    def zy_mix(sl):
+        """(Wp, |sl|) z/y-lerped planes for a lane slice (one weighted
+        one-hot matmul). Big grids (D*H > 1024) process lanes in chunks
+        so the (DHp, R_chunk) one-hot transient stays VMEM-friendly."""
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (DHp, r00[sl].shape[0]), 0)
+        wrow = (jnp.where(rows == r00[sl][None, :], w00[sl][None, :], 0.0)
+                + jnp.where(rows == r01[sl][None, :], w01[sl][None, :],
+                            0.0)
+                + jnp.where(rows == r10[sl][None, :], w10[sl][None, :],
+                            0.0)
+                + jnp.where(rows == r11[sl][None, :], w11[sl][None, :],
+                            0.0))
+        return _dot3(grid, wrow)                 # (Wp, |sl|)
+
+    if DHp * R <= _DH_TRANSIENT:
+        mixed = zy_mix(slice(None))
+    else:
+        rchunk = max(128, _DH_TRANSIENT // DHp)
+        mixed = jnp.concatenate(
+            [zy_mix(slice(c, min(c + rchunk, R)))
+             for c in range(0, R, rchunk)], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
     wcol = (jnp.where(cols == ix[None, :], (1.0 - tx)[None, :], 0.0)
             + jnp.where(cols == ix1[None, :], tx[None, :], 0.0))

@@ -266,3 +266,49 @@ def test_kernel_ggx_dielectric_matches_wavefront(variant_scalar_rgb):
     m_out = float(out.mean())
     assert m_ref > 1e-3
     assert abs(m_out - m_ref) / m_ref < 0.15, (m_out, m_ref)
+
+
+def test_trilinear_fetch_chunked_big_grid(variant_scalar_rgb):
+    """D*H > 1024 grids ride the R-chunked one-hot fetch — exactness
+    against Grid3DVolume._interp on a 48^3 grid (lifts the kernel cap
+    to 64^3-class media, VERDICT r2 #5b)."""
+    import jax.numpy as jnp
+    from mitsuba2_tpu.ops.volmegakernel import _trilinear_sigma
+    from mitsuba2_tpu.models.media_impl import Grid3DVolume
+    rng = np.random.default_rng(11)
+    data = rng.uniform(0.1, 3.0, (48, 48, 48)).astype(np.float32)
+    vol = Grid3DVolume(data=data)
+    D, H, W = data.shape
+    Wp = max(8, W)
+    DHp = int(np.ceil(D * H / 128)) * 128
+    assert DHp > 1024
+    grid = np.zeros((Wp, DHp), np.float32)
+    grid[:W, :D * H] = data.reshape(D * H, W).T
+    pts = rng.uniform(-0.2, 1.2, (512, 3)).astype(np.float32)
+    ref = np.asarray(vol.eval_1(jnp.asarray(pts)))
+    got = np.asarray(_trilinear_sigma(
+        jnp.asarray(grid), None, jnp.asarray(pts[:, 0]),
+        jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]), D, H, W, 1.0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_kernel_big_grid_matches_wavefront(variant_scalar_rgb):
+    """End-to-end: a 40^3 grid (D*H=1600, chunked-fetch tier) through the
+    whole kernel agrees with the wavefront mean."""
+    grid = np.random.default_rng(3).uniform(
+        0.2, 1.5, (40, 40, 40)).astype(np.float32)
+    scene = mi.load_dict(_slab_scene(width=16, height=16, spp=8,
+                                     max_depth=3, grid=grid))
+    assert vol_megakernel_ineligibility(scene) is None
+    integ = scene.integrator
+    ref = np.asarray(integ.render(scene, seed=2, spp=8))[..., :3]
+    mk = VolPathMegakernel(scene, interpret=True)
+    mk.max_depth = 3
+    mk.rr_depth = integ.rr_depth
+    img = np.asarray(mk.render_pass(scene.sensors[0], 2, 0, 8))
+    out = img[..., :3] / np.maximum(img[..., 3:4], 1.0)
+    assert np.isfinite(out).all()
+    m_ref = float(ref.mean())
+    m_out = float(out.mean())
+    assert m_ref > 1e-3
+    assert abs(m_out - m_ref) / m_ref < 0.15, (m_out, m_ref)

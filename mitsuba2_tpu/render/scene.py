@@ -1034,13 +1034,47 @@ class Scene(Object):
                                 n_em - 1)
             sample = sample.at[..., 0].set(
                 sample[..., 0] * n_em - index.astype(sample.dtype))
-            ds = _zero_ds(n, si.t.dtype)
-            spec = jnp.zeros((n, nch), si.t.dtype)
-            for i, e in enumerate(self.emitters):
-                mask = jnp.asarray(active) & (index == i)
-                ds_i, spec_i = e.sample_direction(si, sample, mask)
-                ds = _tree_where(mask, ds_i, ds)
-                spec = jnp.where(mask[..., None], spec_i, spec)
+
+            def masked_loop(si_t, sample_t, act_t, idx_t):
+                nt = si_t.t.shape[0]
+                ds_ = _zero_ds(nt, si_t.t.dtype)
+                spec_ = jnp.zeros((nt, nch), si_t.t.dtype)
+                for i, e in enumerate(self.emitters):
+                    mask = act_t & (idx_t == i)
+                    ds_i, spec_i = e.sample_direction(si_t, sample_t,
+                                                      mask)
+                    ds_ = _tree_where(mask, ds_i, ds_)
+                    spec_ = jnp.where(mask[..., None], spec_i, spec_)
+                return ds_, spec_
+
+            if self._sorted_dispatch_ok(n, n_em):
+                # many-light scenes: sorted tile queue, one emitter per
+                # uniform tile (same machinery as the BSDF dispatch)
+                from ..ops.sorted_dispatch import dispatch_sorted
+
+                def make_branch(i, e):
+                    def br(ops):
+                        si_t, sample_t, act_t, idx_t = ops
+                        mask = act_t & (idx_t == i)
+                        nt = si_t.t.shape[0]
+                        ds_i, spec_i = e.sample_direction(si_t, sample_t,
+                                                          mask)
+                        return (_tree_where(mask, ds_i,
+                                            _zero_ds(nt, si_t.t.dtype)),
+                                jnp.where(mask[..., None], spec_i, 0.0))
+
+                    return br
+
+                act_ = jnp.broadcast_to(jnp.asarray(active), (n,))
+                ds, spec = dispatch_sorted(
+                    jnp.where(act_, index, -1),
+                    (si, sample, act_, index),
+                    [make_branch(i, e)
+                     for i, e in enumerate(self.emitters)],
+                    lambda ops: masked_loop(*ops))
+            else:
+                ds, spec = masked_loop(si, sample, jnp.asarray(active),
+                                       index)
             ds = ds._replace(pdf=ds.pdf * emitter_pdf)
             spec = spec * n_em
         active = jnp.asarray(active) & (ds.pdf != 0)
@@ -1158,17 +1192,20 @@ class Scene(Object):
         idx = self.bsdf_index_at(si)
         return jnp.where(idx >= 0, flags[jnp.maximum(idx, 0)], 0)
 
-    def _sorted_dispatch_ok(self, n_lanes: int) -> bool:
+    def _sorted_dispatch_ok(self, n_lanes: int,
+                            n_families: int | None = None) -> bool:
         """True when heterogeneous-family dispatch should ride the sorted
         tile queue (ops/sorted_dispatch.py) instead of masked sweeps."""
         import os
         mode = os.environ.get("MI_SORTED_DISPATCH", "auto")
         if mode == "off":
             return False
+        if n_families is None:
+            n_families = len(self.bsdfs)
         from ..ops.sorted_dispatch import worth_sorting
         if mode == "on":
-            return len(self.bsdfs) > 1 and n_lanes >= 8192
-        return worth_sorting(n_lanes, len(self.bsdfs))
+            return n_families > 1 and n_lanes >= 8192
+        return worth_sorting(n_lanes, n_families)
 
     def bsdf_eval(self, ctx, si, wo, active):
         nch = current_variant().n_channels
@@ -1282,10 +1319,35 @@ class Scene(Object):
         n_em = len(self.emitters)
         if n_em == 0:
             return jnp.zeros(si.t.shape, si.t.dtype)
-        pdf = jnp.zeros(si.t.shape, si.t.dtype)
-        for i, e in enumerate(self.emitters):
-            mask = jnp.asarray(active) & (ds.emitter_idx == i)
-            pdf = jnp.where(mask, e.pdf_direction(si, ds, mask), pdf)
+
+        def masked_loop(si_t, ds_t, act_t):
+            pdf_ = jnp.zeros(si_t.t.shape, si_t.t.dtype)
+            for i, e in enumerate(self.emitters):
+                mask = act_t & (ds_t.emitter_idx == i)
+                pdf_ = jnp.where(mask, e.pdf_direction(si_t, ds_t, mask),
+                                 pdf_)
+            return pdf_
+
+        if self._sorted_dispatch_ok(si.t.shape[0], n_em):
+            from ..ops.sorted_dispatch import dispatch_sorted
+
+            def make_branch(i, e):
+                def br(ops):
+                    si_t, ds_t, act_t = ops
+                    mask = act_t & (ds_t.emitter_idx == i)
+                    return jnp.where(mask,
+                                     e.pdf_direction(si_t, ds_t, mask),
+                                     0.0)
+
+                return br
+
+            act_ = jnp.broadcast_to(jnp.asarray(active), si.t.shape)
+            pdf = dispatch_sorted(
+                jnp.where(act_, ds.emitter_idx, -1), (si, ds, act_),
+                [make_branch(i, e) for i, e in enumerate(self.emitters)],
+                lambda ops: masked_loop(*ops))
+        else:
+            pdf = masked_loop(si, ds, jnp.asarray(active))
         return pdf * (1.0 / n_em)
 
     def traverse(self, cb):

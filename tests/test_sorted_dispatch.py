@@ -68,11 +68,27 @@ def _hetero_scene_dict(width, spp):
     d = {
         "type": "scene",
         "integrator": {"type": "path", "max_depth": 3},
+        # several emitters: the sorted emitter dispatch
+        # (sample/pdf_emitter_direction) partitions lanes by pick
         "light": {"type": "rectangle",
                   "to_world": (T.translate([0, 0, 4]) @ T.scale(1.5)
                                @ T.rotate([1, 0, 0], 180)),
                   "emitter": {"type": "area",
                               "radiance": {"type": "rgb", "value": 12.0}}},
+        "light2": {"type": "rectangle",
+                   "to_world": (T.translate([-3, -2, 3]) @ T.scale(0.7)
+                                @ T.rotate([1, 0, 0], 180)),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb",
+                                            "value": [9.0, 3.0, 1.0]}}},
+        "light3": {"type": "rectangle",
+                   "to_world": (T.translate([3, -2, 3]) @ T.scale(0.7)
+                                @ T.rotate([1, 0, 0], 180)),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb",
+                                            "value": [1.0, 3.0, 9.0]}}},
+        "light4": {"type": "point", "position": [0, -4, 2],
+                   "intensity": {"type": "rgb", "value": 6.0}},
         "floor": {"type": "rectangle", "to_world": T.scale([8, 8, 1]),
                   "bsdf": {"type": "diffuse",
                            "reflectance": {"type": "rgb", "value": 0.5}}},

@@ -411,3 +411,33 @@ def test_mixed_emitters_and_backface(variant_scalar_rgb):
                                 "sample_count": 256}}}
     scene = mi.load_dict(d)
     _cmp(scene, spp=256, max_depth=2, tol=0.06, seed=9)
+
+
+def test_env_nee_variance_parity(variant_scalar_rgb):
+    """VERDICT r2 #2 done-criterion: the kernel's env-NEE estimator
+    delivers per-sample variance comparable to the wavefront's
+    Hierarchical2D env NEE — MSE at 32 spp vs a high-spp reference must
+    be within ~2.5x of the wavefront's MSE on the same scene (the ^400
+    sun blob makes BSDF-sampling-only converge orders slower, so this
+    fails without a real env NEE arm)."""
+    from mitsuba2_tpu.python.test.scenes import _sky_exr_path
+    d = _base(width=16, max_depth=2)
+    d["env"] = {"type": "envmap", "filename": _sky_exr_path()}
+    d["floor"] = {"type": "rectangle",
+                  "to_world": T.translate([0, -1, 0])
+                  @ T.rotate([1, 0, 0], -90) @ T.scale(3),
+                  "bsdf": {"type": "diffuse"}}
+    scene = mi.load_dict(d)
+    assert scene_supports_megakernel(scene)
+    ref = _ref_render(scene, spp=512, seed=101)
+    mse_wf = 0.0
+    mse_mk = 0.0
+    K = 3
+    for k in range(K):
+        wf = _ref_render(scene, spp=32, seed=11 + k)
+        mk = _mk_render(scene, scene.sensors[0], 32, seed=11 + k,
+                        max_depth=2)
+        mse_wf += float(((wf - ref) ** 2).mean()) / K
+        mse_mk += float(((mk - ref) ** 2).mean()) / K
+    assert mse_wf > 0.0
+    assert mse_mk <= 2.5 * mse_wf, (mse_mk, mse_wf)

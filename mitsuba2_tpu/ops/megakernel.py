@@ -68,6 +68,7 @@ MAX_FACES_HBM = 2048 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (2048 leaves)
 _STACK_DEPTH = 64
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
+_MONO_LUM = np.array([0.212671, 0.715160, 0.072169], np.float32)
 _BIG = 3.0e38
 _PI = 3.141592653589793
 
@@ -1668,6 +1669,7 @@ class DiffusePathMegakernel:
         from ..variants import current as _current
         var = _current()
         self.spectral = var.is_spectral
+        self.mono = var.is_monochromatic
         self.nc = var.n_channels
         g = scene.geom
         v0 = np.asarray(g.v0)
@@ -1802,6 +1804,10 @@ class DiffusePathMegakernel:
                 rad = np.asarray(e.radiance._rgb_np,
                                  np.float32).reshape(3)
                 rscale = 0.0
+                if self.mono:
+                    # channel 0 carries the luminance the mono wavefront
+                    # traces (texture data.mono convention)
+                    rad = np.full(3, float(rad @ _MONO_LUM), np.float32)
             sidx = scene.shapes.index(e.shape)
             for k in range(len(areas)):
                 lights.append(np.concatenate([
@@ -1864,10 +1870,16 @@ class DiffusePathMegakernel:
             if kind == "ggx":
                 shp_kind[s_idx] = 1.0
                 shp_alpha[s_idx] = float(b.alpha_u)
-                shp_eta[s_idx] = np.asarray(b.eta_tex._rgb_np,
-                                            np.float32).reshape(3)
-                shp_k[s_idx] = np.asarray(b.k_tex._rgb_np,
-                                          np.float32).reshape(3)
+                eta3 = np.asarray(b.eta_tex._rgb_np,
+                                  np.float32).reshape(3)
+                k3 = np.asarray(b.k_tex._rgb_np, np.float32).reshape(3)
+                if self.mono:
+                    # mono conductors trace the luminance IOR (texture
+                    # data.mono convention); only column 12/15 is read
+                    eta3 = np.full(3, float(eta3 @ _MONO_LUM), np.float32)
+                    k3 = np.full(3, float(k3 @ _MONO_LUM), np.float32)
+                shp_eta[s_idx] = eta3
+                shp_k[s_idx] = k3
             elif kind == "checker":
                 shp_kind[s_idx] = 2.0
                 tex = b.reflectance
@@ -1881,9 +1893,15 @@ class DiffusePathMegakernel:
                 key = id(tex)
                 if key not in atlas_slot:
                     # spectral: the atlas carries per-texel srgb model
-                    # coefficients (bitmap.cpp upsamples at load too)
-                    data = np.asarray(tex.data.coeff if self.spectral
-                                      else tex._rgb_np, np.float32)
+                    # coefficients (bitmap.cpp upsamples at load too);
+                    # mono: the luminance plane repeated (channel 0 read)
+                    if self.spectral:
+                        data = np.asarray(tex.data.coeff, np.float32)
+                    elif self.mono:
+                        data = np.repeat(
+                            np.asarray(tex.data.mono, np.float32), 3, -1)
+                    else:
+                        data = np.asarray(tex._rgb_np, np.float32)
                     atlas_slot[key] = (atlas_cursor, data)
                     atlas_cursor += data.shape[0]
                 shp_atlas[s_idx] = [atlas_slot[key][0],
@@ -2030,6 +2048,10 @@ class DiffusePathMegakernel:
                 # (the kernel multiplies by the raw D65 table)
                 env[3 * wp:3 * wp + w, :h] = \
                     (sc / d65_y_normalization()).T
+            elif self.mono:
+                # plane 0 carries the luminance the mono wavefront sees
+                env = np.zeros((3 * wp, hp), np.float32)
+                env[:w, :h] = (data @ _MONO_LUM).T
             else:
                 env = np.zeros((3 * wp, hp), np.float32)
                 for c in range(3):
@@ -2081,8 +2103,14 @@ class DiffusePathMegakernel:
 
     def _payload(self, tex):
         """Per-variant color payload of a constant texture: linear rgb,
-        or the 3 srgb sigmoid coefficients in spectral mode."""
-        return tex.data.coeff if self.spectral else tex.data.rgb
+        the 3 srgb sigmoid coefficients in spectral mode, or the
+        luminance scalar in mono mode (broadcasts into the rgb cols;
+        only channel 0 is read when nc == 1)."""
+        if self.spectral:
+            return tex.data.coeff
+        if self.mono:
+            return tex.data.mono
+        return tex.data.rgb
 
     def _shape_albedo(self, s):
         """Primary traced color (fattr cols 3:6): diffuse reflectance for
@@ -2335,6 +2363,10 @@ class DiffusePathMegakernel:
             wl, _ = spec.sample_wavelength(u, self.nc)   # weight in thr
             xyz = spec.spectrum_to_xyz(vals.T, wl)       # (n, 3)
             rgb = spec.xyz_to_srgb(xyz).T
+        elif self.nc == 1:
+            # mono: three identical output channels (wavefront develop
+            # convention, tests/test_spectral.py::test_mono_render)
+            rgb = jnp.broadcast_to(vals, (3, vals.shape[1]))
         else:
             rgb = vals
         rfilter = sensor.film.rfilter
@@ -2385,8 +2417,6 @@ def megakernel_ineligibility(scene):
     from ..variants import current
     import numpy as _np
     var = current()
-    if var.is_monochromatic:
-        return "mono variant"
     if var.polarized:
         return "polarized variant"
     if var.double_precision:

@@ -441,3 +441,23 @@ def test_env_nee_variance_parity(variant_scalar_rgb):
         mse_mk += float(((mk - ref) ** 2).mean()) / K
     assert mse_wf > 0.0
     assert mse_mk <= 2.5 * mse_wf, (mse_mk, mse_wf)
+
+
+def test_mono_megakernel_matches_wavefront(variant_scalar_mono):
+    """Mono variant rides the fast path: luminance transport in-kernel
+    (nc=1) matches the mono wavefront on the Cornell box, channels
+    identical in the developed image."""
+    from mitsuba2_tpu.python.test.scenes import cornell_box_dict
+    scene = mi.load_dict(cornell_box_dict(width=20, height=20, spp=32,
+                                          max_depth=3))
+    assert scene_supports_megakernel(scene)
+    # depth-3 mono Cornell is heavy-tailed at 32 spp: average two seeds
+    a = (_mk_render(scene, scene.sensors[0], 32, seed=5, max_depth=3)
+         + _mk_render(scene, scene.sensors[0], 32, seed=6,
+                      max_depth=3)) / 2
+    b = (_ref_render(scene, spp=32, seed=12)
+         + _ref_render(scene, spp=32, seed=13)) / 2
+    assert np.allclose(a[..., 0], a[..., 1]) and \
+        np.allclose(a[..., 0], a[..., 2])
+    assert abs(a.mean() - b.mean()) <= 0.06 * max(b.mean(), 1e-3), \
+        (a.mean(), b.mean())

@@ -217,6 +217,42 @@ def spectrum_to_xyz(value, wavelengths):
     return jnp.mean(xyz * value[..., None], axis=-2)
 
 
+def cie1931_xyz_rows(wavelength):
+    """XYZ response as three separate arrays shaped like `wavelength`
+    (1-D). Channel-major + gather-free variant of cie1931_xyz for
+    million-lane develop paths: an (N, 3)-minor layout pads 3 -> 128
+    lanes (~42x HBM expansion, OOM at 16M lanes) and per-lane table
+    gathers cost ~100 ms each on TPU — instead the interp is a one-hot
+    (tbl_size, N) weight matrix contracted against the table on the MXU.
+    Same math as spectrum.h:148-205, including zero outside the range."""
+    t = (wavelength - MTS_CIE_MIN) * ((MTS_CIE_SAMPLES - 1)
+                                      / (MTS_CIE_MAX - MTS_CIE_MIN))
+    active = (wavelength >= MTS_CIE_MIN) & (wavelength <= MTS_CIE_MAX)
+    i0 = jnp.clip(t.astype(jnp.int32), 0, MTS_CIE_SAMPLES - 2)
+    w1 = t - i0.astype(t.dtype)
+    rows = jnp.arange(MTS_CIE_SAMPLES, dtype=jnp.int32)[:, None]
+    onehot = (jnp.where(rows == i0[None, :], 1.0 - w1[None, :], 0.0)
+              + jnp.where(rows == i0[None, :] + 1, w1[None, :], 0.0))
+    resp = jnp.asarray(CIE_XYZ_TABLE).T @ onehot        # (3, N)
+    act = active.astype(resp.dtype)
+    return [resp[k] * act for k in range(3)]
+
+
+def spectrum_to_srgb_rows(vals_rows, wl_rows):
+    """Hero-wavelength spectra (S, N) + wavelengths (S, N) -> linear sRGB
+    rows (3, N) (spectrum.h:209 + xyz_to_srgb). Channel-major throughout:
+    no intermediate ever carries the S or 3 axis in the minor dimension,
+    so the develop stays O(N) HBM instead of O(128*N)."""
+    nc = vals_rows.shape[0]
+    xyz = [0.0, 0.0, 0.0]
+    for c in range(nc):
+        resp = cie1931_xyz_rows(wl_rows[c])
+        for k in range(3):
+            xyz[k] = xyz[k] + resp[k] * vals_rows[c]
+    xyz_rows = jnp.stack(xyz, axis=0) / nc          # (3, N)
+    return jnp.asarray(XYZ_TO_SRGB) @ xyz_rows
+
+
 def srgb_to_xyz(rgb):
     return rgb @ SRGB_TO_XYZ.T
 

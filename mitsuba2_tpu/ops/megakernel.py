@@ -390,6 +390,22 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  + jnp.where(rows == i0i[None, :] + 1, w1[None, :], 0.0))
         return jnp.sum(d65_ref[:, 0:1] * pickw, axis=0)
 
+    def cmf_flat(wl_f):
+        """CIE 1931 x/y/z responses at per-lane wavelengths — same VMEM
+        iota-pick as d65_flat over cols 1:4 of the SPD table. Used by the
+        last bounce's in-kernel XYZ develop (core/spectrum.py _cie_interp
+        semantics incl. the zero-outside-range mask)."""
+        tpos = (wl_f - _WL_MIN) * (94.0 / (_WL_MAX - _WL_MIN))
+        i0 = jnp.clip(jnp.floor(tpos), 0.0, 93.0)
+        w1 = jnp.clip(tpos - i0, 0.0, 1.0)
+        i0i = i0.astype(jnp.int32)
+        ok = ((wl_f >= _WL_MIN) & (wl_f <= _WL_MAX)).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_D65_ROWS, R), 0)
+        pickw = (jnp.where(rows == i0i[None, :], 1.0 - w1[None, :], 0.0)
+                 + jnp.where(rows == i0i[None, :] + 1, w1[None, :], 0.0))
+        return [jnp.sum(d65_ref[:, k:k + 1] * pickw, axis=0) * ok
+                for k in (1, 2, 3)]
+
     def _sweep_chunk(W, A_tab, odh, mint, maxt):
         """Woop sweep of one chunk -> (tmin, A, u, v, pick). W is
         (4, 3C) in streamed mode, (3C, 4) unrolled."""
@@ -446,8 +462,19 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         tests gate whole subtrees, an SMEM stack drives uniform control
         flow, and surviving 512-face leaves are DMA'd from HBM by
         leaf_fn. cap_fn re-reads the tightening per-lane segment cap
-        (current best hit / occlusion) at every pop."""
+        (current best hit / occlusion) at every pop.
+
+        Traversal is ORDERED front-to-back: rays in a tile share a
+        direction octant (the between-bounce sort keys on it), so one
+        per-tile sign per axis picks the near child of every split, the
+        near child is pushed on top, and the tightening cap prunes the
+        far subtree — kdtree.h:2079's ordered descent, tile-uniform."""
         stk_ref[0] = jnp.int32(0)
+        # tile-dominant direction sign per axis (rays are octant-sorted,
+        # so the majority sign is almost always the unanimous sign)
+        dp0 = jnp.sum(inv3d[0]) >= 0.0
+        dp1 = jnp.sum(inv3d[1]) >= 0.0
+        dp2 = jnp.sum(inv3d[2]) >= 0.0
 
         def tcond(sp):
             return sp > 0
@@ -463,8 +490,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             @pl.when((live > 0.0) & ~leaf)
             def _():
-                stk_ref[sp] = a
-                stk_ref[sp + 1] = b
+                axis = ab_ref[node, 2]
+                alow = ab_ref[node, 3] > 0
+                dp = jax.lax.select(axis == 0, dp0,
+                                    jax.lax.select(axis == 1, dp1, dp2))
+                near_a = alow == dp
+                stk_ref[sp] = jnp.where(near_a, b, a)       # far: later
+                stk_ref[sp + 1] = jnp.where(near_a, a, b)   # near: next
 
             @pl.when((live > 0.0) & leaf)
             def _():
@@ -1143,8 +1175,23 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
         if is_last:
             # final bounce: only emission can contribute — statically skip
-            # RR, NEE, the shadow sweep, and BSDF sampling. The rng key is
-            # preserved: the spectral develop re-derives wavelengths from it
+            # RR, NEE, the shadow sweep, and BSDF sampling.
+            if spectral:
+                # in-kernel spectral develop: integrate the accumulated
+                # hero-wavelength radiance against the CIE CMFs and
+                # convert to linear sRGB rows HERE, where the table pick
+                # is a fused VMEM op — per-lane CIE gathers at develop
+                # time cost ~1 s at 4M lanes (spectrum.h:209 semantics)
+                xyz = [dzero, dzero, dzero]
+                for c in range(nc):
+                    resp = cmf_flat(to_flat(wl_d[c]))
+                    for k in range(3):
+                        xyz[k] = xyz[k] + to_dense(resp[k]) * res_[c]
+                xyz = [x * (1.0 / nc) for x in xyz]
+                from ..core.spectrum import XYZ_TO_SRGB as _M
+                res_ = [float(_M[r, 0]) * xyz[0] + float(_M[r, 1]) * xyz[1]
+                        + float(_M[r, 2]) * xyz[2] for r in range(3)]
+                res_ = res_ + [dzero] * (nc - 3)
             st_out_ref[...] = jnp.stack(
                 [dzero] * (6 + nc) + res_
                 + [dzero, dzero, key.view(jnp.float32), dzero]
@@ -1630,7 +1677,8 @@ def _build_range_bvh(boxes):
     is already the host SAH builder's leaf order (scene packing), so
     range splits recover its topology without reordering faces.
     -> (nodes (pad8(Nn), 8) f32 rows [lo3 | hi3 | 0 0],
-       ab (Nn, 2) int32 rows: internal -> child node ids; leaf ->
+       ab (Nn, 4) int32 rows: internal -> [child a, child b, split axis,
+       a_is_lower] for ordered (front-to-back) traversal; leaf ->
        a = -(leaf_idx + 1)). Padded/empty leaves carry NaN boxes, which
        fail every slab comparison and are never visited."""
     rows, ab = [], []
@@ -1642,7 +1690,7 @@ def _build_range_bvh(boxes):
         if j - i == 1:
             rows[idx] = np.concatenate([boxes[i, 0:3], boxes[i, 3:6],
                                         [0.0, 0.0]])
-            ab[idx] = (-(i + 1), 0)
+            ab[idx] = (-(i + 1), 0, 0, 0)
         else:
             m = (i + j) // 2
             a = rec(i, m)
@@ -1650,7 +1698,10 @@ def _build_range_bvh(boxes):
             lo = np.fmin(rows[a][0:3], rows[b][0:3])
             hi = np.fmax(rows[a][3:6], rows[b][3:6])
             rows[idx] = np.concatenate([lo, hi, [0.0, 0.0]])
-            ab[idx] = (a, b)
+            ca = np.nan_to_num(rows[a][0:3] + rows[a][3:6])
+            cb = np.nan_to_num(rows[b][0:3] + rows[b][3:6])
+            axis = int(np.argmax(np.abs(cb - ca)))
+            ab[idx] = (a, b, axis, int(ca[axis] <= cb[axis]))
         return idx
 
     rec(0, len(boxes))
@@ -1763,7 +1814,7 @@ class DiffusePathMegakernel:
             self.ab = jnp.asarray(ab)
         else:
             self.nodes = jnp.zeros((8, 8), jnp.float32)
-            self.ab = jnp.zeros((8, 2), jnp.int32)
+            self.ab = jnp.zeros((8, 4), jnp.int32)
 
         # scene bounds for the between-bounce morton sort keys
         bb_lo, bb_hi = scene.bbox()
@@ -2089,13 +2140,19 @@ class DiffusePathMegakernel:
             self.env = jnp.zeros((24, 8), jnp.float32)
             self.envs = jnp.zeros((24, 8), jnp.float32)
 
-        # D65 illuminant column for in-kernel emitter spectra (spectral)
+        # spectral SPD table: col 0 = D65 illuminant (in-kernel emitter
+        # spectra), cols 1:4 = CIE 1931 x/y/z CMFs (in-kernel XYZ develop
+        # at the last bounce — per-lane gathers at develop time cost ~1 s
+        # at 4M lanes on TPU, the VMEM iota-pick is ~free)
         if self.spectral:
-            from ..core.spectrum import CIE_D65_TABLE
+            from ..core.spectrum import CIE_D65_TABLE, CIE_XYZ_TABLE
             tbl = np.asarray(CIE_D65_TABLE, np.float32)      # (95,)
+            cmf = np.asarray(CIE_XYZ_TABLE, np.float32)      # (95, 3)
             d65 = np.zeros((_D65_ROWS, 8), np.float32)
-            d65[:95, :] = tbl[:, None]
-            d65[95, :] = tbl[94]
+            d65[:95, 0] = tbl
+            d65[95, 0] = tbl[94]
+            d65[:95, 1:4] = cmf
+            d65[95, 1:4] = cmf[94]
             self.d65 = jnp.asarray(d65)
         else:
             self.d65 = jnp.zeros((_D65_ROWS, 8), jnp.float32)
@@ -2345,24 +2402,16 @@ class DiffusePathMegakernel:
         # pixel w*h and sort past the real ones), then reshape-reduce
         flat = state.reshape(rows, n_pad)
         res_rows = flat[6 + self.nc:6 + 2 * self.nc]
-        key_row = flat[base_aux + 2]
         if do_sort:
             order = jnp.argsort(flat[base_aux + 4].astype(jnp.int32))
             res_rows = jnp.take(res_rows, order, axis=1)
-            if self.spectral:
-                key_row = jnp.take(key_row, order)
         vals = res_rows[:, :n]
         if self.spectral:
-            # spectral develop: re-derive the hero wavelengths from the
-            # per-path TEA key (dim 1, matching the kernel), integrate
-            # against the CIE CMFs, convert to working rgb — the same
-            # pipeline as the wavefront (integrator.py to_rgb)
-            from ..core import spectrum as spec
-            keys = jax.lax.bitcast_convert_type(key_row[:n], jnp.uint32)
-            u, _ = _rng2(keys, 1)
-            wl, _ = spec.sample_wavelength(u, self.nc)   # weight in thr
-            xyz = spec.spectrum_to_xyz(vals.T, wl)       # (n, 3)
-            rgb = spec.xyz_to_srgb(xyz).T
+            # the LAST kernel launch already integrated the hero-
+            # wavelength radiance against the CIE CMFs and wrote linear
+            # sRGB into res rows 0:3 (in-kernel develop — per-lane CIE
+            # gathers out here cost ~1 s at 4M lanes on TPU)
+            rgb = vals[:3]
         elif self.nc == 1:
             # mono: three identical output channels (wavefront develop
             # convention, tests/test_spectral.py::test_mono_render)

@@ -189,8 +189,11 @@ class SamplingIntegrator(Integrator):
         # -> working RGB (integrator.cpp:269-277)
         def to_rgb(s):
             if var.is_spectral:
-                return spec_mod.xyz_to_srgb(
-                    spec_mod.spectrum_to_xyz(s, ray.wavelengths))
+                # channel-major conversion: (n, S)-minor layouts pad the
+                # S axis to 128 lanes on TPU and the per-lane CIE gathers
+                # dominate the whole develop (see cie1931_xyz_rows)
+                return spec_mod.spectrum_to_srgb_rows(
+                    s.T, ray.wavelengths.T).T
             if var.is_monochromatic:
                 return jnp.repeat(s, 3, axis=-1)
             return s

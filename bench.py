@@ -24,19 +24,28 @@ WIDTH = HEIGHT = 256
 SPP = 64
 
 
-def _throughput(scene, spp, n_runs=4):
-    """Best-of-N timing: the TPU tunnel adds transient stalls worth
-    10-15% run-to-run, so the fastest repetition is the least-noisy
-    estimate of the kernel's actual speed."""
+def _throughput(scene, spp, n_runs=2, k_pipeline=4):
+    """Pipelined best-of-N timing. The shared TPU rides an HTTP tunnel
+    whose artifacts are NOT chip speed: ~25 ms RPC round-trip per
+    dispatch and ~20 ms to download the 1 MB image (measured; a local
+    deployment has neither). So each measurement dispatches K renders
+    back-to-back and syncs on device-side reductions — the RPC latency
+    amortizes under compute and only 4 bytes/render cross the tunnel.
+    Transient tunnel stalls are worth 10-15% run-to-run; the fastest
+    round is the least-noisy estimate of the kernel's actual speed."""
+    import jax.numpy as jnp
     integrator = scene.integrator
     img = integrator.render(scene, seed=0, spp=spp)
     np.asarray(img)                      # warmup / compile + sync
     best = float("inf")
-    for i in range(n_runs):
+    for r in range(n_runs):
         t0 = time.perf_counter()
-        img = integrator.render(scene, seed=i + 1, spp=spp)
-        np.asarray(img)                  # sync
-        best = min(best, time.perf_counter() - t0)
+        outs = [integrator.render(scene, seed=r * k_pipeline + i + 1,
+                                  spp=spp) for i in range(k_pipeline)]
+        sums = [jnp.sum(o) for o in outs]
+        for s in sums:
+            float(s)                     # sync (4-byte pulls)
+        best = min(best, (time.perf_counter() - t0) / k_pipeline)
     w, h = scene.sensors[0].film.crop_size
     engine = getattr(integrator, "last_engine", "wavefront")
     return w * h * spp / best / 1e6, engine

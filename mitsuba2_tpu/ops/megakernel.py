@@ -316,8 +316,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  acc_ref, wbuf_ref, abuf_ref, stk_ref, dsem_ref, *,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
-                 has_checker, has_bitmap, has_diel, has_plastic, env_w,
-                 env_h, streamed, carry_pixel, nc=3, spectral=False,
+                 has_checker, has_bitmap, has_ggx, has_diel, has_plastic,
+                 env_w, env_h, streamed, carry_pixel, nc=3, spectral=False,
                  p_env=0.0, env_rot=None, env_rot_inv=None, hbm=False):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
@@ -1205,12 +1205,18 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         else:
             alb = pay
         kind = to_dense(A_f[10])
-        is_ggx = (kind > 0.5) & (kind < 1.5)
-        alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
-        # conductor IOR columns are rgb-only (spectral scenes with
-        # conductors are megakernel-ineligible); clamp the channel index
-        eta_k = [to_dense(A_f[12 + min(c, 2)]) for c in range(nc)]
-        kap_k = [to_dense(A_f[15 + min(c, 2)]) for c in range(nc)]
+        # static scene-content gates: a pure-diffuse scene (Cornell) skips
+        # ~200 dense VPU ops/bounce of GGX/Fresnel math entirely
+        need_vndf = has_ggx or has_plastic
+        is_ggx = ((kind > 0.5) & (kind < 1.5)) if has_ggx \
+            else jnp.zeros_like(dzero, bool)
+        if need_vndf:
+            alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
+        if has_ggx:
+            # conductor IOR columns are rgb-only (spectral scenes with
+            # conductors are megakernel-ineligible); clamp the channel idx
+            eta_k = [to_dense(A_f[12 + min(c, 2)]) for c in range(nc)]
+            kap_k = [to_dense(A_f[15 + min(c, 2)]) for c in range(nc)]
         if has_diel or has_plastic:
             is_diel = (kind > 2.5) & (kind < 3.5)
             is_plas = (kind > 3.5) & (kind < 5.5)  # 4 smooth / 5 rough
@@ -1368,26 +1374,34 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         wox, woy, woz = to_local(dxl, dyl, dzl)
         # diffuse: f*cos = alb/pi * cos_s ; pdf = cos_s/pi
         pdf_diff_l = jnp.maximum(woz, 0.0) / _PI
-        # GGX: h = normalize(wi + wo)
-        hx_ = wix + wox
-        hy_ = wiy + woy
-        hz_ = wiz + woz
-        hinv = jax.lax.rsqrt(jnp.maximum(
-            hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
-        hx_, hy_, hz_ = hx_ * hinv, hy_ * hinv, hz_ * hinv
-        ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
-        D = _ggx_d(hz_, alpha)
-        G_s = _ggx_g1(wiz, alpha) * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
-        # f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
-        spec_common = D * G_s / jnp.maximum(4.0 * wiz, 1e-20)
-        pdf_ggx_l = _ggx_g1(wiz, alpha) * D / jnp.maximum(4.0 * wiz, 1e-20)
-        F_c = [_fresnel_cond(ci_h, eta_k[c], kap_k[c]) for c in range(nc)]
+        if need_vndf:
+            # GGX: h = normalize(wi + wo)
+            hx_ = wix + wox
+            hy_ = wiy + woy
+            hz_ = wiz + woz
+            hinv = jax.lax.rsqrt(jnp.maximum(
+                hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
+            hx_, hy_, hz_ = hx_ * hinv, hy_ * hinv, hz_ * hinv
+            ci_h = jnp.maximum(wix * hx_ + wiy * hy_ + wiz * hz_, 0.0)
+            D = _ggx_d(hz_, alpha)
+            G_s = _ggx_g1(wiz, alpha) \
+                * _ggx_g1(jnp.maximum(woz, 1e-6), alpha)
+            # f = DGF/(4 ci co); f*cos_o = DGF/(4 ci)
+            spec_common = D * G_s / jnp.maximum(4.0 * wiz, 1e-20)
+            pdf_ggx_l = _ggx_g1(wiz, alpha) * D \
+                / jnp.maximum(4.0 * wiz, 1e-20)
+            ggx_ok = (woz > 0).astype(jnp.float32)
 
-        pdf_bsdf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_diff_l)
         fcos_diff = cos_s / _PI
-        ggx_ok = (woz > 0).astype(jnp.float32)
-        f = [jnp.where(is_ggx, alb[c] * spec_common * F_c[c] * ggx_ok,
-                       alb[c] * fcos_diff) for c in range(nc)]
+        if has_ggx:
+            F_c = [_fresnel_cond(ci_h, eta_k[c], kap_k[c])
+                   for c in range(nc)]
+            pdf_bsdf_l = jnp.where(is_ggx, pdf_ggx_l, pdf_diff_l)
+            f = [jnp.where(is_ggx, alb[c] * spec_common * F_c[c] * ggx_ok,
+                           alb[c] * fcos_diff) for c in range(nc)]
+        else:
+            pdf_bsdf_l = pdf_diff_l
+            f = [alb[c] * fcos_diff for c in range(nc)]
         if has_plastic:
             # (rough)plastic NEE (plastic.cpp eval/pdf, roughplastic.cpp):
             # diffuse base behind the coating + GGX dielectric coat (rough)
@@ -1425,56 +1439,63 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         cx_, cy_ = _concentric(u_c1, u_c2)
         cz_ = jnp.sqrt(jnp.maximum(1.0 - cx_ * cx_ - cy_ * cy_, 0.0))
         pdf_diff = cz_ / _PI
-        # GGX VNDF candidate
-        vhx = alpha * wix
-        vhy = alpha * wiy
-        vhz = wiz
-        vinv = jax.lax.rsqrt(jnp.maximum(
-            vhx * vhx + vhy * vhy + vhz * vhz, 1e-20))
-        vhx, vhy, vhz = vhx * vinv, vhy * vinv, vhz * vinv
-        lensq = vhx * vhx + vhy * vhy
-        linv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
-        t1x = jnp.where(lensq > 1e-12, -vhy * linv, 1.0)
-        t1y = jnp.where(lensq > 1e-12, vhx * linv, 0.0)
-        t1z = jnp.zeros_like(t1x)
-        t2x = vhy * t1z - vhz * t1y
-        t2y = vhz * t1x - vhx * t1z
-        t2z = vhx * t1y - vhy * t1x
-        rr = jnp.sqrt(jnp.maximum(u_c1, 0.0))
-        phi = 2.0 * _PI * u_c2
-        p1 = rr * jnp.cos(phi)
-        p2 = rr * jnp.sin(phi)
-        s_ = 0.5 * (1.0 + vhz)
-        p2 = (1.0 - s_) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
-            + s_ * p2
-        pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
-        nhx = p1 * t1x + p2 * t2x + pz * vhx
-        nhy = p1 * t1y + p2 * t2y + pz * vhy
-        nhz = p1 * t1z + p2 * t2z + pz * vhz
-        mhx = alpha * nhx
-        mhy = alpha * nhy
-        mhz = jnp.maximum(nhz, 1e-6)
-        minv = jax.lax.rsqrt(mhx * mhx + mhy * mhy + mhz * mhz)
-        mhx, mhy, mhz = mhx * minv, mhy * minv, mhz * minv
-        wm_dot = wix * mhx + wiy * mhy + wiz * mhz
-        gox = 2.0 * wm_dot * mhx - wix
-        goy = 2.0 * wm_dot * mhy - wiy
-        goz = 2.0 * wm_dot * mhz - wiz
-        ggx_valid = (goz > 1e-6) & (wm_dot > 0)
-        pdf_ggx = _ggx_g1(wiz, alpha) * _ggx_d(mhz, alpha) \
-            / jnp.maximum(4.0 * wiz, 1e-20)
-        Fs_c = [_fresnel_cond(jnp.maximum(wm_dot, 0.0), eta_k[c], kap_k[c])
-                for c in range(nc)]
-        g1o = _ggx_g1(jnp.maximum(goz, 1e-6), alpha)
-        # VNDF weight = F * G1(wo) (separable Smith)
-        wsel_x = jnp.where(is_ggx, gox, cx_)
-        wsel_y = jnp.where(is_ggx, goy, cy_)
-        wsel_z = jnp.where(is_ggx, goz, cz_)
-        bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
-        ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & (cz_ > 0))
-        # full throughput multiplier (albedo folded in per lobe)
-        mm = [jnp.where(is_ggx, alb[c] * Fs_c[c] * g1o, alb[c])
-              for c in range(nc)]
+        if need_vndf:
+            # GGX VNDF candidate
+            vhx = alpha * wix
+            vhy = alpha * wiy
+            vhz = wiz
+            vinv = jax.lax.rsqrt(jnp.maximum(
+                vhx * vhx + vhy * vhy + vhz * vhz, 1e-20))
+            vhx, vhy, vhz = vhx * vinv, vhy * vinv, vhz * vinv
+            lensq = vhx * vhx + vhy * vhy
+            linv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+            t1x = jnp.where(lensq > 1e-12, -vhy * linv, 1.0)
+            t1y = jnp.where(lensq > 1e-12, vhx * linv, 0.0)
+            t1z = jnp.zeros_like(t1x)
+            t2x = vhy * t1z - vhz * t1y
+            t2y = vhz * t1x - vhx * t1z
+            t2z = vhx * t1y - vhy * t1x
+            rr = jnp.sqrt(jnp.maximum(u_c1, 0.0))
+            phi = 2.0 * _PI * u_c2
+            p1 = rr * jnp.cos(phi)
+            p2 = rr * jnp.sin(phi)
+            s_ = 0.5 * (1.0 + vhz)
+            p2 = (1.0 - s_) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+                + s_ * p2
+            pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+            nhx = p1 * t1x + p2 * t2x + pz * vhx
+            nhy = p1 * t1y + p2 * t2y + pz * vhy
+            nhz = p1 * t1z + p2 * t2z + pz * vhz
+            mhx = alpha * nhx
+            mhy = alpha * nhy
+            mhz = jnp.maximum(nhz, 1e-6)
+            minv = jax.lax.rsqrt(mhx * mhx + mhy * mhy + mhz * mhz)
+            mhx, mhy, mhz = mhx * minv, mhy * minv, mhz * minv
+            wm_dot = wix * mhx + wiy * mhy + wiz * mhz
+            gox = 2.0 * wm_dot * mhx - wix
+            goy = 2.0 * wm_dot * mhy - wiy
+            goz = 2.0 * wm_dot * mhz - wiz
+        if has_ggx:
+            ggx_valid = (goz > 1e-6) & (wm_dot > 0)
+            pdf_ggx = _ggx_g1(wiz, alpha) * _ggx_d(mhz, alpha) \
+                / jnp.maximum(4.0 * wiz, 1e-20)
+            Fs_c = [_fresnel_cond(jnp.maximum(wm_dot, 0.0),
+                                  eta_k[c], kap_k[c]) for c in range(nc)]
+            g1o = _ggx_g1(jnp.maximum(goz, 1e-6), alpha)
+            # VNDF weight = F * G1(wo) (separable Smith)
+            wsel_x = jnp.where(is_ggx, gox, cx_)
+            wsel_y = jnp.where(is_ggx, goy, cy_)
+            wsel_z = jnp.where(is_ggx, goz, cz_)
+            bsdf_pdf = jnp.where(is_ggx, pdf_ggx, pdf_diff)
+            ok_lobe = (is_ggx & ggx_valid) | (~is_ggx & (cz_ > 0))
+            # full throughput multiplier (albedo folded in per lobe)
+            mm = [jnp.where(is_ggx, alb[c] * Fs_c[c] * g1o, alb[c])
+                  for c in range(nc)]
+        else:
+            wsel_x, wsel_y, wsel_z = cx_, cy_, cz_
+            bsdf_pdf = pdf_diff
+            ok_lobe = cz_ > 0
+            mm = [alb[c] for c in range(nc)]
         # MIS pdf carried to the next emitter hit (0 => delta lobe)
         mis_pdf = bsdf_pdf
         eta_mul = done_
@@ -2010,6 +2031,7 @@ class DiffusePathMegakernel:
             self.atlas = jnp.asarray(atlas)
         else:
             self.atlas = jnp.zeros((3 * ATLAS_W, 8), jnp.float32)
+        self.has_ggx = bool((shp_kind == 1.0).any())
         self.has_diel = bool((shp_kind == 3.0).any())
         self.has_plastic = bool((shp_kind >= 4.0).any())
         self._has_c2 = self.has_checker or self.has_diel or self.has_plastic
@@ -2371,6 +2393,7 @@ class DiffusePathMegakernel:
                 has_quads=self.has_quads,
                 has_env=self.has_env, has_checker=self.has_checker,
                 has_bitmap=self.has_bitmap,
+                has_ggx=self.has_ggx,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
                 streamed=self.streamed, carry_pixel=do_sort,

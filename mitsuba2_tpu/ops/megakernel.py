@@ -63,7 +63,8 @@ MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
 # beyond MAX_FACES the face tables stay in HBM: a range-median BVH over
 # 512-face leaves is traversed per ray tile with an SMEM stack, surviving
 # leaves DMA'd into VMEM scratch and swept (kdtree.h:2079's role, tiled)
-LEAF_CHUNKS = 4          # FACE_CHUNK-chunks per HBM leaf (512 faces)
+LEAF_CHUNKS = int(_os.environ.get("MK_LEAF_CHUNKS", "4"))
+#                          FACE_CHUNK-chunks per HBM leaf (512 faces)
 MAX_FACES_HBM = 2048 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (2048 leaves)
 _STACK_DEPTH = 64
 MAX_SPHERES = 64
@@ -2372,7 +2373,19 @@ class DiffusePathMegakernel:
             octant = ((flat[3] > 0).astype(jnp.int32)
                       + 2 * (flat[4] > 0).astype(jnp.int32)
                       + 4 * (flat[5] > 0).astype(jnp.int32))
-            key = (((q[0] << 2) | (q[1] << 1) | q[2]) << 3) | octant
+            morton = (q[0] << 2) | (q[1] << 1) | q[2]
+            if self.hbm:
+                # HBM BVH tier: octant in the HIGH bits. The ordered
+                # traversal picks each split's near child from the
+                # tile-dominant direction sign, and the per-tile wedge
+                # (origin patch x direction cone) is what the node slab
+                # tests cull — a morton-first key packs tiles with
+                # mixed-direction rays whose wedge covers half the scene
+                # (measured 0.18 Mpaths/s at 262k faces); octant-first
+                # restores both assumptions.
+                key = (octant << 27) | morton
+            else:
+                key = (morton << 3) | octant
             key = jnp.where(flat[base_aux + 1] > 0.5, key,
                             jnp.int32(0x7FFFFFFF))
             order = jnp.argsort(key)

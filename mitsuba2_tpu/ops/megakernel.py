@@ -485,14 +485,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             node = stk_ref[sp]
             live = _box_live(nodes_ref, node, o3d, inv3d, mint_d,
                              cap_fn())
-            a = ab_ref[node, 0]
-            b = ab_ref[node, 1]
+            a = ab_ref[4 * node]
+            b = ab_ref[4 * node + 1]
             leaf = a < 0
 
             @pl.when((live > 0.0) & ~leaf)
             def _():
-                axis = ab_ref[node, 2]
-                alow = ab_ref[node, 3] > 0
+                axis = ab_ref[4 * node + 2]
+                alow = ab_ref[4 * node + 3] > 0
                 dp = jax.lax.select(axis == 0, dp0,
                                     jax.lax.select(axis == 1, dp1, dp2))
                 near_a = alow == dp
@@ -1833,10 +1833,13 @@ class DiffusePathMegakernel:
             nb, ab = _build_range_bvh(
                 np.concatenate([llo, lhi], 1).astype(np.float64))
             self.nodes = jnp.asarray(nb)
-            self.ab = jnp.asarray(ab)
+            # flat 1-D SMEM layout: a 2-D (Nn, 4) SMEM window pads each
+            # 16 B row to ~512 B and blows the 1 MB SMEM budget past
+            # ~1000 nodes; flat costs the true 16 B/node
+            self.ab = jnp.asarray(ab).reshape(-1)
         else:
             self.nodes = jnp.zeros((8, 8), jnp.float32)
-            self.ab = jnp.zeros((8, 4), jnp.int32)
+            self.ab = jnp.zeros((32,), jnp.int32)
 
         # scene bounds for the between-bounce morton sort keys
         bb_lo, bb_hi = scene.bbox()

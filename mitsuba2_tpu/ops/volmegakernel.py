@@ -53,6 +53,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from .megakernel import (RAY_TILE, VMEM_LIMIT, FACE_CHUNK, UNROLLED_CHUNKS,
                          _BIG, _PI, _dot3, _dotpick, _tea, _rng2, _u01,
                          _concentric, _pad8, _mis, _ggx_d, _ggx_g1,
@@ -62,8 +64,8 @@ MAX_VOL_FACES = UNROLLED_CHUNKS * FACE_CHUNK     # unrolled sweep only
 MAX_GRID_DH = 4096        # (D*H) one-hot rows per fetch (R-chunked)
 _DH_TRANSIENT = 1 << 20   # cap the (DHp, R_chunk) one-hot at ~4 MB f32
 MAX_GRID_W = 128          # x-axis must fit one lane tile of sublanes
-NULL_BUDGET = 16          # delta-tracking steps per launch
-TR_BUDGET = 16            # ratio-tracking steps per NEE walk
+NULL_BUDGET = int(_os.environ.get("VK_NULL_BUDGET", "16"))  # delta-tracking steps per launch
+TR_BUDGET = int(_os.environ.get("VK_TR_BUDGET", "16"))    # ratio-tracking steps per NEE walk
 LAUNCH_SLACK = 2          # extra launches for budget-exhausted lanes
 
 # state rows (HBM layout (_VROWS, n) float32)

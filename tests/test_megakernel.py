@@ -297,7 +297,7 @@ def test_hbm_bvh_tier(variant_scalar_rgb, monkeypatch):
                                            max_depth=3, nu=32, nv=20))
     mk = DiffusePathMegakernel(scene, interpret=True)
     assert mk.hbm and mk.streamed
-    assert int(np.asarray(mk.ab)[0, 0]) >= 0, "root should be internal"
+    assert int(np.asarray(mk.ab)[0]) >= 0, "root should be internal"
     _cmp(scene, spp=48, max_depth=3, tol=0.06)
 
 

@@ -2339,7 +2339,7 @@ class DiffusePathMegakernel:
             pl.BlockSpec(self.cab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.scab.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.nodes.shape, lambda i: (0, 0)),
-            pl.BlockSpec(self.ab.shape, lambda i: (0, 0),
+            pl.BlockSpec(self.ab.shape, lambda i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, G, 128), lambda i: (0, i, 0)),
         ]

@@ -63,9 +63,10 @@ MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
 # beyond MAX_FACES the face tables stay in HBM: a range-median BVH over
 # 512-face leaves is traversed per ray tile with an SMEM stack, surviving
 # leaves DMA'd into VMEM scratch and swept (kdtree.h:2079's role, tiled)
-LEAF_CHUNKS = int(_os.environ.get("MK_LEAF_CHUNKS", "4"))
-#                          FACE_CHUNK-chunks per HBM leaf (512 faces)
-MAX_FACES_HBM = 2048 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (2048 leaves)
+LEAF_CHUNKS = int(_os.environ.get("MK_LEAF_CHUNKS", "2"))
+#              FACE_CHUNK-chunks per HBM leaf (256 faces: measured 17%
+#              over 512-face leaves at 262k — finer leaves cull better)
+MAX_FACES_HBM = 4096 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (4096 leaves)
 _STACK_DEPTH = 64
 MAX_SPHERES = 64
 MAX_ENV_W = 256          # env table (3W, H) must stay VMEM-friendly
@@ -2282,9 +2283,15 @@ class DiffusePathMegakernel:
         film = sensor.film
         w, h = film.crop_size
         n = w * h * spp_pass
-        n_pad = int(np.ceil(n / RAY_TILE)) * RAY_TILE
-        n_tiles = n_pad // RAY_TILE
-        G = RAY_TILE // 128
+        # HBM tier: 1024-ray tiles — the tile-uniform BVH walk culls a
+        # per-tile wedge (origin patch x direction cone), and halving
+        # the tile tightens the wedge more than it costs in dispatch
+        # (measured 0.295 -> 0.362 Mpaths/s at 262k faces; 512 is below
+        # the (8, 128) min block shape)
+        tile = 1024 if self.hbm else RAY_TILE
+        n_pad = int(np.ceil(n / tile)) * tile
+        n_tiles = n_pad // tile
+        G = tile // 128
         # the 17-row lane gather costs ~130 ms at 4M lanes (column
         # gather), so re-sorting pays only when it saves sweeps that
         # cost more — i.e. the streamed many-chunk path, where it took
@@ -2426,7 +2433,7 @@ class DiffusePathMegakernel:
                 out_shape=jax.ShapeDtypeStruct(
                     (rows, n_pad // 128, 128), jnp.float32),
                 scratch_shapes=[
-                    pltpu.VMEM((8 + _FA_COLS, RAY_TILE), jnp.float32),
+                    pltpu.VMEM((8 + _FA_COLS, tile), jnp.float32),
                     pltpu.VMEM((4, LEAF_CHUNKS * 3 * C), jnp.float32),
                     pltpu.VMEM((_FA_COLS, LEAF_CHUNKS * C), jnp.float32),
                     pltpu.SMEM((_STACK_DEPTH,), jnp.int32),

@@ -56,7 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 from .megakernel import (RAY_TILE, VMEM_LIMIT, FACE_CHUNK, UNROLLED_CHUNKS,
-                         _BIG, _PI, _dot3, _dotpick, _tea, _rng2, _u01,
+                         _BIG, _PI, _dot3, _dot3T, _dotpick, _tea, _rng2,
+                         _u01,
                          _concentric, _pad8, _mis, _ggx_d, _ggx_g1,
                          _fresnel_cond, _fresnel_diel, _bsdf_columns)
 
@@ -78,13 +79,31 @@ _VFA = 24
 # k 15:18 | c2 18:21 (spec transmittance) | eta_d 21 | pad 22:24
 
 
+def _pack_grid(data):
+    """Host-side layout for _trilinear_sigma: ``(Dp, HWp)`` with z on
+    sublanes and ``y * Wp8 + x`` on lanes (x padded to a sublane
+    multiple so the kernel can split lanes into (H, Wp8) for the
+    y-lerp reduce without a relayout)."""
+    D, H, W = data.shape
+    Dp = _pad8(D)
+    Wp8 = _pad8(W)
+    HWp = int(np.ceil(H * Wp8 / 128)) * 128
+    grid = np.zeros((Dp, HWp), np.float32)
+    cols = (np.arange(H)[:, None] * Wp8 + np.arange(W)[None, :]).ravel()
+    grid[:D, cols] = data.reshape(D, H * W)
+    return grid
+
+
 def _trilinear_sigma(grid, a_rows, lx, ly, lz, D, H, W, scale):
     """Trilinear sigma_t fetch mirroring Grid3DVolume._interp
-    (grid3d.cpp clamped lerp; outside [0,1]^3 -> 0) on MXU-friendly
-    layouts: ``grid`` is ``(Wp, DHp)`` (x on sublanes, z*H+y on lanes),
-    the z/y lerp is ONE weighted one-hot matmul with rays on lanes, the
-    x lerp a mask-reduce over the 16-sublane result. Pure jnp — runs
-    identically inside the Pallas kernel and as a host-side unit test.
+    (grid3d.cpp clamped lerp; outside [0,1]^3 -> 0), factorized for the
+    MXU: ``grid`` is the _pack_grid ``(Dp, HWp)`` layout; the z-lerp is
+    one weighted one-hot matmul whose one-hot has only Dp rows (vs the
+    old D*H — that (DH, R) one-hot *build* was ~80% of the whole
+    volumetric kernel's VPU time), the y-lerp a per-lane weighted
+    segmented reduce over the (H, Wp8, R) matmul result, and the x-lerp
+    a mask-reduce over Wp8 sublanes. Pure jnp — runs identically inside
+    the Pallas kernel and as a host-side unit test.
 
     lx/ly/lz: medium-local coordinates, flat (R,) lane-major.
     a_rows: unused placeholder kept for signature stability.
@@ -105,40 +124,36 @@ def _trilinear_sigma(grid, a_rows, lx, ly, lz, D, H, W, scale):
     tx = jnp.clip(fx - ix.astype(jnp.float32), 0.0, 1.0)
     ty = jnp.clip(fy - iy.astype(jnp.float32), 0.0, 1.0)
     tz = jnp.clip(fz - iz.astype(jnp.float32), 0.0, 1.0)
-    DHp = grid.shape[1]
-    Wp = grid.shape[0]
-    r00 = iz * H + iy
-    r01 = iz * H + iy1
-    r10 = iz1 * H + iy
-    r11 = iz1 * H + iy1
-    w00 = (1.0 - tz) * (1.0 - ty)
-    w01 = (1.0 - tz) * ty
-    w10 = tz * (1.0 - ty)
-    w11 = tz * ty
+    Dp = grid.shape[0]
+    HWp = grid.shape[1]
+    Wp8 = _pad8(W)
 
     def zy_mix(sl):
-        """(Wp, |sl|) z/y-lerped planes for a lane slice (one weighted
-        one-hot matmul). Big grids (D*H > 1024) process lanes in chunks
-        so the (DHp, R_chunk) one-hot transient stays VMEM-friendly."""
-        rows = jax.lax.broadcasted_iota(jnp.int32,
-                                        (DHp, r00[sl].shape[0]), 0)
-        wrow = (jnp.where(rows == r00[sl][None, :], w00[sl][None, :], 0.0)
-                + jnp.where(rows == r01[sl][None, :], w01[sl][None, :],
-                            0.0)
-                + jnp.where(rows == r10[sl][None, :], w10[sl][None, :],
-                            0.0)
-                + jnp.where(rows == r11[sl][None, :], w11[sl][None, :],
-                            0.0))
-        return _dot3(grid, wrow)                 # (Wp, |sl|)
+        """(Wp8, |sl|) z/y-lerped planes for a lane slice. Big grids
+        process lanes in chunks so the (HWp, R_chunk) matmul transient
+        stays VMEM-friendly."""
+        n = iz[sl].shape[0]
+        rz = jax.lax.broadcasted_iota(jnp.int32, (Dp, n), 0)
+        Wz = (jnp.where(rz == iz[sl][None, :], (1.0 - tz)[sl][None, :],
+                        0.0)
+              + jnp.where(rz == iz1[sl][None, :], tz[sl][None, :], 0.0))
+        M1 = _dot3T(grid, Wz)                    # (HWp, n)
+        M1 = M1[:H * Wp8].reshape(H, Wp8, n)
+        ry = jax.lax.broadcasted_iota(jnp.int32, (H, 1, n), 0)
+        Wy = (jnp.where(ry == iy[sl][None, None, :],
+                        (1.0 - ty)[sl][None, None, :], 0.0)
+              + jnp.where(ry == iy1[sl][None, None, :],
+                          ty[sl][None, None, :], 0.0))
+        return jnp.sum(M1 * Wy, axis=0)          # (Wp8, n)
 
-    if DHp * R <= _DH_TRANSIENT:
+    if HWp * R <= _DH_TRANSIENT:
         mixed = zy_mix(slice(None))
     else:
-        rchunk = max(128, _DH_TRANSIENT // DHp)
+        rchunk = max(128, _DH_TRANSIENT // HWp)
         mixed = jnp.concatenate(
             [zy_mix(slice(c, min(c + rchunk, R)))
              for c in range(0, R, rchunk)], axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (Wp, R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Wp8, R), 0)
     wcol = (jnp.where(cols == ix[None, :], (1.0 - tx)[None, :], 0.0)
             + jnp.where(cols == ix1[None, :], tx[None, :], 0.0))
     val = jnp.sum(mixed * wcol, axis=0) * scale
@@ -162,7 +177,8 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
     woop_ref (n_chunks*3C, 4): row-major Woop table, opaque faces only.
     fattr (24, F): _VFA columns transposed.
     lt (24, L): light faces (megakernel layout).
-    grid_ref (Wp, DHp): sigma_t grid, x on sublanes, (z*H + y) on lanes.
+    grid_ref (Dp, HWp): sigma_t grid in the _pack_grid layout (z on
+        sublanes, y*Wp8+x on lanes).
     st (16, G, 128): state block; see _VROWS.
     """
     i = pl.program_id(0)
@@ -834,11 +850,7 @@ class VolPathMegakernel:
             data = np.full((2, 2, 2), v, np.float32)
         D, H, W = data.shape
         self.D, self.H, self.W = D, H, W
-        Wp = _pad8(W)
-        DHp = int(np.ceil(D * H / 128)) * 128
-        grid = np.zeros((Wp, DHp), np.float32)
-        grid[:W, :D * H] = data.reshape(D * H, W).T
-        self.grid = jnp.asarray(grid)
+        self.grid = jnp.asarray(_pack_grid(data))
 
         # opaque faces: everything except the medium-bounding null box
         g = scene.geom
@@ -1009,8 +1021,22 @@ class VolPathMegakernel:
             has_hg=self.has_hg, mis_mode=self.mis,
             has_ggx=self.has_ggx, has_diel=self.has_diel)
         # the launch index rides SMEM, so only TWO kernels compile
-        # (init + continuation) regardless of max_depth
+        # (init + continuation) regardless of max_depth.
+        # Between launches, live lanes are packed to the front (stable
+        # argsort on the aliveness bit; lanes never resurrect) so dead
+        # lanes fill whole tiles that the kernel's any_alive gate skips
+        # — launch cost tracks the live fraction, not n_pad. The
+        # permutation is composed host-side and inverted at develop, so
+        # the kernel itself never sees lane identity.
+        perm = jnp.arange(n_pad, dtype=jnp.int32)
         for launch in range(n_launches):
+            if launch > 1:
+                flat = state.reshape(_VROWS, n_pad)
+                dead = (flat[13] <= 0.5).astype(jnp.int32)
+                order = jnp.argsort(dead)
+                flat = jnp.take(flat, order, axis=1)
+                perm = jnp.take(perm, order)
+                state = flat.reshape(_VROWS, n_pad // 128, 128)
             meta = jnp.asarray(
                 [[int(0), 0, launch, 0]], jnp.int32
             ).at[0, 0].set(jnp.asarray(seed, jnp.int32)) \
@@ -1031,7 +1057,11 @@ class VolPathMegakernel:
             )(cam, meta, med, self.woop, self.fattr, self.lights,
               self.grid, state)
         flat = state.reshape(_VROWS, n_pad)
-        rgb = flat[9:12][:, :n].reshape(3, w * h, spp_pass).sum(axis=2)
+        # undo the live-lane packing: scatter-add each lane's radiance
+        # into its pixel (perm is the lane's original id)
+        pix = jnp.where(perm < n, perm // spp_pass, w * h)
+        rgb = jnp.zeros((w * h + 1, 3), jnp.float32).at[pix].add(
+            flat[9:12].T)[:w * h].T
         img = jnp.concatenate(
             [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
             axis=0)

@@ -141,16 +141,14 @@ def test_trilinear_fetch_matches_grid3d(variant_scalar_rgb):
     """The kernel's MXU trilinear fetch reproduces Grid3DVolume._interp
     exactly (same clamped-lerp semantics, ~bf16-split accuracy)."""
     import jax.numpy as jnp
-    from mitsuba2_tpu.ops.volmegakernel import _trilinear_sigma
+    from mitsuba2_tpu.ops.volmegakernel import (_trilinear_sigma,
+                                                _pack_grid)
     from mitsuba2_tpu.models.media_impl import Grid3DVolume
     rng = np.random.default_rng(7)
     data = rng.uniform(0.1, 3.0, (8, 6, 5)).astype(np.float32)
     vol = Grid3DVolume(data=data)
     D, H, W = data.shape
-    Wp = max(8, W)
-    DHp = int(np.ceil(D * H / 128)) * 128
-    grid = np.zeros((Wp, DHp), np.float32)
-    grid[:W, :D * H] = data.reshape(D * H, W).T
+    grid = _pack_grid(data)
     # points inside, near edges, and outside
     pts = rng.uniform(-0.2, 1.2, (256, 3)).astype(np.float32)
     ref = np.asarray(vol.eval_1(jnp.asarray(pts)))
@@ -273,17 +271,15 @@ def test_trilinear_fetch_chunked_big_grid(variant_scalar_rgb):
     against Grid3DVolume._interp on a 48^3 grid (lifts the kernel cap
     to 64^3-class media, VERDICT r2 #5b)."""
     import jax.numpy as jnp
-    from mitsuba2_tpu.ops.volmegakernel import _trilinear_sigma
+    from mitsuba2_tpu.ops.volmegakernel import (_trilinear_sigma,
+                                                _pack_grid)
     from mitsuba2_tpu.models.media_impl import Grid3DVolume
     rng = np.random.default_rng(11)
     data = rng.uniform(0.1, 3.0, (48, 48, 48)).astype(np.float32)
     vol = Grid3DVolume(data=data)
     D, H, W = data.shape
-    Wp = max(8, W)
-    DHp = int(np.ceil(D * H / 128)) * 128
-    assert DHp > 1024
-    grid = np.zeros((Wp, DHp), np.float32)
-    grid[:W, :D * H] = data.reshape(D * H, W).T
+    grid = _pack_grid(data)
+    assert grid.shape[0] * grid.shape[1] > 1024
     pts = rng.uniform(-0.2, 1.2, (512, 3)).astype(np.float32)
     ref = np.asarray(vol.eval_1(jnp.asarray(pts)))
     got = np.asarray(_trilinear_sigma(

@@ -55,8 +55,10 @@ class PathIntegrator(MonteCarloIntegrator):
                                         sample_base, spp_pass, spp_total)
 
     def _megakernel_for(self, scene, sensor):
+        key = (id(scene), id(sensor),
+               getattr(self, "_force_megakernel", False))
         cached = getattr(self, "_mk_cache", None)
-        if cached is not None and cached[0] == (id(scene), id(sensor)):
+        if cached is not None and cached[0] == key:
             return cached[1]
         mk = None
         reason = None
@@ -66,19 +68,22 @@ class PathIntegrator(MonteCarloIntegrator):
                                       megakernel_ineligibility)
         from ..models.sensors import PerspectiveCamera
         interpret = _jax.default_backend() != "tpu"
+        # force flag (render_multichip force_megakernel=True): CI runs
+        # the REAL mesh.py megakernel branch via interpret-mode pallas
+        force = getattr(self, "_force_megakernel", False)
         if type(self) is not PathIntegrator:
             reason = "non-path integrator subclass"
         elif type(sensor) is not PerspectiveCamera:
             reason = f"sensor {type(sensor).__name__}"
         elif sensor.shutter_open != sensor.shutter_close:
             reason = "motion blur (open shutter)"
-        elif interpret:
+        elif interpret and not force:
             reason = "non-TPU backend (tests opt in via interpret)"
         else:
             reason = megakernel_ineligibility(scene)
         if reason is None:
             try:
-                mk = DiffusePathMegakernel(scene)
+                mk = DiffusePathMegakernel(scene, interpret=interpret)
                 mk.max_depth = self.max_depth
                 mk.rr_depth = self.rr_depth
             except Exception as exc:  # observable, never silent
@@ -90,7 +95,7 @@ class PathIntegrator(MonteCarloIntegrator):
         elif reason is not None:
             _log.Log(_log.Debug, f"path: XLA wavefront engine ({reason})")
         self.engine_reason = reason
-        self._mk_cache = ((id(scene), id(sensor)), mk)
+        self._mk_cache = (key, mk)
         return mk
 
     def sample(self, scene, sampler, state, ray, medium=None, active=True):
@@ -481,8 +486,10 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
                                         sample_base, spp_pass, spp_total)
 
     def _vol_megakernel_for(self, scene, sensor):
+        key = (id(scene), id(sensor),
+               getattr(self, "_force_megakernel", False))
         cached = getattr(self, "_mk_cache", None)
-        if cached is not None and cached[0] == (id(scene), id(sensor)):
+        if cached is not None and cached[0] == key:
             return cached[1]
         mk = None
         reason = None
@@ -506,13 +513,14 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             reason = "motion blur (open shutter)"
         elif self.max_depth >= 64:
             reason = "max_depth >= 64 (static launch unroll)"
-        elif interpret:
+        elif interpret and not getattr(self, "_force_megakernel", False):
             reason = "non-TPU backend (tests opt in via interpret)"
         else:
             reason = vol_megakernel_ineligibility(scene)
         if reason is None:
             try:
-                mk = VolPathMegakernel(scene, mis=mis)
+                mk = VolPathMegakernel(scene, interpret=interpret,
+                                       mis=mis)
                 mk.max_depth = self.max_depth
                 mk.rr_depth = self.rr_depth
             except Exception as exc:  # observable, never silent
@@ -525,7 +533,7 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             _log.Log(_log.Debug, f"volpath: XLA wavefront engine "
                      f"({reason})")
         self.engine_reason = reason
-        self._mk_cache = ((id(scene), id(sensor)), mk)
+        self._mk_cache = (key, mk)
         return mk
 
     def sample(self, scene, sampler, state, ray, medium=None, active=True):

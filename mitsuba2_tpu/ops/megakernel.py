@@ -30,10 +30,15 @@ wavefront otherwise):
   scale), smooth dielectrics (two delta lobes, refraction + eta-aware
   RR), smooth plastic and rough plastic (GGX coat, constant textures),
 - emitters: area lights (NEE + power-2 MIS) and ONE lat-long envmap
-  (identity to_world, evaluated on escape with weight 1 — no env NEE;
-  a different but equally unbiased estimator than the wavefront's),
-- shapes: triangles (<= MAX_FACES in VMEM) + analytic spheres,
-- rgb mode, perspective pinhole camera, box filter, flat shading.
+  (rigid to_world rotations applied in-kernel; importance-sampled env
+  NEE via in-kernel marginal/conditional CDF inversion, MIS-complete
+  escape weights — envmap.cpp:67 + scene.cpp:165-214 semantics),
+- shapes: triangles (VMEM tables <= MAX_FACES; above that an HBM BVH
+  tier with pair-node traversal + double-buffered leaf DMA lifts the
+  cap to MAX_FACES_HBM) + analytic spheres/disks/cylinders,
+- rgb, mono, and spectral (hero-wavelength, in-kernel XYZ develop)
+  modes; perspective pinhole camera; all separable rfilters (box fast
+  path, shift-splat for gaussian/tent/mitchell/lanczos); flat shading.
 Estimator semantics otherwise match path.cpp:92-234 (NEE + power-2 MIS +
 RR after rr_depth) on the same TEA sampler substrate.
 """
@@ -315,7 +320,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  sattr_ref, qd_ref, qattr_ref, env_ref, envs_ref, atlas_ref,
                  d65_ref, cab_ref, scab_ref, nodes_ref, ab_ref,
                  st_in_ref, st_out_ref,
-                 acc_ref, wbuf_ref, abuf_ref, stk_ref, dsem_ref, *,
+                 acc_ref, wbuf_ref, abuf_ref, stk_ref, pp_ref, dsem_ref, *,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_ggx, has_diel, has_plastic,
@@ -325,7 +330,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
         axes), origin(3), tan_half_fov, pad]
-    meta_ref (1,2) SMEM int32: [seed, sample_base]
+    meta_ref (1,4) SMEM int32: [seed, sample_base, pixel_base, pad]
     woop_ref (4, n_chunks*3C): per-chunk [Wu | Wv | Wz] column blocks,
         transposed (4-row layout wastes only half a tile's sublanes vs
         124/128 lanes for the (3F, 4) layout); padded faces carry the
@@ -451,6 +456,26 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         box_hit = (t_far >= t_near) & (t_far >= mint_d) & (t_near <= cap_d)
         return jnp.sum(box_hit.astype(jnp.float32))
 
+    def _slab_pair_live(boxrow, o3d, inv3d, mint_d, cap_d):
+        """-> (live_a, live_b) overlap counts for the TWO child boxes
+        packed in one (1, 16) pair-node row (cols 0:6 and 6:12). NaN
+        boxes (empty padding leaves) fail every comparison and count 0.
+        Both tests share the per-lane ray registers, so one stack pop
+        prices two subtrees."""
+        outs = []
+        for base in (0, 6):
+            t_near = mint_d * 0.0 - _BIG
+            t_far = mint_d * 0.0 + _BIG
+            for ax in range(3):
+                ta = (boxrow[0, base + ax] - o3d[ax]) * inv3d[ax]
+                tb = (boxrow[0, base + 3 + ax] - o3d[ax]) * inv3d[ax]
+                t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
+                t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
+            hit = ((t_far >= t_near) & (t_far >= mint_d)
+                   & (t_near <= cap_d))
+            outs.append(jnp.sum(hit.astype(jnp.float32)))
+        return outs[0], outs[1]
+
     def _dense_rays(ox, oy, oz, dx, dy, dz):
         o3d = (to_dense(ox), to_dense(oy), to_dense(oz))
         inv3d = tuple(
@@ -458,55 +483,95 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                             1e-12) for v in (dx, dy, dz))
         return o3d, inv3d
 
-    def _bvh_traverse(o3d, inv3d, mint_d, cap_fn, leaf_fn):
-        """Tile-uniform BVH walk over the chunk-level range-median tree
-        (nodes_ref VMEM boxes, ab_ref SMEM child/leaf ids): per-lane slab
-        tests gate whole subtrees, an SMEM stack drives uniform control
-        flow, and surviving 512-face leaves are DMA'd from HBM by
-        leaf_fn. cap_fn re-reads the tightening per-lane segment cap
-        (current best hit / occlusion) at every pop.
+    def _bvh_traverse(o3d, inv3d, mint_d, cap_fn, start_leaf_fn,
+                      sweep_fn):
+        """Tile-uniform child-pair BVH walk with a double-buffered leaf
+        DMA pipeline (the HBM tier's kdtree.h:2079 role).
 
-        Traversal is ORDERED front-to-back: rays in a tile share a
-        direction octant (the between-bounce sort keys on it), so one
-        per-tile sign per axis picks the near child of every split, the
-        near child is pushed on top, and the tightening cap prunes the
-        far subtree — kdtree.h:2079's ordered descent, tile-uniform."""
+        The SMEM stack holds INTERNAL node ids only: each pop reads one
+        (1, 16) pair row and slab-tests BOTH children against the
+        tile's per-lane [mint, cap] segments in one vector pass —
+        halving the scalar while_loop iterations (and their VPU->SMEM
+        reduction syncs) vs a one-box-per-node walk. cap_fn re-reads
+        the tightening per-lane cap (current best hit / occlusion)
+        every pop, so ordered front-to-back descent prunes far
+        subtrees: rays in a tile share a direction octant (the
+        between-bounce sort keys on it), one per-tile sign per axis
+        picks each split's near child, far is pushed first.
+
+        Leaf children enter a 2-slot pipeline: the NEW leaf's HBM->VMEM
+        copy STARTS, then the PREVIOUS leaf — whose copy has had the
+        intervening pops to land — is swept. HBM latency hides under
+        slab tests and sweeps instead of serializing before each sweep.
+        pp_ref SMEM cells: [0] pending leaf id (<0 none), [1] next DMA
+        slot."""
         stk_ref[0] = jnp.int32(0)
+        pp_ref[0] = jnp.int32(-1)
+        pp_ref[1] = jnp.int32(0)
         # tile-dominant direction sign per axis (rays are octant-sorted,
         # so the majority sign is almost always the unanimous sign)
         dp0 = jnp.sum(inv3d[0]) >= 0.0
         dp1 = jnp.sum(inv3d[1]) >= 0.0
         dp2 = jnp.sum(inv3d[2]) >= 0.0
 
+        def encounter(leaf_id):
+            slot = pp_ref[1]
+            start_leaf_fn(leaf_id, slot)
+
+            @pl.when(pp_ref[0] >= 0)
+            def _():
+                sweep_fn(pp_ref[0], 1 - slot)
+
+            pp_ref[0] = leaf_id
+            pp_ref[1] = 1 - slot
+
         def tcond(sp):
             return sp > 0
 
         def tbody(sp):
             sp = sp - 1
-            node = stk_ref[sp]
-            live = _box_live(nodes_ref, node, o3d, inv3d, mint_d,
-                             cap_fn())
-            a = ab_ref[4 * node]
-            b = ab_ref[4 * node + 1]
-            leaf = a < 0
+            nid = stk_ref[sp]
+            boxrow = nodes_ref[pl.ds(nid, 1), :]          # (1, 16)
+            la, lb = _slab_pair_live(boxrow, o3d, inv3d, mint_d,
+                                     cap_fn())
+            a = ab_ref[4 * nid]
+            b = ab_ref[4 * nid + 1]
+            axis = ab_ref[4 * nid + 2]
+            alow = ab_ref[4 * nid + 3] > 0
+            dp = jax.lax.select(axis == 0, dp0,
+                                jax.lax.select(axis == 1, dp1, dp2))
+            near_a = alow == dp
+            n_id = jnp.where(near_a, a, b)
+            f_id = jnp.where(near_a, b, a)
+            n_live = jnp.where(near_a, la, lb) > 0.0
+            f_live = jnp.where(near_a, lb, la) > 0.0
+            push_f = f_live & (f_id >= 0)
+            push_n = n_live & (n_id >= 0)
 
-            @pl.when((live > 0.0) & ~leaf)
+            @pl.when(push_f)                   # far: popped later
             def _():
-                axis = ab_ref[4 * node + 2]
-                alow = ab_ref[4 * node + 3] > 0
-                dp = jax.lax.select(axis == 0, dp0,
-                                    jax.lax.select(axis == 1, dp1, dp2))
-                near_a = alow == dp
-                stk_ref[sp] = jnp.where(near_a, b, a)       # far: later
-                stk_ref[sp + 1] = jnp.where(near_a, a, b)   # near: next
+                stk_ref[sp] = f_id
 
-            @pl.when((live > 0.0) & leaf)
+            @pl.when(push_n)                   # near: popped next
             def _():
-                leaf_fn(-a - 1)
+                stk_ref[sp + jnp.where(push_f, 1, 0)] = n_id
 
-            return sp + jnp.where((live > 0.0) & ~leaf, 2, 0)
+            @pl.when(n_live & (n_id < 0))      # near leaf swept first
+            def _():
+                encounter(-n_id - 1)
+
+            @pl.when(f_live & (f_id < 0))
+            def _():
+                encounter(-f_id - 1)
+
+            return (sp + jnp.where(push_f, 1, 0)
+                    + jnp.where(push_n, 1, 0))
 
         jax.lax.while_loop(tcond, tbody, jnp.int32(1))
+
+        @pl.when(pp_ref[0] >= 0)               # drain the pipeline
+        def _():
+            sweep_fn(pp_ref[0], 1 - pp_ref[1])
 
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
@@ -528,23 +593,33 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             def cap():
                 return jnp.minimum(maxt_d, to_dense(acc_ref[0, :]))
 
-            def leaf(lf):
-                base = lf * LEAF_CHUNKS
-                cw = pltpu.make_async_copy(
-                    woop_ref.at[:, pl.ds(base * 3 * C,
-                                         LEAF_CHUNKS * 3 * C)],
-                    wbuf_ref, dsem_ref.at[0])
-                ca = pltpu.make_async_copy(
-                    fattr_ref.at[:, pl.ds(base * C, LEAF_CHUNKS * C)],
-                    abuf_ref, dsem_ref.at[1])
-                cw.start()
-                ca.start()
-                cw.wait()
-                ca.wait()
+            LW = LEAF_CHUNKS * 3 * C    # woop lanes per leaf slot
+            LA = LEAF_CHUNKS * C        # attr lanes per leaf slot
+
+            def _copy_w(lf, slot):
+                return pltpu.make_async_copy(
+                    woop_ref.at[:, pl.ds(lf * LW, LW)],
+                    wbuf_ref.at[:, pl.ds(slot * LW, LW)],
+                    dsem_ref.at[slot, 0])
+
+            def _copy_a(lf, slot):
+                return pltpu.make_async_copy(
+                    fattr_ref.at[:, pl.ds(lf * LA, LA)],
+                    abuf_ref.at[:, pl.ds(slot * LA, LA)],
+                    dsem_ref.at[slot, 1])
+
+            def start_leaf(lf, slot):
+                _copy_w(lf, slot).start()
+                _copy_a(lf, slot).start()
+
+            def sweep_leaf(lf, slot):
+                _copy_w(lf, slot).wait()
+                _copy_a(lf, slot).wait()
                 for k in range(LEAF_CHUNKS):
                     tmin, A, bu, bv = _sweep_chunk(
-                        wbuf_ref[:, k * 3 * C:(k + 1) * 3 * C],
-                        abuf_ref[:, k * C:(k + 1) * C], odh, mint, maxt)
+                        wbuf_ref[:, pl.ds(slot * LW + k * 3 * C, 3 * C)],
+                        abuf_ref[:, pl.ds(slot * LA + k * C, C)],
+                        odh, mint, maxt)
                     closer = tmin < acc_ref[0, :]
                     acc_ref[0, :] = jnp.where(closer, tmin, acc_ref[0, :])
                     acc_ref[8:8 + _FA_COLS, :] = jnp.where(
@@ -555,7 +630,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                         acc_ref[2, :] = jnp.where(closer, bv,
                                                   acc_ref[2, :])
 
-            _bvh_traverse(o3d, inv3d, mint_d, cap, leaf)
+            _bvh_traverse(o3d, inv3d, mint_d, cap, start_leaf,
+                          sweep_leaf)
             t_best = acc_ref[0, :]
             A_best = acc_ref[8:8 + _FA_COLS, :]
             bu_best = acc_ref[1, :] if need_bary else zero
@@ -790,20 +866,26 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 return jnp.where(to_dense(acc_ref[3, :]) > 0.0, -_BIG,
                                  maxt_d)
 
-            def leaf(lf):
-                base = lf * LEAF_CHUNKS
-                cw = pltpu.make_async_copy(
-                    woop_ref.at[:, pl.ds(base * 3 * C,
-                                         LEAF_CHUNKS * 3 * C)],
-                    wbuf_ref, dsem_ref.at[0])
-                cw.start()
-                cw.wait()
+            LW = LEAF_CHUNKS * 3 * C
+
+            def _copy_w(lf, slot):
+                return pltpu.make_async_copy(
+                    woop_ref.at[:, pl.ds(lf * LW, LW)],
+                    wbuf_ref.at[:, pl.ds(slot * LW, LW)],
+                    dsem_ref.at[slot, 0])
+
+            def start_leaf(lf, slot):
+                _copy_w(lf, slot).start()
+
+            def sweep_leaf(lf, slot):
+                _copy_w(lf, slot).wait()
                 for k in range(LEAF_CHUNKS):
                     acc_ref[3, :] = acc_ref[3, :] + _shadow_chunk(
-                        wbuf_ref[:, k * 3 * C:(k + 1) * 3 * C], odh,
-                        mint, maxt)
+                        wbuf_ref[:, pl.ds(slot * LW + k * 3 * C, 3 * C)],
+                        odh, mint, maxt)
 
-            _bvh_traverse(o3d, inv3d, mint_d, cap, leaf)
+            _bvh_traverse(o3d, inv3d, mint_d, cap, start_leaf,
+                          sweep_leaf)
             cnt = acc_ref[3, :]
         elif streamed:
             acc_ref[3, :] = zero
@@ -990,7 +1072,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         lnn = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
         lane = i * R + sub * 128 + lnn
         lane_ok = lane < n_lanes
-        pixel = lane // spp_pass
+        # pixel_base (meta col 2) shifts the pixel ids for band renders
+        # (pixel-sharded multichip): the TEA chain keys on the GLOBAL
+        # pixel id, so band renders reproduce the full-film samples
+        pixel = lane // spp_pass + meta_ref[0, 2]
         samp = lane % spp_pass + meta_ref[0, 1]
         px = (pixel % width).astype(jnp.float32)
         py = (pixel // width).astype(jnp.float32)
@@ -1696,42 +1781,51 @@ def _pad8(x):
 
 
 def _build_range_bvh(boxes):
-    """Range-median binary BVH over contiguous leaf boxes. The face order
-    is already the host SAH builder's leaf order (scene packing), so
-    range splits recover its topology without reordering faces.
-    -> (nodes (pad8(Nn), 8) f32 rows [lo3 | hi3 | 0 0],
-       ab (Nn, 4) int32 rows: internal -> [child a, child b, split axis,
-       a_is_lower] for ordered (front-to-back) traversal; leaf ->
-       a = -(leaf_idx + 1)). Padded/empty leaves carry NaN boxes, which
-       fail every slab comparison and are never visited."""
+    """Range-median binary BVH over contiguous leaf boxes, PAIR-NODE
+    layout: every row describes an INTERNAL node and carries BOTH
+    children's boxes, so one stack pop slab-tests two subtrees (half the
+    scalar while_loop iterations of a one-box-per-node walk). The face
+    order is already the host SAH builder's leaf order (scene packing),
+    so range splits recover its topology without reordering faces.
+    -> (nodes (pad8(Nn), 16) f32 rows [Alo3 Ahi3 | Blo3 Bhi3 | pad4],
+       ab (Nn, 4) int32 rows [ref a, ref b, split axis, a_is_lower]
+       where ref >= 0 is an internal node id and ref < 0 encodes leaf
+       -(leaf_idx + 1)). Padded/empty leaves carry NaN boxes, which fail
+       every slab comparison and are never visited. Nn = n_leaves - 1
+       (vs 2n-1 single-box nodes), halving the SMEM child table too."""
     rows, ab = [], []
 
     def rec(i, j):
+        """-> (ref, box6) for the leaf range [i, j)."""
+        if j - i == 1:
+            return -(i + 1), boxes[i, :6]
         idx = len(rows)
         rows.append(None)
         ab.append(None)
-        if j - i == 1:
-            rows[idx] = np.concatenate([boxes[i, 0:3], boxes[i, 3:6],
-                                        [0.0, 0.0]])
-            ab[idx] = (-(i + 1), 0, 0, 0)
-        else:
-            m = (i + j) // 2
-            a = rec(i, m)
-            b = rec(m, j)
-            lo = np.fmin(rows[a][0:3], rows[b][0:3])
-            hi = np.fmax(rows[a][3:6], rows[b][3:6])
-            rows[idx] = np.concatenate([lo, hi, [0.0, 0.0]])
-            ca = np.nan_to_num(rows[a][0:3] + rows[a][3:6])
-            cb = np.nan_to_num(rows[b][0:3] + rows[b][3:6])
-            axis = int(np.argmax(np.abs(cb - ca)))
-            ab[idx] = (a, b, axis, int(ca[axis] <= cb[axis]))
-        return idx
+        m = (i + j) // 2
+        ra, boxa = rec(i, m)
+        rb, boxb = rec(m, j)
+        rows[idx] = np.concatenate([boxa, boxb, [0.0] * 4])
+        ca = np.nan_to_num(boxa[0:3] + boxa[3:6])
+        cb = np.nan_to_num(boxb[0:3] + boxb[3:6])
+        axis = int(np.argmax(np.abs(cb - ca)))
+        ab[idx] = (ra, rb, axis, int(ca[axis] <= cb[axis]))
+        # fmin/fmax skip NaN (empty padding subtrees don't poison unions)
+        union = np.concatenate([np.fmin(boxa[0:3], boxb[0:3]),
+                                np.fmax(boxa[3:6], boxb[3:6])])
+        return idx, union
 
-    rec(0, len(boxes))
-    nb = np.asarray(rows, np.float32)
+    if len(boxes) == 1:
+        # degenerate single-leaf tree: pair it with a NaN (never-live) box
+        rows.append(np.concatenate([boxes[0, :6], [np.nan] * 6,
+                                    [0.0] * 4]))
+        ab.append((-1, -1, 0, 1))
+    else:
+        rec(0, len(boxes))
+    nb = np.asarray(rows, np.float32).reshape(len(rows), 16)
     pad = _pad8(len(nb)) - len(nb)
     if pad:
-        nb = np.concatenate([nb, np.full((pad, 8), np.nan, np.float32)])
+        nb = np.concatenate([nb, np.full((pad, 16), np.nan, np.float32)])
     return nb, np.asarray(ab, np.int32)
 
 
@@ -1839,7 +1933,7 @@ class DiffusePathMegakernel:
             # ~1000 nodes; flat costs the true 16 B/node
             self.ab = jnp.asarray(ab).reshape(-1)
         else:
-            self.nodes = jnp.zeros((8, 8), jnp.float32)
+            self.nodes = jnp.zeros((8, 16), jnp.float32)
             self.ab = jnp.zeros((32,), jnp.int32)
 
         # scene bounds for the between-bounce morton sort keys
@@ -2279,10 +2373,16 @@ class DiffusePathMegakernel:
             static = static.at[:len(self._sph_shape_idx), 18:21].set(c1)
         return static.T
 
-    def render_pass(self, sensor, seed, sample_base, spp_pass):
+    def render_pass(self, sensor, seed, sample_base, spp_pass,
+                    row0=0, n_rows=None):
+        """Render spp_pass samples/pixel. row0/n_rows select a horizontal
+        band (pixel-sharded multichip): lanes cover rows [row0,
+        row0+n_rows) but the TEA chain keys on GLOBAL pixel ids, so a
+        band render reproduces exactly the full film's samples."""
         film = sensor.film
         w, h = film.crop_size
-        n = w * h * spp_pass
+        n_rows = h if n_rows is None else n_rows
+        n = w * n_rows * spp_pass
         # HBM tier: 1024-ray tiles — the tile-uniform BVH walk culls a
         # per-tile wedge (origin patch x direction cone), and halving
         # the tile tightens the wedge more than it costs in dispatch
@@ -2316,7 +2416,9 @@ class DiffusePathMegakernel:
             jnp.asarray([tan_half], jnp.float32),
             jnp.zeros(3, jnp.float32)])[None]
         meta = jnp.stack([jnp.asarray(seed, jnp.int32),
-                          jnp.asarray(sample_base, jnp.int32)])[None]
+                          jnp.asarray(sample_base, jnp.int32),
+                          jnp.asarray(row0 * w, jnp.int32),
+                          jnp.asarray(0, jnp.int32)])[None]
         if self.hbm:
             # face tables stay in HBM; leaves are DMA'd by the traversal
             woop_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -2328,7 +2430,7 @@ class DiffusePathMegakernel:
         in_specs = [
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             woop_spec,
             fattr_spec,
@@ -2434,10 +2536,13 @@ class DiffusePathMegakernel:
                     (rows, n_pad // 128, 128), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((8 + _FA_COLS, tile), jnp.float32),
-                    pltpu.VMEM((4, LEAF_CHUNKS * 3 * C), jnp.float32),
-                    pltpu.VMEM((_FA_COLS, LEAF_CHUNKS * C), jnp.float32),
+                    # 2 leaf slots (double-buffered HBM->VMEM pipeline)
+                    pltpu.VMEM((4, 2 * LEAF_CHUNKS * 3 * C), jnp.float32),
+                    pltpu.VMEM((_FA_COLS, 2 * LEAF_CHUNKS * C),
+                               jnp.float32),
                     pltpu.SMEM((_STACK_DEPTH,), jnp.int32),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SMEM((2,), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2, 2)),
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=VMEM_LIMIT),
@@ -2467,11 +2572,12 @@ class DiffusePathMegakernel:
         rfilter = sensor.film.rfilter
         from ..models.rfilters import BoxFilter
         if isinstance(rfilter, BoxFilter):
-            rgb = rgb.reshape(3, w * h, spp_pass).sum(axis=2)
+            rgb = rgb.reshape(3, w * n_rows, spp_pass).sum(axis=2)
             img = jnp.concatenate(
-                [rgb, jnp.full((1, w * h), float(spp_pass), jnp.float32)],
+                [rgb, jnp.full((1, w * n_rows), float(spp_pass),
+                               jnp.float32)],
                 axis=0)
-            return img.T.reshape(h, w, 4)
+            return img.T.reshape(n_rows, w, 4)
         # --- general reconstruction filters (the reference default is
         # gaussian, hdrfilm.cpp:52): separable shift-splat. The per-tap
         # filter weight depends only on the subpixel jitter, which is
@@ -2480,7 +2586,8 @@ class DiffusePathMegakernel:
         # statically-shifted add into the bordered block — no scatter,
         # kernel unchanged (imageblock.cpp:62 semantics).
         lane = jnp.arange(n, dtype=jnp.uint32)
-        pixel = lane // jnp.uint32(spp_pass)
+        pixel = (lane // jnp.uint32(spp_pass)
+                 + jnp.asarray(row0 * w).astype(jnp.uint32))  # global id
         samp = (lane % jnp.uint32(spp_pass)
                 + jnp.asarray(sample_base, jnp.uint32))
         mixed, _ = _tea(pixel, samp, 4)
@@ -2494,14 +2601,15 @@ class DiffusePathMegakernel:
               for o in range(-b, b + 1)]
         vals4 = jnp.concatenate([rgb, jnp.ones((1, n), jnp.float32)],
                                 axis=0)
-        acc = jnp.zeros((h + 2 * b, w + 2 * b, 4), jnp.float32)
+        acc = jnp.zeros((n_rows + 2 * b, w + 2 * b, 4), jnp.float32)
         for ti, oy in enumerate(range(-b, b + 1)):
             for tj, ox in enumerate(range(-b, b + 1)):
                 wgt = fx[tj] * fy[ti]
                 tap = (vals4 * wgt[None, :]).reshape(
-                    4, w * h, spp_pass).sum(axis=2)
-                acc = acc.at[b + oy:b + oy + h,
-                             b + ox:b + ox + w].add(tap.T.reshape(h, w, 4))
+                    4, w * n_rows, spp_pass).sum(axis=2)
+                acc = acc.at[b + oy:b + oy + n_rows,
+                             b + ox:b + ox + w].add(
+                    tap.T.reshape(n_rows, w, 4))
         return acc
 
 

@@ -366,23 +366,34 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
 
         # ---- delta-tracking free flight (volpath.cpp:123-151; scalar
         # extinction collapses all weights to albedo-on-real) ----
+        # The candidate positions t_k = tb0 + sum_{i<=k} dt_i are
+        # RNG-ONLY (the walk advances past null collisions and the
+        # fetches after escape/scatter are masked out), so ALL
+        # NULL_BUDGET sigma fetches run as ONE batched trilinear call —
+        # a single wide one-hot matmul chain instead of NULL_BUDGET
+        # serialized MXU/VPU round trips — and the accept/scatter scan
+        # then runs on registers. Estimator and RNG stream identical to
+        # the sequential walk.
+        inv_maj = 1.0 / maj
+        t_cum = tb0
+        tcands = []
+        u_reals = []
+        for step in range(NULL_BUDGET):
+            u_dt, u_real = rng2(dim0 + step)
+            dt = -jnp.log(jnp.maximum(1.0 - to_dense(u_dt), 1e-38)) \
+                * inv_maj
+            t_cum = jnp.minimum(t_cum + dt, _BIG)
+            tcands.append(t_cum)
+            u_reals.append(to_dense(u_real))
+        sig_all = _batched_sigma(ox, oy, oz, dx, dy, dz, tcands)
         walking = in_medium
         t_cur = tb0
         scattered = jnp.zeros_like(walking)
         t_scat = dzero
-        inv_maj = 1.0 / maj
         for step in range(NULL_BUDGET):
-            u_dt, u_real = rng2(dim0 + step)
-            u_dt_d, u_real_d = to_dense(u_dt), to_dense(u_real)
-            dt = -jnp.log(jnp.maximum(1.0 - u_dt_d, 1e-38)) * inv_maj
-            t_cand = jnp.minimum(t_cur + dt, _BIG)
+            t_cand = tcands[step]
             esc = t_cand > cap
-            pxs = ox + t_cand * dx
-            pys = oy + t_cand * dy
-            pzs = oz + t_cand * dz
-            sig = to_dense(fetch_sigma(to_flat(pxs), to_flat(pys),
-                                       to_flat(pzs)))
-            real = u_real_d < sig * inv_maj
+            real = u_reals[step] < sig_all[step] * inv_maj
             new_scat = walking & ~esc & real
             scattered = scattered | new_scat
             t_scat = jnp.where(new_scat, t_cand, t_scat)

@@ -31,9 +31,14 @@ def default_mesh(devices=None, axis_name: str = "chips") -> Mesh:
 
 
 def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
-                     axis_name: str = "chips", develop=True):
+                     axis_name: str = "chips", develop=True,
+                     force_megakernel=False):
     """Sample-axis-sharded render: each chip renders spp/n samples of the
-    full film; blocks psum-reduce over the mesh."""
+    full film; blocks psum-reduce over the mesh.
+
+    force_megakernel: route through the megakernel branch even off-TPU
+    (interpret-mode pallas) — CI exercises THIS function's kernel branch
+    on the virtual CPU mesh instead of a hand-copied facsimile."""
     if isinstance(sensor, int):
         sensor = scene.sensors[sensor]
     integrator = scene.integrator
@@ -52,10 +57,16 @@ def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
     # shard_map directly on TPU; each chip renders spp/n samples through
     # the same pallas_call and only the film psum rides the ICI
     mk = None
-    if jax.default_backend() == "tpu" \
+    if (jax.default_backend() == "tpu" or force_megakernel) \
             and hasattr(integrator, "_megakernel_for") \
             and not getattr(integrator, "_disable_megakernel", False):
-        mk = integrator._megakernel_for(scene, sensor)
+        if force_megakernel:
+            integrator._force_megakernel = True
+        try:
+            mk = integrator._megakernel_for(scene, sensor)
+        finally:
+            if force_megakernel:
+                integrator._force_megakernel = False
 
     if mk is not None:
         # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry
@@ -107,10 +118,15 @@ def render_multichip(scene, sensor=0, seed=0, spp=None, mesh=None,
 
 
 def render_multichip_pixel_sharded(scene, sensor=0, seed=0, spp=None,
-                                   mesh=None, axis_name: str = "chips"):
+                                   mesh=None, axis_name: str = "chips",
+                                   force_megakernel=False):
     """Pixel-axis sharding: each chip renders a horizontal band of the film
     (no cross-chip reduction; bands concatenate on the host). Border rows
-    overlap by the filter radius so splats crossing band edges stay exact."""
+    overlap by the filter radius so splats crossing band edges stay exact.
+
+    Eligible scenes ride the megakernel per band (render_pass row0/n_rows
+    band support — the TEA chain keys on global pixel ids, so the union
+    of bands is sample-for-sample the single-chip render)."""
     if isinstance(sensor, int):
         sensor = scene.sensors[sensor]
     integrator = scene.integrator
@@ -129,6 +145,42 @@ def render_multichip_pixel_sharded(scene, sensor=0, seed=0, spp=None,
     from ..render.film import ImageBlock
     block_full = ImageBlock((w, h), 3, film.rfilter)
     b = block_full.border
+
+    mk = None
+    if (jax.default_backend() == "tpu" or force_megakernel) \
+            and hasattr(integrator, "_megakernel_for") \
+            and not getattr(integrator, "_disable_megakernel", False):
+        if force_megakernel:
+            integrator._force_megakernel = True
+        try:
+            mk = integrator._megakernel_for(scene, sensor)
+        finally:
+            if force_megakernel:
+                integrator._force_megakernel = False
+
+    if mk is not None:
+        from ..models.rfilters import BoxFilter
+        is_box = isinstance(film.rfilter, BoxFilter)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
+                 out_specs=P(axis_name), check_vma=False)
+        def shard_fn(dev_ids):
+            row0 = dev_ids[0] * jnp.int32(band_h)
+            img = mk.render_pass(sensor, jnp.int32(seed), 0, spp,
+                                 row0=row0, n_rows=band_h)
+            return img[None]
+
+        integrator.last_engine = "megakernel"
+        bands = np.asarray(jax.jit(shard_fn)(
+            jnp.arange(n_dev, dtype=jnp.int32)))
+        if is_box:   # (n_dev, band_h, w, 4) — no border overlap
+            full = bands.reshape(h, w, 4)
+            return full[..., :3] / np.maximum(full[..., 3:], 1e-20)
+        full = np.zeros((h + 2 * b, w + 2 * b, 4), np.float32)
+        for i in range(n_dev):
+            full[i * band_h:i * band_h + band_h + 2 * b] += bands[i]
+        core = full[b:b + h, b:b + w]
+        return core[..., :3] / np.maximum(core[..., 3:], 1e-20)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
              out_specs=P(axis_name))

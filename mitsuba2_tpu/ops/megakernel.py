@@ -58,6 +58,10 @@ RAY_TILE = int(_os.environ.get("MK_TILE", "2048"))
 # ablation knobs (perf analysis only — bias the image when set)
 _ABL_NO_SHADOW = _os.environ.get("MK_NO_SHADOW") == "1"
 _ABL_NO_NEE = _os.environ.get("MK_NO_NEE") == "1"
+_ABL_NO_ENVNEE = _os.environ.get("MK_NO_ENVNEE") == "1"
+# profiling: HBM-tier traversal counters ride the result channels
+# (image becomes [node pops, leaf encounters, row sweeps] totals)
+_ABL_SWEEP_STATS = _os.environ.get("MK_SWEEP_STATS") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -415,9 +419,11 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     def _sweep_chunk(W, A_tab, odh, mint, maxt):
         """Woop sweep of one chunk -> (tmin, A, u, v, pick). W is
-        (4, 3C) in streamed mode, (3C, 4) unrolled."""
-        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2R)
-        O3, D3 = OD[:, :R], OD[:, R:]
+        (4, 3C) in streamed mode, (3C, 4) unrolled. Lane count comes
+        from ``odh`` so subgroup (128-lane) sweeps reuse this body."""
+        Rl = odh.shape[1] // 2
+        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2Rl)
+        O3, D3 = OD[:, :Rl], OD[:, Rl:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
         dz_ok = jnp.abs(DZ) > 1e-12
@@ -427,18 +433,18 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= mint[None, :]) & (t <= maxt[None, :]))
         t = jnp.where(ok, t, _BIG)
-        tmin = jnp.min(t, axis=0)                     # (R,)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
+        tmin = jnp.min(t, axis=0)                     # (Rl,)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (C, Rl), 0)
         cand = jnp.where((t <= tmin[None, :]) & ok, ids,
                          jnp.int32(0x7FFFFFFF))
         kmin = jnp.min(cand, axis=0)
         pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
-        A = _dotpick(A_tab, pick)                     # (40, R)
+        A = _dotpick(A_tab, pick)                     # (40, Rl)
         if need_bary:
             bu = jnp.sum(pick * u, axis=0)
             bv = jnp.sum(pick * v, axis=0)
         else:
-            bu = bv = zero
+            bu = bv = jnp.zeros((Rl,), jnp.float32)
         return tmin, A, bu, bv
 
     def _box_live(bref, idx, o3d, inv3d, mint_d, cap_d):
@@ -457,11 +463,19 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         return jnp.sum(box_hit.astype(jnp.float32))
 
     def _slab_pair_live(boxrow, o3d, inv3d, mint_d, cap_d):
-        """-> (live_a, live_b) overlap counts for the TWO child boxes
-        packed in one (1, 16) pair-node row (cols 0:6 and 6:12). NaN
-        boxes (empty padding leaves) fail every comparison and count 0.
-        Both tests share the per-lane ray registers, so one stack pop
-        prices two subtrees."""
+        """-> (mask_a, mask_b) int32 PER-ROW live bitmasks (bit q set
+        iff some ray in dense row q — 128 consecutive sorted lanes —
+        overlaps the box) for the TWO child boxes packed in one (1, 16)
+        pair-node row (cols 0:6 and 6:12). NaN boxes (empty padding
+        leaves) fail every comparison and mask to 0. Row-granular
+        liveness is what keeps the tile walk's sweep work near the
+        128-ray wedge instead of the full-tile union (the r3 verdict's
+        `_box_live` ceiling): a leaf is only swept against rows whose
+        own rays overlap it."""
+        Gd = mint_d.shape[0]
+        # per-row bit positions via int32 iota (Mosaic lowers int iota
+        # on the sublane axis; f32 iota and captured np constants don't)
+        qbit = jax.lax.broadcasted_iota(jnp.int32, (Gd, 1), 0)
         outs = []
         for base in (0, 6):
             t_near = mint_d * 0.0 - _BIG
@@ -473,7 +487,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
             hit = ((t_far >= t_near) & (t_far >= mint_d)
                    & (t_near <= cap_d))
-            outs.append(jnp.sum(hit.astype(jnp.float32)))
+            rows = jnp.max(hit.astype(jnp.int32), axis=1,
+                           keepdims=True)          # (Gd, 1)
+            outs.append(jnp.sum(rows << qbit))
         return outs[0], outs[1]
 
     def _dense_rays(ox, oy, oz, dx, dy, dz):
@@ -503,27 +519,37 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         copy STARTS, then the PREVIOUS leaf — whose copy has had the
         intervening pops to land — is swept. HBM latency hides under
         slab tests and sweeps instead of serializing before each sweep.
+        Each pending leaf carries its per-row live bitmask so the sweep
+        touches only the 128-ray rows that actually overlap the leaf.
         pp_ref SMEM cells: [0] pending leaf id (<0 none), [1] next DMA
-        slot."""
+        slot, [2] pending leaf's row mask."""
         stk_ref[0] = jnp.int32(0)
         pp_ref[0] = jnp.int32(-1)
         pp_ref[1] = jnp.int32(0)
+        pp_ref[2] = jnp.int32(0)
         # tile-dominant direction sign per axis (rays are octant-sorted,
         # so the majority sign is almost always the unanimous sign)
         dp0 = jnp.sum(inv3d[0]) >= 0.0
         dp1 = jnp.sum(inv3d[1]) >= 0.0
         dp2 = jnp.sum(inv3d[2]) >= 0.0
 
-        def encounter(leaf_id):
+        def encounter(leaf_id, mask):
             slot = pp_ref[1]
             start_leaf_fn(leaf_id, slot)
 
             @pl.when(pp_ref[0] >= 0)
             def _():
-                sweep_fn(pp_ref[0], 1 - slot)
+                sweep_fn(pp_ref[0], 1 - slot, pp_ref[2])
 
             pp_ref[0] = leaf_id
             pp_ref[1] = 1 - slot
+            pp_ref[2] = mask
+            if _ABL_SWEEP_STATS:
+                pp_ref[4] = pp_ref[4] + 1
+                pc = jnp.int32(0)
+                for q in range(G):
+                    pc = pc + ((mask >> q) & 1)
+                pp_ref[5] = pp_ref[5] + pc
 
         def tcond(sp):
             return sp > 0
@@ -531,6 +557,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         def tbody(sp):
             sp = sp - 1
             nid = stk_ref[sp]
+            if _ABL_SWEEP_STATS:
+                pp_ref[3] = pp_ref[3] + 1
             boxrow = nodes_ref[pl.ds(nid, 1), :]          # (1, 16)
             la, lb = _slab_pair_live(boxrow, o3d, inv3d, mint_d,
                                      cap_fn())
@@ -543,8 +571,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             near_a = alow == dp
             n_id = jnp.where(near_a, a, b)
             f_id = jnp.where(near_a, b, a)
-            n_live = jnp.where(near_a, la, lb) > 0.0
-            f_live = jnp.where(near_a, lb, la) > 0.0
+            n_mask = jnp.where(near_a, la, lb)
+            f_mask = jnp.where(near_a, lb, la)
+            n_live = n_mask != 0
+            f_live = f_mask != 0
             push_f = f_live & (f_id >= 0)
             push_n = n_live & (n_id >= 0)
 
@@ -558,11 +588,11 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             @pl.when(n_live & (n_id < 0))      # near leaf swept first
             def _():
-                encounter(-n_id - 1)
+                encounter(-n_id - 1, n_mask)
 
             @pl.when(f_live & (f_id < 0))
             def _():
-                encounter(-f_id - 1)
+                encounter(-f_id - 1, f_mask)
 
             return (sp + jnp.where(push_f, 1, 0)
                     + jnp.where(push_n, 1, 0))
@@ -571,7 +601,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
         @pl.when(pp_ref[0] >= 0)               # drain the pipeline
         def _():
-            sweep_fn(pp_ref[0], 1 - pp_ref[1])
+            sweep_fn(pp_ref[0], 1 - pp_ref[1], pp_ref[2])
 
     def closest_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
         """Chunked triangle + sphere closest hit over face-major (C, R)
@@ -612,23 +642,41 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 _copy_w(lf, slot).start()
                 _copy_a(lf, slot).start()
 
-            def sweep_leaf(lf, slot):
-                _copy_w(lf, slot).wait()
-                _copy_a(lf, slot).wait()
+            # per-row (128-lane) ray slices for the subgroup sweeps
+            odh_sub = [jnp.concatenate(
+                [odh[:, q * 128:(q + 1) * 128],
+                 odh[:, R + q * 128:R + (q + 1) * 128]], axis=1)
+                for q in range(G)]
+
+            def _sweep_q(q, slot):
+                sl = pl.ds(q * 128, 128)
                 for k in range(LEAF_CHUNKS):
                     tmin, A, bu, bv = _sweep_chunk(
-                        wbuf_ref[:, pl.ds(slot * LW + k * 3 * C, 3 * C)],
+                        wbuf_ref[:, pl.ds(
+                            slot * LW + k * 3 * C, 3 * C)],
                         abuf_ref[:, pl.ds(slot * LA + k * C, C)],
-                        odh, mint, maxt)
-                    closer = tmin < acc_ref[0, :]
-                    acc_ref[0, :] = jnp.where(closer, tmin, acc_ref[0, :])
-                    acc_ref[8:8 + _FA_COLS, :] = jnp.where(
-                        closer[None, :], A, acc_ref[8:8 + _FA_COLS, :])
+                        odh_sub[q],
+                        mint[q * 128:(q + 1) * 128],
+                        maxt[q * 128:(q + 1) * 128])
+                    closer = tmin < acc_ref[0, sl]
+                    acc_ref[0, sl] = jnp.where(
+                        closer, tmin, acc_ref[0, sl])
+                    acc_ref[8:8 + _FA_COLS, sl] = jnp.where(
+                        closer[None, :], A,
+                        acc_ref[8:8 + _FA_COLS, sl])
                     if need_bary:
-                        acc_ref[1, :] = jnp.where(closer, bu,
-                                                  acc_ref[1, :])
-                        acc_ref[2, :] = jnp.where(closer, bv,
-                                                  acc_ref[2, :])
+                        acc_ref[1, sl] = jnp.where(
+                            closer, bu, acc_ref[1, sl])
+                        acc_ref[2, sl] = jnp.where(
+                            closer, bv, acc_ref[2, sl])
+
+            def sweep_leaf(lf, slot, mask):
+                _copy_w(lf, slot).wait()
+                _copy_a(lf, slot).wait()
+                for q in range(G):
+                    @pl.when((mask >> q) & 1 != 0)
+                    def _(q=q):
+                        _sweep_q(q, slot)
 
             _bvh_traverse(o3d, inv3d, mint_d, cap, start_leaf,
                           sweep_leaf)
@@ -836,8 +884,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     def _shadow_chunk(W, odh, mint, maxt):
         """Occlusion count of one chunk (no argmin/pick epilogue)."""
-        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2R)
-        O3, D3 = OD[:, :R], OD[:, R:]
+        Rl = odh.shape[1] // 2
+        OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2Rl)
+        O3, D3 = OD[:, :Rl], OD[:, Rl:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
         dz_ok = jnp.abs(DZ) > 1e-12
@@ -877,12 +926,25 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             def start_leaf(lf, slot):
                 _copy_w(lf, slot).start()
 
-            def sweep_leaf(lf, slot):
+            odh_sub = [jnp.concatenate(
+                [odh[:, q * 128:(q + 1) * 128],
+                 odh[:, R + q * 128:R + (q + 1) * 128]], axis=1)
+                for q in range(G)]
+
+            def sweep_leaf(lf, slot, mask):
                 _copy_w(lf, slot).wait()
-                for k in range(LEAF_CHUNKS):
-                    acc_ref[3, :] = acc_ref[3, :] + _shadow_chunk(
-                        wbuf_ref[:, pl.ds(slot * LW + k * 3 * C, 3 * C)],
-                        odh, mint, maxt)
+                for q in range(G):
+                    @pl.when((mask >> q) & 1 != 0)
+                    def _(q=q):
+                        sl = pl.ds(q * 128, 128)
+                        for k in range(LEAF_CHUNKS):
+                            acc_ref[3, sl] = acc_ref[3, sl] \
+                                + _shadow_chunk(
+                                    wbuf_ref[:, pl.ds(
+                                        slot * LW + k * 3 * C, 3 * C)],
+                                    odh_sub[q],
+                                    mint[q * 128:(q + 1) * 128],
+                                    maxt[q * 128:(q + 1) * 128])
 
             _bvh_traverse(o3d, inv3d, mint_d, cap, start_leaf,
                           sweep_leaf)
@@ -1132,6 +1194,10 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
     def run_bounce():
         dim0 = 2 + depth * 8
+        if hbm and _ABL_SWEEP_STATS:
+            pp_ref[3] = jnp.int32(0)   # node pops this bounce
+            pp_ref[4] = jnp.int32(0)   # leaf encounters
+            pp_ref[5] = jnp.int32(0)   # row sweeps (mask popcounts)
 
         # ---- face sweep in the flat (lane-major) domain ----
         oxf, oyf, ozf = to_flat(ox), to_flat(oy), to_flat(oz)
@@ -1260,7 +1326,17 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         for c in range(nc):
             res_[c] = res_[c] + wgt * thr[c] * le[c]
 
+        def _stats_override(res_):
+            # profiling image: channels become cumulative [node pops,
+            # leaf encounters, row sweeps] per tile (uniform over lanes,
+            # so the developed sum is the exact total over tiles/bounces)
+            inv_r = 1.0 / R
+            return [res[c] + pp_ref[3 + c].astype(jnp.float32) * inv_r
+                    if c < 3 else res[c] for c in range(nc)]
+
         if is_last:
+            if hbm and _ABL_SWEEP_STATS:
+                res_ = _stats_override(res_)
             # final bounce: only emission can contribute — statically skip
             # RR, NEE, the shadow sweep, and BSDF sampling.
             if spectral:
@@ -1681,6 +1757,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         # (transmission continues through the surface)
         off = jnp.where(wsel_z >= 0.0, eps, -eps)
 
+        if hbm and _ABL_SWEEP_STATS:
+            res_ = _stats_override(res_)
         st_out_ref[...] = jnp.stack([
             pxx + nx * off, pyy + ny * off, pzz + nz * off,
             ndx, ndy, ndz] + thr_ + res_ + [mis_pdf,
@@ -1991,6 +2069,8 @@ class DiffusePathMegakernel:
         # per-area densities below carry that factor so MIS weights stay
         # the actual sampling density (scene.cpp:165-214 role)
         self.p_env = (0.5 if len(lights) else 1.0) if self.has_env else 0.0
+        if _ABL_NO_ENVNEE:     # perf ablation: estimator falls back to
+            self.p_env = 0.0   # BSDF-sampling-only env (higher variance)
         if len(lights):
             # area faces are sampled area-weighted within their arm; the
             # claimed density MUST be the actual renormalized one — a
@@ -2541,7 +2621,9 @@ class DiffusePathMegakernel:
                     pltpu.VMEM((_FA_COLS, 2 * LEAF_CHUNKS * C),
                                jnp.float32),
                     pltpu.SMEM((_STACK_DEPTH,), jnp.int32),
-                    pltpu.SMEM((2,), jnp.int32),
+                    # [0] pending leaf, [1] next DMA slot, [2] row mask,
+                    # [3:6] MK_SWEEP_STATS traversal counters
+                    pltpu.SMEM((6,), jnp.int32),
                     pltpu.SemaphoreType.DMA((2, 2)),
                 ],
                 compiler_params=pltpu.CompilerParams(

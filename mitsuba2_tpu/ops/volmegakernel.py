@@ -233,6 +233,18 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         return _trilinear_sigma(grid_ref[:], None, lx, ly, lz, D, H, W,
                                 scale)
 
+    def _batched_sigma(bx, by, bz, vx, vy, vz, ts):
+        """sigma_t at the K ray points ``b + ts[k] * v`` via ONE
+        trilinear call over K*R flat lanes (one wide one-hot matmul
+        chain instead of K serialized fetch round-trips).
+        -> list of K dense (G, 128) grids."""
+        K = len(ts)
+        pxs = jnp.concatenate([to_flat(bx + t * vx) for t in ts])
+        pys = jnp.concatenate([to_flat(by + t * vy) for t in ts])
+        pzs = jnp.concatenate([to_flat(bz + t * vz) for t in ts])
+        sig = fetch_sigma(pxs, pys, pzs)              # (K*R,)
+        return [to_dense(sig[k * R:(k + 1) * R]) for k in range(K)]
+
     def closest_hit(ox, oy, oz, dx, dy, dz, maxt):
         """Unrolled Woop closest hit over opaque faces -> (t, A (_VFA,R))."""
         odh = jnp.concatenate([
@@ -598,27 +610,30 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         nee_ok = nee_ok & ~occluded
 
         # ratio-tracking transmittance across the shadow ray's box
-        # interval (scalar extinction: T *= 1 - sigma/maj per sample)
+        # interval (scalar extinction: T *= 1 - sigma/maj per sample).
+        # The sample positions s_k = sb0 + sum ds_i are RNG-only, so all
+        # TR_BUDGET fetches batch into one trilinear call (same trick as
+        # the delta-tracking walk above) and the T scan runs on
+        # registers — estimator and RNG stream unchanged.
         sb0, sb1 = box_interval(sox, soy, soz, dxl, dyl, dzl)
         sb0 = jnp.maximum(sb0, 0.0)
         sb1 = jnp.minimum(sb1, dist)
-        T = done_
-        s_cur = sb0
-        tr_walk = nee_ok & (sb1 > sb0)
+        s_cum = sb0
+        scands = []
         for step in range(TR_BUDGET):
             u_s, _ = rng2(dim0 + 18 + step)
             ds_ = -jnp.log(jnp.maximum(1.0 - to_dense(u_s), 1e-38)) \
                 * inv_maj
-            s_cand = jnp.minimum(s_cur + ds_, _BIG)
-            done_seg = s_cand > sb1
-            qx = sox + s_cand * dxl
-            qy = soy + s_cand * dyl
-            qz = soz + s_cand * dzl
-            sig = to_dense(fetch_sigma(to_flat(qx), to_flat(qy),
-                                       to_flat(qz)))
+            s_cum = jnp.minimum(s_cum + ds_, _BIG)
+            scands.append(s_cum)
+        sig_tr = _batched_sigma(sox, soy, soz, dxl, dyl, dzl, scands)
+        T = done_
+        tr_walk = nee_ok & (sb1 > sb0)
+        for step in range(TR_BUDGET):
+            done_seg = scands[step] > sb1
             T = jnp.where(tr_walk & ~done_seg,
-                          T * jnp.maximum(1.0 - sig * inv_maj, 0.0), T)
-            s_cur = jnp.where(tr_walk & ~done_seg, s_cand, s_cur)
+                          T * jnp.maximum(1.0 - sig_tr[step] * inv_maj,
+                                          0.0), T)
             tr_walk = tr_walk & ~done_seg & (T > 0.0)
         # budget-exhausted walks keep their partial T (the wavefront
         # caps its walk at nee_loop_cap the same way)

@@ -12,7 +12,14 @@ from mitsuba2_tpu.ops.megakernel import (DiffusePathMegakernel,
 
 
 def _mk_render(scene, sensor, spp, seed=0, max_depth=4):
-    mk = DiffusePathMegakernel(scene, interpret=True)
+    # interpret mode is only faithful on the CPU backend: the HBM tier's
+    # manual double-buffered DMA pipeline mis-orders under the interpret
+    # emulation when the backing arrays live on TPU (measured: half the
+    # leaf sweeps read stale buffers). Under MI_TPU_TESTS the compiled
+    # Mosaic kernel is both faster and the thing actually being shipped.
+    import jax
+    interp = jax.default_backend() != "tpu"
+    mk = DiffusePathMegakernel(scene, interpret=interp)
     mk.max_depth = max_depth
     mk.rr_depth = 1000
     img = np.asarray(mk.render_pass(sensor, seed, 0, spp))

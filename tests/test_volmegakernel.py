@@ -109,7 +109,9 @@ def test_reason_non_box_boundary(variant_scalar_rgb):
 
 
 def test_reason_grid_too_large(variant_scalar_rgb):
-    grid = np.full((64, 64, 16), 0.5, np.float32)
+    # D*H = 128*64 = 8192 > MAX_GRID_DH (the r3 cap lift took 64^3:
+    # D*H = 4096 is now exactly at the cap and ELIGIBLE)
+    grid = np.full((128, 64, 16), 0.5, np.float32)
     scene = mi.load_dict(_slab_scene(grid=grid))
     r = vol_megakernel_ineligibility(scene)
     assert r is not None and "cap" in r

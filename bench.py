@@ -137,9 +137,69 @@ def bench_biggeo():
             "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
+def bench_equal_time():
+    """Equal-time quality of the env-NEE estimator on matpreview
+    (VERDICT r3 #4: the env NEE arm costs paths/s — this line shows the
+    variance it buys at MATCHED wall-clock). Renders the kernel with and
+    without the env NEE arm at the same time budget (spp scaled by the
+    measured throughput ratio) and reports MSE vs a 1024-spp reference:
+    value = mse_no_envnee / mse_envnee (>1 means env NEE is net-positive
+    at equal time)."""
+    import os
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.ops.megakernel import DiffusePathMegakernel
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.python.test.scenes import matpreview_dict
+    scene = mi.load_dict(matpreview_dict(width=128, height=128, spp=64,
+                                         max_depth=6))
+    sensor = scene.sensors[0]
+
+    def render(mk, seed, spp):
+        img = np.asarray(mk.render_pass(sensor, seed, 0, spp))
+        return img[..., :3] / spp
+
+    def timed(mk, spp, reps=3):
+        import jax.numpy as jnp
+        render(mk, 0, spp)
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            o = mk.render_pass(sensor, r + 1, 0, spp)
+            float(jnp.sum(o))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    mk_env = DiffusePathMegakernel(scene)
+    os.environ["MK_NO_ENVNEE"] = "1"
+    try:
+        mk_no = DiffusePathMegakernel(scene)
+    finally:
+        del os.environ["MK_NO_ENVNEE"]
+    for mk in (mk_env, mk_no):
+        mk.max_depth = 6
+        mk.rr_depth = scene.integrator.rr_depth
+    assert mk_env.p_env > 0.0 and mk_no.p_env == 0.0
+    spp_env = 64
+    t_env = timed(mk_env, spp_env)
+    t_no = timed(mk_no, spp_env)
+    # equal-time spp for the no-env-NEE arm (it runs faster per spp)
+    spp_no = max(4, int(round(spp_env * t_env / max(t_no, 1e-9) / 4))
+                 * 4)
+    ref = sum(render(mk_env, 100 + k, 256) for k in range(4)) / 4.0
+    mse_env = float(np.mean((render(mk_env, 7, spp_env) - ref) ** 2))
+    mse_no = float(np.mean((render(mk_no, 8, spp_no) - ref) ** 2))
+    return {"metric": "matpreview_equal_time_mse_ratio",
+            "value": round(mse_no / max(mse_env, 1e-12), 3),
+            "unit": "mse_no_envnee/mse_envnee@equal_time",
+            "vs_baseline": 1.0,
+            "detail": {"spp_envnee": spp_env, "spp_no_envnee": spp_no,
+                       "t_envnee_ms": round(t_env * 1e3, 1),
+                       "t_no_envnee_ms": round(t_no * 1e3, 1)}}
+
+
 BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,
            "spectral": bench_spectral, "volpath": bench_volpath,
-           "biggeo": bench_biggeo}
+           "biggeo": bench_biggeo, "equal_time": bench_equal_time}
 
 
 def main():

@@ -103,8 +103,10 @@ def megakernel_flop_count(mk, n_lanes):
     -> dict with mxu/vpu FLOPs and hbm bytes. Counts the dominant terms:
     Woop sweeps (closest + shadow), attribute pick matmuls, t/u/v + pick
     epilogues, env lookup, and the state round-trip."""
-    F = int(mk.woop.shape[1] // 3 if not mk.streamed
-            else mk.woop.shape[1] // 3)
+    # padded face count: the streamed table is (4, n_chunks*3C) and the
+    # unrolled one (n_chunks*3C, 4) — reading the wrong axis made
+    # cornell report "1 face" and zeroed every utilization column
+    F = int(mk._F)
     n = n_lanes
     # _dot3/_dot3T: (3C,4)@(4,2R) per chunk, xyz passes merged in the
     # table; 3-pass bf16 split triples the matmul work
@@ -132,10 +134,13 @@ def megakernel_flop_count(mk, n_lanes):
 def megakernel_mfu_report(scene, sensor=0, spp=64, max_depth=6, runs=3):
     """Measure per-depth wall time on the current backend and combine
     with the analytic tally into a roofline table. Returns (report_str,
-    rows list). Honest timing: np.asarray forces the transfer (the
-    tunnel's block_until_ready lies)."""
+    rows list). Timing matches bench.py: K back-to-back dispatches
+    synced on device-side reductions (4-byte pulls) — downloading the
+    full image over the axon tunnel costs ~1.3 s/MB and previously
+    swamped every row (the r3 table was ~20x inflated)."""
     import time
     import numpy as np
+    import jax.numpy as jnp
     from ..ops.megakernel import DiffusePathMegakernel
     if isinstance(sensor, int):
         sensor = scene.sensors[sensor]
@@ -144,14 +149,25 @@ def megakernel_mfu_report(scene, sensor=0, spp=64, max_depth=6, runs=3):
     mk = DiffusePathMegakernel(scene)
     mk.rr_depth = 10**9
     times = {}
+    K = 3
+    import jax
     for d in range(1, max_depth + 1):
         mk.max_depth = d
-        np.asarray(mk.render_pass(sensor, 0, 0, spp))   # compile+warm
+
+        # jit the whole pass: render_pass traced eagerly dispatches one
+        # tunnel RPC per op (~25 ms each — dozens per render)
+        @jax.jit
+        def _pass(seed, _mk=mk):
+            return jnp.sum(_mk.render_pass(sensor, seed, 0, spp))
+
+        float(_pass(jnp.int32(0)))                 # compile + warm
         best = float("inf")
         for r in range(runs):
             t0 = time.perf_counter()
-            np.asarray(mk.render_pass(sensor, r + 1, 0, spp))
-            best = min(best, time.perf_counter() - t0)
+            outs = [_pass(jnp.int32(r * K + i + 1)) for i in range(K)]
+            for o in outs:
+                float(o)
+            best = min(best, (time.perf_counter() - t0) / K)
         times[d] = best
     tally = megakernel_flop_count(mk, n)
     rows = []

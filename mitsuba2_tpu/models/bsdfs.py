@@ -125,6 +125,23 @@ def _nch():
     return current().n_channels
 
 
+def _spectral_ior(tex):
+    """In spectral variants, rgb-valued conductor eta/k constants become
+    anchored-quadratic IOR curves (ConductorIORSpectrum): the sigmoid
+    reflectance upsampling is bounded to [0, 1] and silently clipped
+    k > 1, breaking every metal (roughconductor.cpp:306-430 evaluates
+    unbounded complex IOR spectra). Spectra the user supplied directly
+    (regular/irregular curves) pass through untouched."""
+    from ..variants import current
+    if not current().is_spectral:
+        return tex
+    rgb = getattr(tex, "_rgb_np", None)
+    if rgb is None:
+        return tex
+    from .spectra import ConductorIORSpectrum
+    return ConductorIORSpectrum(rgb)
+
+
 def _spec(value, n, dtype=jnp.float32):
     return jnp.broadcast_to(jnp.asarray(value, dtype), (n, _nch()))
 
@@ -310,6 +327,8 @@ class SmoothConductor(BSDF):
             eta_rgb, k_rgb = lookup_conductor_ior(material)
             self.eta_tex = as_texture(list(eta_rgb))
             self.k_tex = as_texture(list(k_rgb))
+        self.eta_tex = _spectral_ior(self.eta_tex)
+        self.k_tex = _spectral_ior(self.k_tex)
         self.specular_reflectance = p.texture("specular_reflectance", 1.0) \
             if p else ConstantTexture(color=1.0)
         self.m_components = [BSDFFlags.DeltaReflection | BSDFFlags.FrontSide]
@@ -381,6 +400,8 @@ class RoughConductor(BSDF):
             eta_rgb, k_rgb = lookup_conductor_ior(material)
             self.eta_tex = as_texture(list(eta_rgb))
             self.k_tex = as_texture(list(k_rgb))
+        self.eta_tex = _spectral_ior(self.eta_tex)
+        self.k_tex = _spectral_ior(self.k_tex)
         self.specular_reflectance = p.texture("specular_reflectance", 1.0) \
             if p else ConstantTexture(color=1.0)
         self.dist_type, self.alpha_u, self.alpha_v, self.sample_visible = \

@@ -933,10 +933,18 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             rho_n = jnp.where(act_med[..., None], rho_n * r_ff, rho_n)
             rho_d = jnp.where(act_med[..., None], rho_d * r_ff, rho_d)
             collided = act_med & jnp.isfinite(mi.t)
-            # null-collision weight (only σn channel survives in a shadow walk)
+            # RATIO-TRACKING null weight: the shadow walk crosses every
+            # collision DETERMINISTICALLY (p=1), so the per-collision
+            # factor is sigma_n_j / majorant_j (volpath.cpp:294-332).
+            # (The main loop's sigma_n*maj_c/sigma_n_c form divides by
+            # the null-event SAMPLING probability sigma_n_c/maj_c — it
+            # does not apply here; using it made Tr == 1 in gray media,
+            # found by the independent Simpson-quadrature tracer in
+            # tests/reference_pt2.py.)  tr/tr_pdf above already carries
+            # the 1/maj_c, so only the maj_c/maj_j ratio remains.
             w = mi.sigma_n * m.safe_div(
-                _index_spectrum(mi.combined_extinction, channel),
-                _index_spectrum(mi.sigma_n, channel), 0.0)[..., None]
+                _index_spectrum(mi.combined_extinction, channel)[..., None],
+                mi.combined_extinction, 0.0)
             tr_acc = jnp.where(collided[..., None], tr_acc * w, tr_acc)
             # the directional strategy crosses this collision as a null
             # event with per-channel probability sigma_n/majorant

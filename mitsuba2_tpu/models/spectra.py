@@ -215,3 +215,64 @@ class BlackbodySpectrum(_CurveSpectrum):
         L = (2 * h * c * c) / (lam ** 5) \
             / (np.exp(h * c / (lam * kb * T)) - 1.0) * 1e-9
         self._setup(wl, L.astype(np.float32))
+
+
+# anchor wavelengths for rgb-anchored conductor IOR curves (approximate
+# centroids of the CIE-weighted sRGB primaries)
+IOR_ANCHORS_NM = (600.0, 550.0, 450.0)     # (r, g, b)
+
+
+def _anchored_quad_coeffs(rgb):
+    """Quadratic (in the sigmoid-normalized wavelength x) through the
+    three (anchor, value) points — exact interpolation, UNBOUNDED (eta/k
+    exceed 1; the sigmoid reflectance model must not clip them)."""
+    xs = np.asarray([(w - spec.MTS_CIE_MIN)
+                     / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2.0 - 1.0
+                     for w in IOR_ANCHORS_NM])
+    return np.polyfit(xs, np.asarray(rgb, np.float64), 2)  # (a, b, c)
+
+
+class ConductorIORSpectrum(Texture):
+    """Complex-IOR channel curve for conductors in spectral variants.
+
+    The reference evaluates eta/k from tabulated .spd curves at the hero
+    wavelengths (roughconductor.cpp:306-430, fresnel.h, ior.h). This
+    repo's IOR database carries rgb triples, so the curve is modeled as
+    the quadratic through the three anchor values, clamped to the anchor
+    span (flat extension) — unbounded, unlike the sigmoid reflectance
+    upsampling which clips to [0, 1] and silently destroyed k > 1
+    (e.g. Au's k = 3.98 at 600 nm)."""
+
+    def __init__(self, rgb):
+        rgb = np.asarray(rgb, np.float32).reshape(3)
+        self._rgb_np = rgb
+        self._coeff = np.asarray(_anchored_quad_coeffs(rgb), np.float32)
+        lo = min(IOR_ANCHORS_NM)
+        hi = max(IOR_ANCHORS_NM)
+        self._x_lo = float((lo - spec.MTS_CIE_MIN)
+                           / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2 - 1)
+        self._x_hi = float((hi - spec.MTS_CIE_MIN)
+                           / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2 - 1)
+
+    def eval(self, si, active=True):
+        wl = si.wavelengths
+        x = (wl - spec.MTS_CIE_MIN) \
+            / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2.0 - 1.0
+        x = jnp.clip(x, self._x_lo, self._x_hi)
+        a, b, c = [float(v) for v in self._coeff]
+        return (a * x + b) * x + c
+
+    def eval_3(self, si, active=True):
+        return jnp.broadcast_to(jnp.asarray(self._rgb_np),
+                                si.t.shape + (3,))
+
+    def eval_1(self, si, active=True):
+        v = float(self._rgb_np @ np.asarray([0.212671, 0.715160,
+                                             0.072169]))
+        return jnp.full(si.t.shape, v, si.t.dtype)
+
+    def mean(self):
+        return float(self._rgb_np.mean())
+
+    def is_spatially_varying(self):
+        return False

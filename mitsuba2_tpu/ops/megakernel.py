@@ -55,13 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 RAY_TILE = int(_os.environ.get("MK_TILE", "2048"))
+# HBM-tier ray tile: per-row (128-lane) sweep masks make sweep work
+# insensitive to tile size, while pops amortize over more rays
+_HBM_TILE = int(_os.environ.get("MK_HBM_TILE", "1024"))
 # ablation knobs (perf analysis only — bias the image when set)
 _ABL_NO_SHADOW = _os.environ.get("MK_NO_SHADOW") == "1"
 _ABL_NO_NEE = _os.environ.get("MK_NO_NEE") == "1"
-_ABL_NO_ENVNEE = _os.environ.get("MK_NO_ENVNEE") == "1"
 # profiling: HBM-tier traversal counters ride the result channels
 # (image becomes [node pops, leaf encounters, row sweeps] totals)
 _ABL_SWEEP_STATS = _os.environ.get("MK_SWEEP_STATS") == "1"
+# HBM-tier cost isolation (image goes black/wrong — timing only):
+# NO_LEAF skips leaf handling entirely (pure pop-loop cost);
+# NO_SWEEP starts the leaf DMAs but never sweeps (pops + DMA cost)
+_ABL_NO_LEAF = _os.environ.get("MK_NO_LEAF") == "1"
+_ABL_NO_SWEEP = _os.environ.get("MK_NO_SWEEP") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -534,6 +541,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         dp2 = jnp.sum(inv3d[2]) >= 0.0
 
         def encounter(leaf_id, mask):
+            if _ABL_NO_LEAF:
+                return
             slot = pp_ref[1]
             start_leaf_fn(leaf_id, slot)
 
@@ -673,6 +682,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             def sweep_leaf(lf, slot, mask):
                 _copy_w(lf, slot).wait()
                 _copy_a(lf, slot).wait()
+                if _ABL_NO_SWEEP:
+                    return
                 for q in range(G):
                     @pl.when((mask >> q) & 1 != 0)
                     def _(q=q):
@@ -933,6 +944,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             def sweep_leaf(lf, slot, mask):
                 _copy_w(lf, slot).wait()
+                if _ABL_NO_SWEEP:
+                    return
                 for q in range(G):
                     @pl.when((mask >> q) & 1 != 0)
                     def _(q=q):
@@ -1376,10 +1389,24 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         if need_vndf:
             alpha = jnp.maximum(to_dense(A_f[11]), 1e-3)
         if has_ggx:
-            # conductor IOR columns are rgb-only (spectral scenes with
-            # conductors are megakernel-ineligible); clamp the channel idx
-            eta_k = [to_dense(A_f[12 + min(c, 2)]) for c in range(nc)]
-            kap_k = [to_dense(A_f[15 + min(c, 2)]) for c in range(nc)]
+            if spectral:
+                # cols 12:15 / 15:18 carry anchored-quadratic IOR curve
+                # coefficients (ConductorIORSpectrum; must stay in sync
+                # with models/spectra.py IOR_ANCHORS_NM = 600/550/450):
+                # eta(x) = (a x + b) x + c at the hero wavelength's
+                # normalized x, clamped to the anchor span
+                ep = [to_dense(A_f[12 + j]) for j in range(3)]
+                kp = [to_dense(A_f[15 + j]) for j in range(3)]
+                x_lo = _wl_norm(450.0)
+                x_hi = _wl_norm(600.0)
+                xc = [jnp.clip(wl_x[c], x_lo, x_hi) for c in range(nc)]
+                eta_k = [(ep[0] * xc[c] + ep[1]) * xc[c] + ep[2]
+                         for c in range(nc)]
+                kap_k = [(kp[0] * xc[c] + kp[1]) * xc[c] + kp[2]
+                         for c in range(nc)]
+            else:
+                eta_k = [to_dense(A_f[12 + min(c, 2)]) for c in range(nc)]
+                kap_k = [to_dense(A_f[15 + min(c, 2)]) for c in range(nc)]
         if has_diel or has_plastic:
             is_diel = (kind > 2.5) & (kind < 3.5)
             is_plas = (kind > 3.5) & (kind < 5.5)  # 4 smooth / 5 rough
@@ -1788,10 +1815,14 @@ def _bsdf_columns(bsdf):
                                 SmoothDielectric, SmoothPlastic,
                                 RoughPlastic)
     from ..models.textures import ConstantTexture, CheckerboardTexture
+    from ..models.spectra import ConductorIORSpectrum
     from ..render.scene import _PerShapeTexture
 
     def _const(*texs):
-        return all(isinstance(t, (ConstantTexture, _PerShapeTexture))
+        # ConductorIORSpectrum: anchored-quadratic eta/k curve, carried
+        # in-kernel as 3 polynomial coefficient columns (spectral mode)
+        return all(isinstance(t, (ConstantTexture, _PerShapeTexture,
+                                  ConductorIORSpectrum))
                    for t in texs)
 
     def _iso_ggx(b):
@@ -2069,7 +2100,8 @@ class DiffusePathMegakernel:
         # per-area densities below carry that factor so MIS weights stay
         # the actual sampling density (scene.cpp:165-214 role)
         self.p_env = (0.5 if len(lights) else 1.0) if self.has_env else 0.0
-        if _ABL_NO_ENVNEE:     # perf ablation: estimator falls back to
+        # init-time read so equal-time A/B runs can toggle it in-process
+        if _osm.environ.get("MK_NO_ENVNEE") == "1":
             self.p_env = 0.0   # BSDF-sampling-only env (higher variance)
         if len(lights):
             # area faces are sampled area-weighted within their arm; the
@@ -2121,16 +2153,28 @@ class DiffusePathMegakernel:
             if kind == "ggx":
                 shp_kind[s_idx] = 1.0
                 shp_alpha[s_idx] = float(b.alpha_u)
-                eta3 = np.asarray(b.eta_tex._rgb_np,
-                                  np.float32).reshape(3)
-                k3 = np.asarray(b.k_tex._rgb_np, np.float32).reshape(3)
-                if self.mono:
-                    # mono conductors trace the luminance IOR (texture
-                    # data.mono convention); only column 12/15 is read
-                    eta3 = np.full(3, float(eta3 @ _MONO_LUM), np.float32)
-                    k3 = np.full(3, float(k3 @ _MONO_LUM), np.float32)
-                shp_eta[s_idx] = eta3
-                shp_k[s_idx] = k3
+                if self.spectral:
+                    # anchored-quadratic IOR curves: cols 12:15 / 15:18
+                    # carry the (a, b, c) polynomial coefficients in the
+                    # sigmoid-normalized wavelength x (ConductorIOR-
+                    # Spectrum; roughconductor.cpp:306-430's role)
+                    shp_eta[s_idx] = np.asarray(b.eta_tex._coeff,
+                                                np.float32).reshape(3)
+                    shp_k[s_idx] = np.asarray(b.k_tex._coeff,
+                                              np.float32).reshape(3)
+                else:
+                    eta3 = np.asarray(b.eta_tex._rgb_np,
+                                      np.float32).reshape(3)
+                    k3 = np.asarray(b.k_tex._rgb_np,
+                                    np.float32).reshape(3)
+                    if self.mono:
+                        # mono conductors trace the luminance IOR (texture
+                        # data.mono convention); only column 12/15 is read
+                        eta3 = np.full(3, float(eta3 @ _MONO_LUM),
+                                       np.float32)
+                        k3 = np.full(3, float(k3 @ _MONO_LUM), np.float32)
+                    shp_eta[s_idx] = eta3
+                    shp_k[s_idx] = k3
             elif kind == "checker":
                 shp_kind[s_idx] = 2.0
                 tex = b.reflectance
@@ -2468,7 +2512,7 @@ class DiffusePathMegakernel:
         # the tile tightens the wedge more than it costs in dispatch
         # (measured 0.295 -> 0.362 Mpaths/s at 262k faces; 512 is below
         # the (8, 128) min block shape)
-        tile = 1024 if self.hbm else RAY_TILE
+        tile = _HBM_TILE if self.hbm else RAY_TILE
         n_pad = int(np.ceil(n / tile)) * tile
         n_tiles = n_pad // tile
         G = tile // 128
@@ -2712,11 +2756,17 @@ def megakernel_ineligibility(scene):
         # coefficient+scale planes, envmap.cpp:95-115); scenes outside
         # that scope ride the wavefront
         from ..models.bsdfs import RoughConductor
+        from ..models.spectra import ConductorIORSpectrum
         for b in scene.bsdfs:
             members = getattr(b, "merged_instances", None) or [b]
             for bb in members:
-                if type(bb) is RoughConductor:
-                    return "conductor IOR spectra in spectral mode"
+                if type(bb) is RoughConductor and not (
+                        isinstance(bb.eta_tex, ConductorIORSpectrum)
+                        and isinstance(bb.k_tex, ConductorIORSpectrum)):
+                    # user-supplied curve spectra stay on the wavefront;
+                    # rgb-anchored IORs ride the kernel as quadratic
+                    # coefficient columns
+                    return "conductor IOR curve spectra in spectral mode"
         for e in scene.emitters:
             if type(e) is AreaEmitter and (
                     not hasattr(e.radiance, "_coeff")

@@ -68,6 +68,11 @@ MAX_GRID_W = 128          # x-axis must fit one lane tile of sublanes
 NULL_BUDGET = int(_os.environ.get("VK_NULL_BUDGET", "16"))  # delta-tracking steps per launch
 TR_BUDGET = int(_os.environ.get("VK_TR_BUDGET", "16"))    # ratio-tracking steps per NEE walk
 LAUNCH_SLACK = 2          # extra launches for budget-exhausted lanes
+# perf-ablation knobs (bias the image — timing analysis only)
+_ABL_NO_TR = _os.environ.get("VK_NO_TR") == "1"       # NEE Tr = 1
+_ABL_NO_NEE = _os.environ.get("VK_NO_NEE") == "1"     # skip NEE entirely
+_ABL_NO_FETCH = _os.environ.get("VK_NO_FETCH") == "1"  # sigma = maj/2
+_ABL_NO_COMPACT = _os.environ.get("VK_NO_COMPACT") == "1"
 
 # state rows (HBM layout (_VROWS, n) float32)
 _VROWS = 16
@@ -239,6 +244,8 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         chain instead of K serialized fetch round-trips).
         -> list of K dense (G, 128) grids."""
         K = len(ts)
+        if _ABL_NO_FETCH:
+            return [jnp.full((G, 128), 0.5 * maj, jnp.float32)] * K
         pxs = jnp.concatenate([to_flat(bx + t * vx) for t in ts])
         pys = jnp.concatenate([to_flat(by + t * vy) for t in ts])
         pzs = jnp.concatenate([to_flat(bz + t * vz) for t in ts])
@@ -602,11 +609,16 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
 
         nee_ok = (act_real | nee_surf) & (pdf_l > 0.0) \
             & (jnp.where(act_real, 1.0, cos_s) > 0.0)
-        occ_f = any_hit(to_flat(sox), to_flat(soy), to_flat(soz),
-                        to_flat(dxl), to_flat(dyl), to_flat(dzl),
-                        to_flat(jnp.where(nee_ok, dist * (1.0 - 1e-3),
-                                          -_BIG)))
-        occluded = to_dense(occ_f) > 0.0
+        if _ABL_NO_NEE:
+            nee_ok = nee_ok & False
+            occluded = jnp.ones_like(nee_ok)
+        else:
+            occ_f = any_hit(to_flat(sox), to_flat(soy), to_flat(soz),
+                            to_flat(dxl), to_flat(dyl), to_flat(dzl),
+                            to_flat(jnp.where(nee_ok,
+                                              dist * (1.0 - 1e-3),
+                                              -_BIG)))
+            occluded = to_dense(occ_f) > 0.0
         nee_ok = nee_ok & ~occluded
 
         # ratio-tracking transmittance across the shadow ray's box
@@ -618,23 +630,26 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         sb0, sb1 = box_interval(sox, soy, soz, dxl, dyl, dzl)
         sb0 = jnp.maximum(sb0, 0.0)
         sb1 = jnp.minimum(sb1, dist)
-        s_cum = sb0
-        scands = []
-        for step in range(TR_BUDGET):
-            u_s, _ = rng2(dim0 + 18 + step)
-            ds_ = -jnp.log(jnp.maximum(1.0 - to_dense(u_s), 1e-38)) \
-                * inv_maj
-            s_cum = jnp.minimum(s_cum + ds_, _BIG)
-            scands.append(s_cum)
-        sig_tr = _batched_sigma(sox, soy, soz, dxl, dyl, dzl, scands)
-        T = done_
-        tr_walk = nee_ok & (sb1 > sb0)
-        for step in range(TR_BUDGET):
-            done_seg = scands[step] > sb1
-            T = jnp.where(tr_walk & ~done_seg,
-                          T * jnp.maximum(1.0 - sig_tr[step] * inv_maj,
-                                          0.0), T)
-            tr_walk = tr_walk & ~done_seg & (T > 0.0)
+        if _ABL_NO_TR or _ABL_NO_NEE:
+            T = done_
+        else:
+            s_cum = sb0
+            scands = []
+            for step in range(TR_BUDGET):
+                u_s, _ = rng2(dim0 + 18 + step)
+                ds_ = -jnp.log(jnp.maximum(1.0 - to_dense(u_s), 1e-38)) \
+                    * inv_maj
+                s_cum = jnp.minimum(s_cum + ds_, _BIG)
+                scands.append(s_cum)
+            sig_tr = _batched_sigma(sox, soy, soz, dxl, dyl, dzl, scands)
+            T = done_
+            tr_walk = nee_ok & (sb1 > sb0)
+            for step in range(TR_BUDGET):
+                done_seg = scands[step] > sb1
+                T = jnp.where(tr_walk & ~done_seg,
+                              T * jnp.maximum(
+                                  1.0 - sig_tr[step] * inv_maj, 0.0), T)
+                tr_walk = tr_walk & ~done_seg & (T > 0.0)
         # budget-exhausted walks keep their partial T (the wavefront
         # caps its walk at nee_loop_cap the same way)
 
@@ -1056,10 +1071,19 @@ class VolPathMegakernel:
         # the kernel itself never sees lane identity.
         perm = jnp.arange(n_pad, dtype=jnp.int32)
         for launch in range(n_launches):
-            if launch > 1:
+            if launch > 1 and not _ABL_NO_COMPACT:
+                # stable live/dead partition via two cumsums (O(n) —
+                # the old jnp.argsort was a comparison sort over n_pad
+                # keys EVERY launch, a measurable host-graph cost)
                 flat = state.reshape(_VROWS, n_pad)
-                dead = (flat[13] <= 0.5).astype(jnp.int32)
-                order = jnp.argsort(dead)
+                live = flat[13] > 0.5
+                live_i = jnp.cumsum(live.astype(jnp.int32)) - 1
+                n_live = live_i[-1] + 1
+                dead_i = (n_live - 1
+                          + jnp.cumsum((~live).astype(jnp.int32)))
+                pos = jnp.where(live, live_i, dead_i)
+                order = (jnp.zeros(n_pad, jnp.int32).at[pos]
+                         .set(jnp.arange(n_pad, dtype=jnp.int32)))
                 flat = jnp.take(flat, order, axis=1)
                 perm = jnp.take(perm, order)
                 state = flat.reshape(_VROWS, n_pad // 128, 128)

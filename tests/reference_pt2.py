@@ -185,10 +185,13 @@ class RefScene2:
                 self.env = Env(np.asarray(e.bitmap._rgb_np))
                 self.env_emitter_index = idx
             elif getattr(e, "_packed", False):
+                # spectral variants carry sigmoid coeffs instead of rgb;
+                # the rgb field is only consumed by the rgb arms
+                rgb = getattr(e.radiance, "_rgb_np", None)
                 self.area.append({
                     "index": idx,
-                    "radiance": np.asarray(e.radiance._rgb_np,
-                                           np.float64).reshape(3),
+                    "radiance": (np.asarray(rgb, np.float64).reshape(3)
+                                 if rgb is not None else np.ones(3)),
                     "v0": np.asarray(e.tv0, np.float64),
                     "e1": np.asarray(e.te1, np.float64),
                     "e2": np.asarray(e.te2, np.float64),
@@ -203,6 +206,77 @@ class RefScene2:
         self.med = {"lo": np.asarray(lo, np.float64),
                     "hi": np.asarray(hi, np.float64),
                     "st": float(sigma_t), "a": float(albedo)}
+
+    def set_medium_grid(self, lo, hi, grid, scale=1.0, albedo=0.75,
+                        g_hg=0.0):
+        """Heterogeneous medium: trilinear sigma_t grid (D, H, W) over
+        the AABB [lo, hi], optional Henyey-Greenstein phase. The
+        renderer delta-tracks free flights and ratio-tracks NEE
+        transmittance; this arm delta-tracks with an independent
+        rejection loop and integrates NEE transmittance by composite
+        Simpson quadrature of the trilinear field — a deliberately
+        different estimator pair (grid3d.cpp / volpath.cpp role)."""
+        grid = np.asarray(grid, np.float64)
+        self.med = {"lo": np.asarray(lo, np.float64),
+                    "hi": np.asarray(hi, np.float64),
+                    "grid": grid, "scale": float(scale),
+                    "maj": float(grid.max() * scale),
+                    "a": float(albedo), "g": float(g_hg)}
+
+    def _sigma_at(self, p):
+        """Trilinear sigma_t at world points (N, 3); 0 outside the box.
+        Matches grid3d.cpp's clamped cell-center lerp: f = l*res - 0.5,
+        indices clamped to the grid."""
+        med = self.med
+        grid = med["grid"]
+        D, H, W = grid.shape
+        l = (p - med["lo"]) / (med["hi"] - med["lo"])
+        inside = ((l >= 0.0) & (l <= 1.0)).all(-1)
+        lx, ly, lz = l[:, 0], l[:, 1], l[:, 2]
+        fx = lx * W - 0.5
+        fy = ly * H - 0.5
+        fz = lz * D - 0.5
+        ix = np.clip(np.floor(fx).astype(np.int64), 0, W - 1)
+        iy = np.clip(np.floor(fy).astype(np.int64), 0, H - 1)
+        iz = np.clip(np.floor(fz).astype(np.int64), 0, D - 1)
+        ix1 = np.minimum(ix + 1, W - 1)
+        iy1 = np.minimum(iy + 1, H - 1)
+        iz1 = np.minimum(iz + 1, D - 1)
+        tx = np.clip(fx - ix, 0.0, 1.0)
+        ty = np.clip(fy - iy, 0.0, 1.0)
+        tz = np.clip(fz - iz, 0.0, 1.0)
+        val = 0.0
+        for jz, wz in ((iz, 1 - tz), (iz1, tz)):
+            for jy, wy in ((iy, 1 - ty), (iy1, ty)):
+                for jx, wx in ((ix, 1 - tx), (ix1, tx)):
+                    val = val + grid[jz, jy, jx] * (wz * wy * wx)
+        return np.where(inside, val * med["scale"], 0.0)
+
+    def _tr_grid(self, o, d, dist, steps=48):
+        """exp(-integral of sigma_t) over [0, dist] clipped to the box,
+        by composite Simpson quadrature (deterministic; independent of
+        the renderer's ratio tracking)."""
+        med = self.med
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (med["lo"] - o) / d
+            t2 = (med["hi"] - o) / d
+        tn = np.maximum(np.where(np.isnan(t1), -np.inf,
+                                 np.minimum(t1, t2)).max(-1), 0.0)
+        tf = np.minimum(np.where(np.isnan(t1), np.inf,
+                                 np.maximum(t1, t2)).min(-1), dist)
+        seg = np.maximum(tf - tn, 0.0)
+        # Simpson needs an even step count; weights 1,4,2,4,...,4,1
+        m = steps if steps % 2 == 0 else steps + 1
+        wgt = np.ones(m + 1)
+        wgt[1:-1:2] = 4.0
+        wgt[2:-1:2] = 2.0
+        integral = np.zeros(len(o))
+        hstep = seg / m
+        for k in range(m + 1):
+            pk = o + d * (tn + hstep * k)[:, None]
+            integral += wgt[k] * self._sigma_at(pk)
+        integral *= hstep / 3.0
+        return np.exp(-np.where(seg > 0, integral, 0.0))
 
     def intersect(self, o, d, tmin=1e-4, tmax=np.inf):
         n = len(o)
@@ -278,13 +352,17 @@ def _mis(a, b):
 
 
 def render_reference2(scene, width, height, spp, max_depth, fov_deg,
-                      cam_to_world, seed=1, medium_box=None):
+                      cam_to_world, seed=1, medium_box=None,
+                      medium_grid=None):
     """NEE+MIS path tracer over diffuse/GGX/dielectric/null materials,
     area + envmap emitters, optional gray homogeneous medium
-    (`medium_box` = (lo, hi, sigma_t, albedo))."""
+    (`medium_box` = (lo, hi, sigma_t, albedo)) or heterogeneous grid
+    medium (`medium_grid` = (lo, hi, grid DHW, scale, albedo, g_hg))."""
     ref = RefScene2(scene)
     if medium_box is not None:
         ref.set_medium_box(*medium_box)
+    if medium_grid is not None:
+        ref.set_medium_grid(*medium_grid)
     rng = np.random.default_rng(seed)
     n = width * height * spp
     mat = np.asarray(cam_to_world.matrix, np.float64)
@@ -306,8 +384,40 @@ def render_reference2(scene, width, height, spp, max_depth, fov_deg,
     prev_pdf = np.zeros(n)        # 0 => delta/camera: emission weight 1
     active = np.ones(n, bool)
     inside_med = np.zeros(n, bool)
-    st_g = ref.med["st"] if ref.med else 0.0
+    is_grid = ref.med is not None and "grid" in ref.med
+    st_g = ref.med.get("st", 0.0) if ref.med else 0.0
     al_g = ref.med["a"] if ref.med else 0.0
+    g_hg = ref.med.get("g", 0.0) if ref.med else 0.0
+
+    def _tr_seg(p0, dl, dist):
+        """Shadow-segment transmittance (gray analytic / grid Simpson)."""
+        if is_grid:
+            return ref._tr_grid(p0, dl, dist)
+        seg = ref._seg_in_box(p0, dl, dist)
+        return np.exp(-st_g * seg)
+
+    def _phase_eval(cos_t):
+        if g_hg == 0.0:
+            return np.full_like(cos_t, 1.0 / (4 * np.pi))
+        den = 1.0 + g_hg * g_hg - 2.0 * g_hg * cos_t
+        return (1.0 - g_hg * g_hg) / (4 * np.pi * np.maximum(
+            den, 1e-12) ** 1.5)
+
+    def _phase_sample(d_in, u1, u2):
+        """HG (or isotropic) direction around the incoming propagation
+        direction; returns unit directions (N, 3)."""
+        if g_hg == 0.0:
+            z = 1 - 2 * u1
+        else:
+            sq = (1.0 - g_hg * g_hg) / (1.0 + g_hg - 2.0 * g_hg * u1)
+            z = (1.0 + g_hg * g_hg - sq * sq) / (2.0 * g_hg)
+            z = np.clip(z, -1.0, 1.0)
+        st_ = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+        ph = 2 * np.pi * u2
+        tx, ty = _frame(d_in)
+        return _norm(d_in * z[:, None]
+                     + tx * (st_ * np.cos(ph))[:, None]
+                     + ty * (st_ * np.sin(ph))[:, None])
 
     for depth in range(max_depth):
         if not active.any():
@@ -319,9 +429,30 @@ def render_reference2(scene, width, height, spp, max_depth, fov_deg,
         scat = np.zeros(n, bool)
         if ref.med is not None:
             inmed = active & inside_med
-            s_fl = -np.log(np.maximum(1e-12, 1 - rng.random(n))) / max(
-                st_g, 1e-12)
             t_next = np.where(hit, t, np.inf)
+            if is_grid:
+                # Woodcock delta tracking against the grid majorant
+                # (independent rejection-loop design; the renderer's
+                # budget-bounded in-kernel walk is the thing under test)
+                maj = max(ref.med["maj"], 1e-12)
+                s_fl = np.full(n, np.inf)
+                cur = np.zeros(n)
+                walking = inmed.copy()
+                for _ in range(100000):
+                    if not walking.any():
+                        break
+                    cur = cur - np.log(
+                        np.maximum(1e-12, 1 - rng.random(n))) / maj
+                    walking &= cur < t_next
+                    if not walking.any():
+                        break
+                    sig = ref._sigma_at(o + d * cur[:, None])
+                    real = walking & (rng.random(n) * maj < sig)
+                    s_fl = np.where(real, cur, s_fl)
+                    walking &= ~real
+            else:
+                s_fl = -np.log(np.maximum(1e-12, 1 - rng.random(n))) \
+                    / max(st_g, 1e-12)
             scat = inmed & (s_fl < t_next)
             # scatter event: isotropic phase, NEE with analytic Tr
             if scat.any():
@@ -348,17 +479,13 @@ def render_reference2(scene, width, height, spp, max_depth, fov_deg,
                         occ = ref.occluded(ps[idx], dl[idx], dist[idx])
                         idx = idx[~occ]
                     if len(idx):
-                        seg = ref._seg_in_box(ps[idx], dl[idx], dist[idx])
-                        tr = np.exp(-st_g * seg)
-                        phase = 1.0 / (4 * np.pi)
+                        tr = _tr_seg(ps[idx], dl[idx], dist[idx])
+                        phase = _phase_eval(_dotv(d[idx], dl[idx]))
                         L[idx] += (beta[idx] * e["radiance"] * (
                             tr * phase / np.maximum(pdf[idx] * ref.n_em,
                                                     1e-300))[:, None])
-                # new isotropic direction
-                z = 1 - 2 * rng.random(n)
-                rr_ = np.sqrt(np.maximum(0, 1 - z * z))
-                ph = 2 * np.pi * rng.random(n)
-                nd = np.stack([rr_ * np.cos(ph), rr_ * np.sin(ph), z], -1)
+                # new phase-sampled direction (HG or isotropic)
+                nd = _phase_sample(d, rng.random(n), rng.random(n))
                 o = np.where(scat[:, None], ps, o)
                 d = np.where(scat[:, None], nd, d)
                 # NEE-only volumetric arm: suppress the next emitter hit
@@ -500,9 +627,8 @@ def render_reference2(scene, width, height, spp, max_depth, fov_deg,
                     contrib = beta[idx] * fcos * lrad[idx] \
                         * (w / pdf[idx])[:, None]
                     if ref.med is not None:
-                        seg = ref._seg_in_box(p_hit[idx], dl[idx],
-                                              dist[idx])
-                        contrib *= np.exp(-st_g * seg)[:, None]
+                        contrib *= _tr_seg(p_hit[idx], dl[idx],
+                                           dist[idx])[:, None]
                     L[idx] += contrib
 
         # ---- BSDF sampling ---------------------------------------------
@@ -563,5 +689,190 @@ def render_reference2(scene, width, height, spp, max_depth, fov_deg,
         # russian roulette disabled (max_depth-bounded reference)
 
     img = L.reshape(width * height, spp, 3).mean(1).reshape(
+        height, width, 3)
+    return img.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Spectral (hero-wavelength) arm: diffuse + area emitters (Cornell class)
+# ---------------------------------------------------------------------------
+
+_XYZ_TO_SRGB = np.array([[3.240479, -1.537150, -0.498535],
+                         [-0.969256, 1.875991, 0.041556],
+                         [0.055648, -0.204043, 1.057311]])
+_WL_LO, _WL_HI = 360.0, 830.0
+
+
+def _sigmoid_reflectance(coeff, wl):
+    """Jakob & Hanika 2019 sigmoid polynomial (the model spec, written
+    independently of render/srgb.py's evaluator). coeff (..., 3),
+    wl (...) -> (...)."""
+    x = (wl - _WL_LO) / (_WL_HI - _WL_LO) * 2.0 - 1.0
+    # coeff may be (n, 3) against wl (n, n_wl): keep a broadcast axis
+    t = (coeff[..., 0:1] * x * x + coeff[..., 1:2] * x
+         + coeff[..., 2:3]) if coeff.ndim == x.ndim else (
+        coeff[..., 0] * x * x + coeff[..., 1] * x + coeff[..., 2])
+    return 0.5 + t / (2.0 * np.sqrt(1.0 + t * t))
+
+
+def _cie_tables():
+    from mitsuba2_tpu.core import spectrum as _sp
+    wl5 = np.linspace(_WL_LO, _WL_HI, _sp.MTS_CIE_SAMPLES)
+    return (wl5, np.asarray(_sp.CIE_XYZ_TABLE, np.float64),
+            np.asarray(_sp.CIE_D65_TABLE, np.float64))
+
+
+def render_reference2_spectral(scene, width, height, spp, max_depth,
+                               fov_deg, cam_to_world, seed=1, n_wl=4):
+    """Hero-wavelength NEE+MIS tracer for diffuse + area-emitter scenes.
+
+    Independent design choices vs the renderer: wavelengths are sampled
+    UNIFORMLY over [360, 830] with a stratified shift (the renderer
+    importance-samples the Radziszewski fit), reflectance/radiance
+    spectra are evaluated with a locally-written sigmoid + np.interp
+    D65, and XYZ integration is plain MC mean * range over the raw CIE
+    tables. Returns the linear-sRGB image (matches the spectral film
+    develop semantics: spectrum_to_xyz with 1/pdf weights, then
+    xyz_to_srgb)."""
+    ref = RefScene2(scene)
+    assert ref.env is None and (ref.kind[ref.kind != 3] == 0).all(), \
+        "spectral arm: diffuse surfaces + area emitters only"
+    # spectral payloads: reflectance coeffs per shape, emitter coeff+scale
+    coeffs = np.zeros((len(scene.shapes), 3))
+    for i, s in enumerate(scene.shapes):
+        b = s.bsdf
+        members = getattr(b, "merged_instances", None)
+        if members:
+            b = members[0]
+        refl = getattr(b, "reflectance", None)
+        if refl is not None and hasattr(refl, "data"):
+            coeffs[i] = np.asarray(refl.data.coeff, np.float64).reshape(3)
+    em_spec = {}
+    for idx, e in enumerate(scene.emitters):
+        em_spec[idx] = (np.asarray(e.radiance._coeff,
+                                   np.float64).reshape(3),
+                        float(e.radiance._d65_scale))
+    wl5, cmf, d65 = _cie_tables()
+
+    def d65_at(wl):
+        return np.interp(wl, wl5, d65)
+
+    rng = np.random.default_rng(seed)
+    n = width * height * spp
+    mat = np.asarray(cam_to_world.matrix, np.float64)
+    px = np.repeat(np.arange(width * height) % width, spp)
+    py = np.repeat(np.arange(width * height) // width, spp)
+    sx = (px + rng.random(n)) / width
+    sy = (py + rng.random(n)) / height
+    aspect = width / height
+    tan_half = np.tan(np.deg2rad(fov_deg) * 0.5)
+    d = _norm(np.stack([-(2 * sx - 1) * tan_half,
+                        (1 - 2 * sy) * tan_half / aspect,
+                        np.ones(n)], -1)) @ mat[:3, :3].T
+    o = np.broadcast_to(mat[:3, 3], (n, 3)).astype(np.float64).copy()
+    # stratified-shifted uniform hero wavelengths, pdf = 1/range each
+    u0 = rng.random(n)
+    wl = (u0[:, None] + np.arange(n_wl) / n_wl) % 1.0
+    wl = _WL_LO + wl * (_WL_HI - _WL_LO)                    # (n, n_wl)
+
+    L = np.zeros((n, n_wl))
+    beta = np.ones((n, n_wl))
+    prev_pdf = np.zeros(n)
+    active = np.ones(n, bool)
+
+    for depth in range(max_depth):
+        if not active.any():
+            break
+        t, f = ref.intersect(o, d)
+        hit = f >= 0
+        shape = np.where(hit, ref.face_shape[np.maximum(f, 0)], -1)
+        em = np.where(hit & (shape >= 0),
+                      ref.shape_emitter[np.maximum(shape, 0)], -1)
+
+        def le_spec(eidx):
+            c, sc = em_spec[eidx]
+            return (_sigmoid_reflectance(c[None], wl)
+                    * d65_at(wl) * sc)
+
+        for e in ref.area:
+            sel = active & (em == e["index"])
+            if not sel.any():
+                continue
+            ng = ref.ng[np.maximum(f, 0)]
+            cos_l = _dotv(-d, ng)
+            pdf_l = np.where(cos_l > 1e-9,
+                             t * t / np.maximum(cos_l * e["total_area"],
+                                                1e-300), 0.0) / ref.n_em
+            w = np.where(prev_pdf > 0, _mis(prev_pdf, pdf_l), 1.0)
+            sel &= cos_l > 0
+            L[sel] += w[sel, None] * beta[sel] * le_spec(e["index"])[sel]
+        active &= hit
+        if depth == max_depth - 1 or not active.any():
+            break
+
+        p_hit = o + d * np.where(np.isfinite(t), t, 0.0)[:, None]
+        ng = ref.ng[np.maximum(f, 0)]
+        cos_i = _dotv(ng, -d)
+        shade = active & (shape >= 0) & (ref.kind[np.maximum(shape, 0)]
+                                         == 0) & (cos_i > 0)
+        active &= shade
+        alb = _sigmoid_reflectance(coeffs[np.maximum(shape, 0)], wl)
+
+        # NEE
+        if ref.n_em:
+            pick = rng.integers(0, ref.n_em, n)
+            for ai, e in enumerate(ref.area):
+                sel = shade & (pick == ai)
+                if not sel.any():
+                    continue
+                probs = e["areas"] / e["areas"].sum()
+                fi = rng.choice(len(probs), size=n, p=probs)
+                r1, r2 = rng.random(n), rng.random(n)
+                su = 1 - np.sqrt(1 - r1)
+                sv = r2 * np.sqrt(1 - r1)
+                pl = (e["v0"][fi] + e["e1"][fi] * su[:, None]
+                      + e["e2"][fi] * sv[:, None])
+                dl = pl - p_hit
+                dist2 = _dotv(dl, dl)
+                dist = np.sqrt(dist2)
+                dl = dl / np.maximum(dist[:, None], 1e-12)
+                cos_l = _dotv(-dl, e["n"][fi])
+                pdf = np.where(cos_l > 1e-9, dist2 / np.maximum(
+                    cos_l * e["total_area"], 1e-300), 0.0) / ref.n_em
+                cos_s = _dotv(dl, ng)
+                idx = np.where(sel & (pdf > 0) & (cos_s > 0))[0]
+                if len(idx):
+                    occ = ref.occluded(p_hit[idx], dl[idx], dist[idx])
+                    idx = idx[~occ]
+                if len(idx):
+                    bpdf = cos_s[idx] / np.pi
+                    w = _mis(pdf[idx], bpdf)
+                    L[idx] += (beta[idx] * alb[idx]
+                               * le_spec(e["index"])[idx]
+                               * (cos_s[idx] / np.pi * w
+                                  / pdf[idx])[:, None])
+
+        # cosine BSDF sampling
+        u1, u2 = rng.random(n), rng.random(n)
+        rr_ = np.sqrt(u1)
+        ph = 2 * np.pi * u2
+        tx, ty = _frame(ng)
+        wo_l = np.stack([rr_ * np.cos(ph), rr_ * np.sin(ph),
+                         np.sqrt(np.maximum(0, 1 - u1))], -1)
+        nd = (tx * wo_l[:, 0:1] + ty * wo_l[:, 1:2] + ng * wo_l[:, 2:3])
+        pdf_b = wo_l[:, 2] / np.pi
+        ok = shade & (pdf_b > 0)
+        active &= ok
+        beta = np.where(shade[:, None], beta * alb, beta)
+        o = np.where(shade[:, None], p_hit + ng * 1e-5, o)
+        d = np.where(shade[:, None], nd, d)
+        prev_pdf = np.where(shade, pdf_b, prev_pdf)
+
+    # develop: MC XYZ (raw CMFs, uniform-pdf weight = range), then sRGB
+    cmf_at = np.stack([np.interp(wl, wl5, cmf[:, k]) for k in range(3)],
+                      -1)                                  # (n, n_wl, 3)
+    xyz = (cmf_at * L[..., None]).mean(1) * (_WL_HI - _WL_LO)
+    rgb = xyz @ _XYZ_TO_SRGB.T
+    img = rgb.reshape(width * height, spp, 3).mean(1).reshape(
         height, width, 3)
     return img.astype(np.float32)

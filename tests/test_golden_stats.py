@@ -11,10 +11,17 @@ import numpy as np
 import mitsuba2_tpu as mi
 from mitsuba2_tpu.core.transform import Transform as T
 
-# (mean, q25, q75) captured 2026-08-17 at the seeds/spp used below
+# (mean, q25, q75) captured at the seeds/spp used below.
+# volpath recaptured 2026-08-19 after fixing the shadow-walk ratio-
+# tracking null weight (the old 1.12317 was from the biased estimator —
+# the bug was found by tests/reference_pt2.py's independent Simpson-
+# quadrature arm, which now cross-validates this config in
+# test_independent_reference.py::test_independent_heterogeneous_grid;
+# the spectral config is cross-validated by
+# test_independent_spectral_cornell).
 GOLDEN = {
     "matpreview": (0.87095, 0.30803, 0.92733),
-    "volpath": (1.12317, 0.61253, 1.60175),
+    "volpath": (1.00677, 0.46262, 1.52746),
     "spectral_cornell": (0.16067, 0.01576, 0.10750),
 }
 

@@ -148,8 +148,9 @@ def test_spectral_megakernel_matches_wavefront(variant_scalar_spectral):
 
 
 def test_spectral_megakernel_eligibility_scope(variant_scalar_spectral):
-    """Spectral-mode fast-path gates: conductor IOR spectra fall back
-    (envmaps are now eligible via coefficient+scale planes)."""
+    """Spectral-mode fast-path gates: rgb-anchored conductor IORs are
+    ELIGIBLE (anchored-quadratic coefficient columns, VERDICT r3 #5);
+    user-supplied IOR curve spectra still fall back to the wavefront."""
     import mitsuba2_tpu as mi
     from mitsuba2_tpu.python.test.scenes import cornell_box_dict
     from mitsuba2_tpu.ops.megakernel import megakernel_ineligibility
@@ -157,7 +158,74 @@ def test_spectral_megakernel_eligibility_scope(variant_scalar_spectral):
     d["tallbox"]["bsdf"] = {"type": "roughconductor", "alpha": 0.2,
                             "distribution": "ggx", "material": "Au"}
     scene = mi.load_dict(d)
-    assert megakernel_ineligibility(scene) is not None
+    assert megakernel_ineligibility(scene) is None
+    # explicit curve spectrum -> wavefront
+    d2 = cornell_box_dict(width=8, height=8, spp=4, max_depth=2)
+    d2["tallbox"]["bsdf"] = {
+        "type": "roughconductor", "alpha": 0.2, "distribution": "ggx",
+        "eta": {"type": "regular", "lambda_min": 400.0,
+                "lambda_max": 700.0, "values": "0.1, 0.9, 1.6"},
+        "k": {"type": "regular", "lambda_min": 400.0,
+              "lambda_max": 700.0, "values": "3.9, 2.4, 1.6"}}
+    scene2 = mi.load_dict(d2)
+    assert megakernel_ineligibility(scene2) is not None
+
+
+def test_conductor_ior_spectrum_anchors(variant_scalar_spectral):
+    """ConductorIORSpectrum interpolates the rgb anchor values exactly
+    and does NOT clip k > 1 (the sigmoid upsampling did — every metal's
+    Fresnel was wrong in spectral mode before this class existed)."""
+    import jax.numpy as jnp
+    from mitsuba2_tpu.models.spectra import (ConductorIORSpectrum,
+                                             IOR_ANCHORS_NM)
+    from mitsuba2_tpu.render.fresnel import lookup_conductor_ior
+    _, k_rgb = lookup_conductor_ior("Au")
+    assert max(k_rgb) > 1.5          # the clipping victim
+    sp = ConductorIORSpectrum(k_rgb)
+
+    class _Si:
+        wavelengths = jnp.asarray([list(IOR_ANCHORS_NM) + [550.0]])
+        t = jnp.zeros((1,))
+
+    out = np.asarray(sp.eval(_Si()))[0]
+    assert np.allclose(out[:3], np.asarray(k_rgb), atol=1e-3), out
+
+
+def test_spectral_conductor_megakernel_matches_wavefront(
+        variant_scalar_spectral):
+    """Spectral GGX conductors in-kernel (VERDICT r3 #5): the kernel's
+    anchored-quadratic Fresnel agrees with the spectral wavefront (same
+    curve model) and metamerically with the rgb kernel render.
+    Reference role: roughconductor.cpp:306-430 + fresnel.h."""
+    import mitsuba2_tpu as mi
+    from mitsuba2_tpu.python.test.scenes import matpreview_dict
+    from mitsuba2_tpu.ops.megakernel import (DiffusePathMegakernel,
+                                             megakernel_ineligibility)
+    W, SPP = 20, 48
+    scene = mi.load_dict(matpreview_dict(width=W, height=W, spp=SPP,
+                                         max_depth=3))
+    assert megakernel_ineligibility(scene) is None
+    mk = DiffusePathMegakernel(scene, interpret=True)
+    mk.max_depth, mk.rr_depth = 3, 1000
+    img = np.asarray(mk.render_pass(scene.sensors[0], 0, 0,
+                                    SPP))[..., :3] / SPP
+    ref = np.asarray(scene.integrator.render(scene, seed=7, spp=SPP))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) <= 0.06 * ref.mean(), \
+        (img.mean(), ref.mean())
+
+    mi.set_variant("scalar_rgb")
+    scene2 = mi.load_dict(matpreview_dict(width=W, height=W, spp=SPP,
+                                          max_depth=3))
+    mk2 = DiffusePathMegakernel(scene2, interpret=True)
+    mk2.max_depth, mk2.rr_depth = 3, 1000
+    img2 = np.asarray(mk2.render_pass(scene2.sensors[0], 0, 0,
+                                      SPP))[..., :3] / SPP
+    # anchored-quadratic IOR + srgb-upsampled reflectances round-trip
+    # the rgb render metamerically (looser than diffuse: the IOR curve
+    # between anchors is a model choice)
+    assert abs(img.mean() - img2.mean()) <= 0.10 * img2.mean(), \
+        (img.mean(), img2.mean())
 
 
 def test_spectral_envmap_megakernel_matches_wavefront(

@@ -13,9 +13,15 @@ CPU-only; no TPU needed.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+import jax
+
+# the JAX_PLATFORMS env var is IGNORED when the axon TPU plugin is
+# installed; the config API reliably forces the CPU backend (otherwise
+# scene loading hangs on the tunnel)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

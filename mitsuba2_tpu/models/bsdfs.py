@@ -125,13 +125,15 @@ def _nch():
     return current().n_channels
 
 
-def _spectral_ior(tex):
+def _spectral_ior(tex, curve=None):
     """In spectral variants, rgb-valued conductor eta/k constants become
     anchored-quadratic IOR curves (ConductorIORSpectrum): the sigmoid
     reflectance upsampling is bounded to [0, 1] and silently clipped
     k > 1, breaking every metal (roughconductor.cpp:306-430 evaluates
-    unbounded complex IOR spectra). Spectra the user supplied directly
-    (regular/irregular curves) pass through untouched."""
+    unbounded complex IOR spectra). Named materials with full tabulated
+    curves (fresnel.CONDUCTOR_IOR_CURVES) fit over the whole hero range
+    instead of flat-clamping outside the sRGB anchors. Spectra the user
+    supplied directly (regular/irregular curves) pass through."""
     from ..variants import current
     if not current().is_spectral:
         return tex
@@ -139,7 +141,7 @@ def _spectral_ior(tex):
     if rgb is None:
         return tex
     from .spectra import ConductorIORSpectrum
-    return ConductorIORSpectrum(rgb)
+    return ConductorIORSpectrum(rgb, curve=curve)
 
 
 def _spec(value, n, dtype=jnp.float32):
@@ -323,12 +325,18 @@ class SmoothConductor(BSDF):
         if p is not None and (p.has_property("eta") or p.has_property("k")):
             self.eta_tex = p.texture("eta", 0.0)
             self.k_tex = p.texture("k", 1.0)
+            self.eta_tex = _spectral_ior(self.eta_tex)
+            self.k_tex = _spectral_ior(self.k_tex)
         else:
             eta_rgb, k_rgb = lookup_conductor_ior(material)
             self.eta_tex = as_texture(list(eta_rgb))
             self.k_tex = as_texture(list(k_rgb))
-        self.eta_tex = _spectral_ior(self.eta_tex)
-        self.k_tex = _spectral_ior(self.k_tex)
+            from ..render.fresnel import lookup_conductor_curves
+            curves = lookup_conductor_curves(material)
+            e_cv = (curves[0], curves[1]) if curves else None
+            k_cv = (curves[0], curves[2]) if curves else None
+            self.eta_tex = _spectral_ior(self.eta_tex, curve=e_cv)
+            self.k_tex = _spectral_ior(self.k_tex, curve=k_cv)
         self.specular_reflectance = p.texture("specular_reflectance", 1.0) \
             if p else ConstantTexture(color=1.0)
         self.m_components = [BSDFFlags.DeltaReflection | BSDFFlags.FrontSide]
@@ -396,12 +404,18 @@ class RoughConductor(BSDF):
         if p is not None and (p.has_property("eta") or p.has_property("k")):
             self.eta_tex = p.texture("eta", 0.0)
             self.k_tex = p.texture("k", 1.0)
+            self.eta_tex = _spectral_ior(self.eta_tex)
+            self.k_tex = _spectral_ior(self.k_tex)
         else:
             eta_rgb, k_rgb = lookup_conductor_ior(material)
             self.eta_tex = as_texture(list(eta_rgb))
             self.k_tex = as_texture(list(k_rgb))
-        self.eta_tex = _spectral_ior(self.eta_tex)
-        self.k_tex = _spectral_ior(self.k_tex)
+            from ..render.fresnel import lookup_conductor_curves
+            curves = lookup_conductor_curves(material)
+            e_cv = (curves[0], curves[1]) if curves else None
+            k_cv = (curves[0], curves[2]) if curves else None
+            self.eta_tex = _spectral_ior(self.eta_tex, curve=e_cv)
+            self.k_tex = _spectral_ior(self.k_tex, curve=k_cv)
         self.specular_reflectance = p.texture("specular_reflectance", 1.0) \
             if p else ConstantTexture(color=1.0)
         self.dist_type, self.alpha_u, self.alpha_v, self.sample_visible = \

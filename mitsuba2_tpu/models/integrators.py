@@ -934,18 +934,20 @@ class VolumetricPathIntegrator(MonteCarloIntegrator):
             rho_d = jnp.where(act_med[..., None], rho_d * r_ff, rho_d)
             collided = act_med & jnp.isfinite(mi.t)
             # RATIO-TRACKING null weight: the shadow walk crosses every
-            # collision DETERMINISTICALLY (p=1), so the per-collision
-            # factor is sigma_n_j / majorant_j (volpath.cpp:294-332).
+            # collision DETERMINISTICALLY (p=1); after the tr/tr_pdf
+            # factor above (which carries exp(-maj_j t)/(maj_c
+            # exp(-maj_c t))) the unbiased per-collision factor is plain
+            # per-channel sigma_n_j — volpath.cpp:330's spectral branch:
+            # E_t~maj_c exp(-maj_c t)[tr/tr_pdf * sigma_n_j * ...] solves
+            # the null-collision integral equation for Tr_j exactly.
             # (The main loop's sigma_n*maj_c/sigma_n_c form divides by
             # the null-event SAMPLING probability sigma_n_c/maj_c — it
             # does not apply here; using it made Tr == 1 in gray media,
             # found by the independent Simpson-quadrature tracer in
-            # tests/reference_pt2.py.)  tr/tr_pdf above already carries
-            # the 1/maj_c, so only the maj_c/maj_j ratio remains.
-            w = mi.sigma_n * m.safe_div(
-                _index_spectrum(mi.combined_extinction, channel)[..., None],
-                mi.combined_extinction, 0.0)
-            tr_acc = jnp.where(collided[..., None], tr_acc * w, tr_acc)
+            # tests/reference_pt2.py. An extra maj_c/maj_j ratio here
+            # was likewise biased for spectral majorants — ADVICE r4.)
+            tr_acc = jnp.where(collided[..., None], tr_acc * mi.sigma_n,
+                               tr_acc)
             # the directional strategy crosses this collision as a null
             # event with per-channel probability sigma_n/majorant
             # (volpathmis.cpp:203); the NEE walk is deterministic (p=1)

@@ -243,12 +243,30 @@ class ConductorIORSpectrum(Texture):
     upsampling which clips to [0, 1] and silently destroyed k > 1
     (e.g. Au's k = 3.98 at 600 nm)."""
 
-    def __init__(self, rgb):
+    def __init__(self, rgb, curve=None):
+        """rgb: the CIE-weighted triple (kept for rgb/mono fallbacks and
+        metameric checks). curve: optional (wavelengths_nm, values) full
+        tabulated curve (fresnel.CONDUCTOR_IOR_CURVES) — when given, the
+        quadratic is least-squares fit over the WHOLE hero range and the
+        clamp span widens to the table's span (ADVICE r4: the 3-anchor
+        fit flat-clamped outside 450-600 nm while hero sampling covers
+        360-830 nm)."""
         rgb = np.asarray(rgb, np.float32).reshape(3)
         self._rgb_np = rgb
-        self._coeff = np.asarray(_anchored_quad_coeffs(rgb), np.float32)
-        lo = min(IOR_ANCHORS_NM)
-        hi = max(IOR_ANCHORS_NM)
+        if curve is not None:
+            wl_t = np.asarray(curve[0], np.float64)
+            v_t = np.asarray(curve[1], np.float64)
+            wl_d = np.linspace(wl_t[0], wl_t[-1], 128)
+            v_d = np.interp(wl_d, wl_t, v_t)
+            x_d = ((wl_d - spec.MTS_CIE_MIN)
+                   / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2.0 - 1.0)
+            self._coeff = np.asarray(np.polyfit(x_d, v_d, 2), np.float32)
+            lo, hi = float(wl_t[0]), float(wl_t[-1])
+        else:
+            self._coeff = np.asarray(_anchored_quad_coeffs(rgb),
+                                     np.float32)
+            lo = min(IOR_ANCHORS_NM)
+            hi = max(IOR_ANCHORS_NM)
         self._x_lo = float((lo - spec.MTS_CIE_MIN)
                            / (spec.MTS_CIE_MAX - spec.MTS_CIE_MIN) * 2 - 1)
         self._x_hi = float((hi - spec.MTS_CIE_MIN)

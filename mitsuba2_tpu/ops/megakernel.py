@@ -1205,6 +1205,23 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         pix_f = st[base_aux + 4] if carry_pixel else None
         any_alive = jnp.sum(st[base_aux + 1]) > 0.0
 
+    def _cie_develop(res_list, wl_list):
+        """In-kernel spectral develop: integrate the accumulated
+        hero-wavelength radiance against the CIE CMFs and convert to
+        linear sRGB rows HERE, where the table pick is a fused VMEM op —
+        per-lane CIE gathers at develop time cost ~1 s at 4M lanes
+        (spectrum.h:209 semantics)."""
+        xyz = [dzero, dzero, dzero]
+        for c in range(nc):
+            resp = cmf_flat(to_flat(wl_list[c]))
+            for k in range(3):
+                xyz[k] = xyz[k] + to_dense(resp[k]) * res_list[c]
+        xyz = [x * (1.0 / nc) for x in xyz]
+        from ..core.spectrum import XYZ_TO_SRGB as _M
+        out = [float(_M[r, 0]) * xyz[0] + float(_M[r, 1]) * xyz[1]
+               + float(_M[r, 2]) * xyz[2] for r in range(3)]
+        return out + [dzero] * (nc - 3)
+
     def run_bounce():
         dim0 = 2 + depth * 8
         if hbm and _ABL_SWEEP_STATS:
@@ -1353,21 +1370,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             # final bounce: only emission can contribute — statically skip
             # RR, NEE, the shadow sweep, and BSDF sampling.
             if spectral:
-                # in-kernel spectral develop: integrate the accumulated
-                # hero-wavelength radiance against the CIE CMFs and
-                # convert to linear sRGB rows HERE, where the table pick
-                # is a fused VMEM op — per-lane CIE gathers at develop
-                # time cost ~1 s at 4M lanes (spectrum.h:209 semantics)
-                xyz = [dzero, dzero, dzero]
-                for c in range(nc):
-                    resp = cmf_flat(to_flat(wl_d[c]))
-                    for k in range(3):
-                        xyz[k] = xyz[k] + to_dense(resp[k]) * res_[c]
-                xyz = [x * (1.0 / nc) for x in xyz]
-                from ..core.spectrum import XYZ_TO_SRGB as _M
-                res_ = [float(_M[r, 0]) * xyz[0] + float(_M[r, 1]) * xyz[1]
-                        + float(_M[r, 2]) * xyz[2] for r in range(3)]
-                res_ = res_ + [dzero] * (nc - 3)
+                res_ = _cie_develop(res_, wl_d)
             st_out_ref[...] = jnp.stack(
                 [dzero] * (6 + nc) + res_
                 + [dzero, dzero, key.view(jnp.float32), dzero]
@@ -1392,13 +1395,15 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             if spectral:
                 # cols 12:15 / 15:18 carry anchored-quadratic IOR curve
                 # coefficients (ConductorIORSpectrum; must stay in sync
-                # with models/spectra.py IOR_ANCHORS_NM = 600/550/450):
-                # eta(x) = (a x + b) x + c at the hero wavelength's
-                # normalized x, clamped to the anchor span
+                # with models/spectra.py): eta(x) = (a x + b) x + c at
+                # the hero wavelength's normalized x, clamped to the
+                # fit span carried in cols 44/45 (full table span for
+                # curve-backed metals, 450-600 nm sRGB anchors for
+                # rgb-only materials — ADVICE r4)
                 ep = [to_dense(A_f[12 + j]) for j in range(3)]
                 kp = [to_dense(A_f[15 + j]) for j in range(3)]
-                x_lo = _wl_norm(450.0)
-                x_hi = _wl_norm(600.0)
+                x_lo = to_dense(A_f[44])
+                x_hi = to_dense(A_f[45])
                 xc = [jnp.clip(wl_x[c], x_lo, x_hi) for c in range(nc)]
                 eta_k = [(ep[0] * xc[c] + ep[1]) * xc[c] + ep[2]
                          for c in range(nc)]
@@ -1797,7 +1802,20 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     else:
         @pl.when(jnp.logical_not(any_alive))
         def _():
-            st_out_ref[...] = st_in_ref[...]
+            if is_last and spectral:
+                # a fully-dead tile still owes its accumulated radiance
+                # the CIE develop at the last bounce — the st passthrough
+                # would leave raw hero-wavelength rows that the host film
+                # reads as sRGB (3-4x too bright for D65-lit sky; bug
+                # found round 5: all-sky tiles die at depth 1)
+                wl_dd, _ = _hero_wavelengths(key, nc)
+                res_d = _cie_develop(list(res), wl_dd)
+                st_out_ref[...] = jnp.stack(
+                    [dzero] * (6 + nc) + res_d
+                    + [dzero, dzero, key.view(jnp.float32), dzero]
+                    + ([pix_f] if carry_pixel else []), axis=0)
+            else:
+                st_out_ref[...] = st_in_ref[...]
 
         @pl.when(any_alive)
         def _():
@@ -2136,6 +2154,8 @@ class DiffusePathMegakernel:
         shp_alpha = np.zeros_like(shp_kind)
         shp_eta = np.zeros((len(shp_kind), 3), np.float32)
         shp_k = np.zeros_like(shp_eta)
+        # IOR quadratic clamp span in normalized x (cols 44/45)
+        shp_span = np.zeros((len(shp_kind), 2), np.float32)
         shp_touv = np.zeros((len(shp_kind), 6), np.float32)
         shp_touv[:, 0] = 1.0
         shp_touv[:, 4] = 1.0
@@ -2162,6 +2182,7 @@ class DiffusePathMegakernel:
                                                 np.float32).reshape(3)
                     shp_k[s_idx] = np.asarray(b.k_tex._coeff,
                                               np.float32).reshape(3)
+                    shp_span[s_idx] = [b.eta_tex._x_lo, b.eta_tex._x_hi]
                 else:
                     eta3 = np.asarray(b.eta_tex._rgb_np,
                                       np.float32).reshape(3)
@@ -2233,6 +2254,7 @@ class DiffusePathMegakernel:
         fattr[:self.n_faces, 27:33] = shp_touv[fs]
         fattr[:self.n_faces, 33:38] = shp_extra[fs]
         fattr[:self.n_faces, 40:43] = shp_atlas[fs]
+        fattr[:self.n_faces, 44:46] = shp_span[fs]
         self.has_checker = bool((shp_kind == 2.0).any())
         self.has_bitmap = bool((shp_kind == 6.0).any())
         # channel-blocked (3*aw, Ha) texture atlas, v-stacked; the atlas
@@ -2282,6 +2304,7 @@ class DiffusePathMegakernel:
                 sattr[si, 12:15] = shp_eta[s_idx]
                 sattr[si, 15:18] = shp_k[s_idx]
                 sattr[si, 33:38] = shp_extra[s_idx]
+                sattr[si, 44:46] = shp_span[s_idx]
         self.sph = jnp.asarray(sph.T.copy())               # (8, S)
         self._sattr_static = sattr
 
@@ -2315,6 +2338,7 @@ class DiffusePathMegakernel:
                 qattr[qi, 12:15] = shp_eta[s_idx]
                 qattr[qi, 15:18] = shp_k[s_idx]
                 qattr[qi, 33:38] = shp_extra[s_idx]
+                qattr[qi, 44:46] = shp_span[s_idx]
                 qattr[qi, 38] = flip
         self.qd = jnp.asarray(qd.T.copy())             # (16, Q)
         self._qattr_static = qattr
@@ -2513,6 +2537,14 @@ class DiffusePathMegakernel:
         # (measured 0.295 -> 0.362 Mpaths/s at 262k faces; 512 is below
         # the (8, 128) min block shape)
         tile = _HBM_TILE if self.hbm else RAY_TILE
+        if self.hbm and tile // 128 > 32:
+            # per-row live bitmasks (_slab_pair_live) pack one bit per
+            # 128-lane row into ONE int32 — G > 32 would overflow the
+            # shifts and silently corrupt leaf-sweep masks (ADVICE r4)
+            raise ValueError(
+                f"MK_HBM_TILE={tile} gives {tile // 128} rows > 32; the "
+                "HBM tier's per-row int32 live bitmasks cap the tile at "
+                "4096 rays")
         n_pad = int(np.ceil(n / tile)) * tile
         n_tiles = n_pad // tile
         G = tile // 128

@@ -87,6 +87,14 @@ class SamplingIntegrator(Integrator):
 
     # ------------------------------------------------------------------ drive
     def render(self, scene, sensor=0, seed=0, spp=None, develop=True):
+        from ..variants import variant as _variant_name
+        got = getattr(scene, "variant_name", None)
+        if got is not None and got != _variant_name():
+            raise RuntimeError(
+                f"scene was loaded under variant {got!r} but the active "
+                f"variant is {_variant_name()!r}; reload the scene after "
+                "set_variant (scenes cannot cross variants, like the "
+                "reference's per-variant modules)")
         if isinstance(sensor, int):
             sensor = scene.sensors[sensor]
         film = sensor.film

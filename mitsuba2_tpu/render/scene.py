@@ -56,6 +56,13 @@ class Scene(Object):
     def __init__(self, props=None, shapes=None, sensors=None, emitters=None,
                  integrator=None):
         super().__init__(props)
+        # a scene belongs to the variant it was loaded under (the
+        # reference compiles one module per variant — scene.cpp objects
+        # can't cross variants either); integrator.render checks this
+        # so a stale-scene render fails with a clear message instead of
+        # a channel-count broadcast error deep in eval_emitter
+        from ..variants import variant as _variant_name
+        self.variant_name = _variant_name()
         self.shapes = list(shapes or [])
         self.sensors = list(sensors or [])
         self.emitters = list(emitters or [])

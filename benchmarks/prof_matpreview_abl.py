@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Matpreview megakernel cost split: one subprocess per ablation knob,
+prints Mpaths/s. NO_* knobs bias the image (timing analysis only) —
+they bound where the 28.5-vs-46.5 (matpreview vs cornell) gap lives:
+env NEE arm, shadow sweeps, NEE entirely, or the GGX/quad machinery.
+"""
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, %r)
+import numpy as np, jax.numpy as jnp
+import mitsuba2_tpu as mi
+mi.set_variant("scalar_rgb")
+from mitsuba2_tpu.python.test.scenes import matpreview_dict
+spp = 64
+scene = mi.load_dict(matpreview_dict(width=256, height=256, spp=spp,
+                                     max_depth=6))
+integ = scene.integrator
+np.asarray(integ.render(scene, seed=0, spp=spp))
+best = 1e9
+for r in range(3):
+    t0 = time.perf_counter()
+    float(jnp.sum(integ.render(scene, seed=r + 1, spp=spp)))
+    best = min(best, time.perf_counter() - t0)
+print("RESULT %%.3f Mpaths/s  (%%d ms)" %% (256 * 256 * spp / best / 1e6,
+                                            best * 1000), flush=True)
+""" % (REPO,)
+
+CONFIGS = [
+    ("base", {}),
+    ("no_envnee", {"MK_NO_ENVNEE": "1"}),
+    ("no_shadow", {"MK_NO_SHADOW": "1"}),
+    ("no_nee", {"MK_NO_NEE": "1"}),
+]
+
+
+def main():
+    names = sys.argv[1:] or [n for n, _ in CONFIGS]
+    for name, env in CONFIGS:
+        if name not in names:
+            continue
+        e = dict(os.environ)
+        e.update(env)
+        r = subprocess.run([sys.executable, "-c", CHILD], env=e,
+                           capture_output=True, text=True, timeout=900)
+        line = [ln for ln in r.stdout.splitlines() if "RESULT" in ln]
+        print(f"{name:12s} {line[0] if line else 'FAILED: ' + r.stderr[-300:]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

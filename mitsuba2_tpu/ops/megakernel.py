@@ -803,8 +803,15 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             t_best = jnp.where(closer, tsmin, t_best)
             A_best = jnp.where(closer[None, :], SA, A_best)
             if need_bary:
-                bu_best = jnp.where(closer, 0.0, bu_best)
-                bv_best = jnp.where(closer, 0.0, bv_best)
+                # spherical uv (sphere.cpp compute_surface_interaction;
+                # scene.py:759-761 wavefront conventions) written into
+                # the bary slots — sattr rows carry the identity
+                # uv0/duv mapping so the checker/bitmap resolve reads
+                # them through unchanged
+                su = _atan2(sn[1], sn[0]) * (0.5 / _PI) + 0.5
+                sv = _acos(jnp.clip(sn[2], -1.0, 1.0)) * (1.0 / _PI)
+                bu_best = jnp.where(closer, su, bu_best)
+                bv_best = jnp.where(closer, sv, bv_best)
         if has_quads:
             tq, okq = _quad_hits(ox, oy, oz, dx, dy, dz, mint, maxt)
             Q = tq.shape[0]
@@ -839,8 +846,21 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             t_best = jnp.where(closer, tqmin, t_best)
             A_best = jnp.where(closer[None, :], QA, A_best)
             if need_bary:
-                bu_best = jnp.where(closer, 0.0, bu_best)
-                bv_best = jnp.where(closer, 0.0, bv_best)
+                # disk uv = (r_local, phi/2pi), cylinder uv = (phi/2pi,
+                # z/len) (disk.cpp:182-225 / cylinder.cpp:336-390;
+                # scene.py:800-819 wavefront conventions); identity
+                # uv0/duv rows in qattr pass them through the
+                # checker/bitmap resolve
+                qlz = QP[6] * hx + QP[7] * hy + QP[8] * hz + QP[11]
+                phi_q = _atan2(qly, qlx) * (0.5 / _PI)
+                phi_q = jnp.where(phi_q < 0.0, phi_q + 1.0, phi_q)
+                r_loc = jnp.sqrt(jnp.maximum(qlx * qlx + qly * qly,
+                                             0.0))
+                inv_lq = 1.0 / jnp.maximum(QP[14], 1e-20)
+                qu = jnp.where(is_cyl, phi_q, r_loc)
+                qv = jnp.where(is_cyl, qlz * inv_lq, phi_q)
+                bu_best = jnp.where(closer, qu, bu_best)
+                bv_best = jnp.where(closer, qv, bv_best)
         return t_best, A_best, bu_best, bv_best
 
     def _quad_hits(ox, oy, oz, dx, dy, dz, mint, maxt):
@@ -2303,7 +2323,13 @@ class DiffusePathMegakernel:
                 sattr[si, 11] = shp_alpha[s_idx]
                 sattr[si, 12:15] = shp_eta[s_idx]
                 sattr[si, 15:18] = shp_k[s_idx]
+                # identity uv mapping: the sphere hit writes spherical
+                # uv into the bary slots, so uv = 0 + bu*(1,0) + bv*(0,1)
+                sattr[si, 23] = 1.0
+                sattr[si, 26] = 1.0
+                sattr[si, 27:33] = shp_touv[s_idx]
                 sattr[si, 33:38] = shp_extra[s_idx]
+                sattr[si, 40:43] = shp_atlas[s_idx]
                 sattr[si, 44:46] = shp_span[s_idx]
         self.sph = jnp.asarray(sph.T.copy())               # (8, S)
         self._sattr_static = sattr
@@ -2337,7 +2363,13 @@ class DiffusePathMegakernel:
                 qattr[qi, 11] = shp_alpha[s_idx]
                 qattr[qi, 12:15] = shp_eta[s_idx]
                 qattr[qi, 15:18] = shp_k[s_idx]
+                # identity uv mapping (disk/cylinder hits write their
+                # analytic uv into the bary slots)
+                qattr[qi, 23] = 1.0
+                qattr[qi, 26] = 1.0
+                qattr[qi, 27:33] = shp_touv[s_idx]
                 qattr[qi, 33:38] = shp_extra[s_idx]
+                qattr[qi, 40:43] = shp_atlas[s_idx]
                 qattr[qi, 44:46] = shp_span[s_idx]
                 qattr[qi, 38] = flip
         self.qd = jnp.asarray(qd.T.copy())             # (16, Q)
@@ -2822,9 +2854,11 @@ def megakernel_ineligibility(scene):
             return f"unsupported BSDF {type(b).__name__}"
     for sh in scene.shapes:
         if sh.is_analytic():
-            info = _bsdf_columns(sh.bsdf)
-            if info is None or info[0] in ("checker", "bitmap"):
-                return "uv-textured/unsupported BSDF on analytic shape"
+            # checker/bitmap ride the kernel: analytic hits compute
+            # their uv in-kernel (spherical / polar / cylindrical) and
+            # share the mesh path's atlas fetch (bitmap.cpp role)
+            if _bsdf_columns(sh.bsdf) is None:
+                return "unsupported BSDF on analytic shape"
     env = scene.environment_emitter
     for e in scene.emitters:
         if isinstance(e, EnvironmentMap):

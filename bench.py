@@ -122,6 +122,21 @@ def bench_volpath():
             "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
 
 
+def bench_hero():
+    """~203k-face smooth .serialized hero x GGX x envmap x MIS on a
+    checker floor — the production-shaped config (VERDICT r4 task #5):
+    composes the HBM BVH tier with the env NEE arm."""
+    import mitsuba2_tpu as mi
+    mi.set_variant("scalar_rgb")
+    from mitsuba2_tpu.python.test.scenes import hero_serialized_dict
+    scene = mi.load_dict(hero_serialized_dict(width=WIDTH, height=HEIGHT,
+                                              spp=32, max_depth=5))
+    mpaths, engine = _throughput(scene, 32)
+    return {"metric": "hero_serialized_path_throughput",
+            "value": round(mpaths, 3), "unit": "Mpaths/s/chip",
+            "vs_baseline": round(mpaths / 50.0, 4), "engine": engine}
+
+
 def bench_biggeo():
     """262,144-face displaced sphere: the production-size-geometry config
     (VERDICT r2 #7 — absolute number for the HBM BVH traversal tier)."""
@@ -215,7 +230,8 @@ def bench_equal_time():
 
 BENCHES = {"cornell": bench_cornell, "matpreview": bench_matpreview,
            "spectral": bench_spectral, "volpath": bench_volpath,
-           "biggeo": bench_biggeo, "equal_time": bench_equal_time}
+           "biggeo": bench_biggeo, "hero": bench_hero,
+           "equal_time": bench_equal_time}
 
 
 def main():

@@ -69,6 +69,9 @@ _ABL_SWEEP_STATS = _os.environ.get("MK_SWEEP_STATS") == "1"
 # NO_SWEEP starts the leaf DMAs but never sweeps (pops + DMA cost)
 _ABL_NO_LEAF = _os.environ.get("MK_NO_LEAF") == "1"
 _ABL_NO_SWEEP = _os.environ.get("MK_NO_SWEEP") == "1"
+# keep the per-row pl.when dispatch but empty the sweep body: isolates
+# Mosaic's predicated-region entry cost from the sweep's vector work
+_ABL_SWEEP_EMPTY = _os.environ.get("MK_SWEEP_EMPTY") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -187,6 +190,25 @@ def _tea(v0, v1, rounds=5):
         v1 = v1 + (((v0 << 4) + u32(0xAD90777D)) ^ (v0 + s)
                    ^ ((v0 >> 5) + u32(0x7E95761E)))
     return v0, v1
+
+
+def _mix32(key, dim):
+    """Cheap per-dimension counter RNG: Weyl-offset murmur3 finalizer
+    (~10 VPU ops vs ~80 for a 5-round TEA pair). `key` is the per-path
+    TEA-whitened uint32 chain key; `dim` a (possibly traced) dimension
+    id. The finalizer is a full-avalanche bijection of the Weyl
+    sequence — the standard production-PT stream construction
+    (PCG-RXS-M-XS class) — used for the high-count volumetric tracking
+    streams where TEA's cost dominates the launch (pcg32.h's role at a
+    tenth of the ops)."""
+    d = jnp.asarray(dim).astype(jnp.uint32)
+    h = key + d * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
 
 
 def _u01(bits):
@@ -433,21 +455,33 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         O3, D3 = OD[:, :Rl], OD[:, Rl:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
-        dz_ok = jnp.abs(DZ) > 1e-12
-        t = -Z / jnp.where(dz_ok, DZ, 1.0)
+        # op-lean epilogue (the HBM-tier sweeps are 93% of the biggeo
+        # render, biggeo_abl_r5.log): a raw division propagates
+        # inf/NaN for parallel rays, which then FAIL every comparison —
+        # no dz guard ops needed — and the three barycentric halfplane
+        # tests collapse to one min-form test
+        t = -Z / DZ
         u = U + t * DU
         v = V + t * DV
-        ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= mint[None, :]) & (t <= maxt[None, :]))
+        m3 = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        ok = ((m3 >= 0.0) & (t >= mint[None, :])
+              & (t <= maxt[None, :]))
         t = jnp.where(ok, t, _BIG)
         tmin = jnp.min(t, axis=0)                     # (Rl,)
         ids = jax.lax.broadcasted_iota(jnp.int32, (C, Rl), 0)
-        cand = jnp.where((t <= tmin[None, :]) & ok, ids,
+        cand = jnp.where(t <= tmin[None, :], ids,
                          jnp.int32(0x7FFFFFFF))
         kmin = jnp.min(cand, axis=0)
-        pick = ((ids == kmin[None, :]) & ok).astype(jnp.float32)
+        # no-hit rows (tmin == BIG) gate the pick on the cheap (Rl,) row
+        hit_row = tmin < _BIG * 0.5
+        pick = ((ids == kmin[None, :])
+                & hit_row[None, :]).astype(jnp.float32)
         A = _dotpick(A_tab, pick)                     # (40, Rl)
         if need_bary:
+            # u/v may be inf/NaN on rejected faces; sanitize before the
+            # pick-reduction (0 * inf would poison the sum)
+            u = jnp.where(ok, u, 0.0)
+            v = jnp.where(ok, v, 0.0)
             bu = jnp.sum(pick * u, axis=0)
             bv = jnp.sum(pick * v, axis=0)
         else:
@@ -659,6 +693,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             def _sweep_q(q, slot):
                 sl = pl.ds(q * 128, 128)
+                if _ABL_SWEEP_EMPTY:
+                    acc_ref[0, sl] = acc_ref[0, sl] + 0.0
+                    return
                 for k in range(LEAF_CHUNKS):
                     tmin, A, bu, bv = _sweep_chunk(
                         wbuf_ref[:, pl.ds(
@@ -920,12 +957,14 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         O3, D3 = OD[:, :Rl], OD[:, Rl:]
         U, V, Z = O3[0:C], O3[C:2 * C], O3[2 * C:3 * C]
         DU, DV, DZ = D3[0:C], D3[C:2 * C], D3[2 * C:3 * C]
-        dz_ok = jnp.abs(DZ) > 1e-12
-        t = -Z / jnp.where(dz_ok, DZ, 1.0)
+        # op-lean form (see _sweep_chunk): inf/NaN from the raw divide
+        # fail the comparisons, min-form barycentric test
+        t = -Z / DZ
         u = U + t * DU
         v = V + t * DV
-        ok = (dz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= mint[None, :]) & (t <= maxt[None, :]))
+        m3 = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        ok = ((m3 >= 0.0) & (t >= mint[None, :])
+              & (t <= maxt[None, :]))
         return jnp.sum(ok.astype(jnp.float32), axis=0)
 
     def any_hit(ox, oy, oz, dx, dy, dz, mint, maxt):
@@ -970,6 +1009,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                     @pl.when((mask >> q) & 1 != 0)
                     def _(q=q):
                         sl = pl.ds(q * 128, 128)
+                        if _ABL_SWEEP_EMPTY:
+                            acc_ref[3, sl] = acc_ref[3, sl] + 0.0
+                            return
                         for k in range(LEAF_CHUNKS):
                             acc_ref[3, sl] = acc_ref[3, sl] \
                                 + _shadow_chunk(

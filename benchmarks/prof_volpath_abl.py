@@ -37,7 +37,7 @@ def main():
         e = dict(os.environ)
         e.update(env)
         r = subprocess.run([sys.executable, "-c", CHILD], env=e,
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True, timeout=1800)
         line = [ln for ln in r.stdout.splitlines() if "volpath" in ln]
         print(f"{name:12s} {line[0] if line else 'FAILED: ' + r.stderr[-300:]}",
               flush=True)

@@ -175,7 +175,14 @@ class _MediumImpl(Medium):
         nch = current_variant().n_channels
         mi = _zero_mi(n, nch, ray.o.dtype)
         frame = Frame.from_normal(ray.d)
-        mi = mi._replace(sh_frame=frame, wi=frame.to_local(-ray.d),
+        # medium.cpp:46 keeps mi.wi in WORLD coordinates (-ray.d), unlike
+        # SurfaceInteraction's local wi: phase functions dot it against
+        # world directions. The old frame.to_local(-ray.d) collapsed wi
+        # to a constant local (0,0,-1), so the HG NEE eval mixed frames
+        # — measured ~10% darkening of forward-scattered single scatter
+        # on the volpath slab (the fused kernel, whose world-frame HG
+        # disagreed by exactly that margin, was the correct one).
+        mi = mi._replace(sh_frame=frame, wi=-ray.d,
                          time=ray.time, wavelengths=ray.wavelengths)
         aabb_its, mint, maxt = self.intersect_aabb(ray)
         active = jnp.asarray(active) & aabb_its

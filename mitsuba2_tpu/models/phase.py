@@ -39,7 +39,8 @@ class HGPhase(PhaseFunction):
 
     Directions follow the reference convention: wo measured such that the
     density around the *forward* continuation of the incident ray grows with
-    g > 0; mi.wi points toward the incoming direction (local frame)."""
+    g > 0; mi.wi = -ray.d in WORLD coordinates (medium.cpp:46) and wo is a
+    world direction — eval dots the two directly (hg.cpp:71)."""
 
     def __init__(self, props=None):
         super().__init__(props)

@@ -15,13 +15,19 @@ from mitsuba2_tpu.core.transform import Transform as T
 # volpath recaptured 2026-08-19 after fixing the shadow-walk ratio-
 # tracking null weight (the old 1.12317 was from the biased estimator —
 # the bug was found by tests/reference_pt2.py's independent Simpson-
-# quadrature arm, which now cross-validates this config in
-# test_independent_reference.py::test_independent_heterogeneous_grid;
-# the spectral config is cross-validated by
-# test_independent_spectral_cornell).
+# quadrature arm), and again 2026-08-20 after fixing the medium
+# interaction's wi frame (media_impl.py kept wi in the interaction's
+# LOCAL frame while HGPhase.eval dotted it against WORLD directions —
+# medium.cpp:46 keeps wi world; forward-scattered single scatter was
+# ~10% dark, isolated by a kernel-vs-wavefront depth bisect + a
+# constant-sigma isotropic quadrature check; the fused vol kernel's
+# independent world-frame HG agreed with the fix to 0.3%). The config
+# is cross-validated against the independent Simpson-quadrature tracer
+# in test_independent_reference.py::test_independent_heterogeneous_grid;
+# the spectral config by test_independent_spectral_cornell.
 GOLDEN = {
     "matpreview": (0.87095, 0.30803, 0.92733),
-    "volpath": (1.00677, 0.46262, 1.52746),
+    "volpath": (1.15684, 0.66419, 1.61097),
     "spectral_cornell": (0.16067, 0.01576, 0.10750),
 }
 

@@ -72,8 +72,17 @@ MAX_VOL_FACES = UNROLLED_CHUNKS * FACE_CHUNK     # unrolled sweep only
 MAX_GRID_DH = 16384       # (D*H) <= 128^2 (z/y one-hot rows per fetch)
 _DH_TRANSIENT = 1 << 20   # cap the (HWp, R_chunk) transient at ~4 MB f32
 MAX_GRID_W = 128          # x-axis must fit one lane tile of sublanes
-NULL_BUDGET = int(_os.environ.get("VK_NULL_BUDGET", "16"))  # delta-tracking steps per launch
-TR_BUDGET = int(_os.environ.get("VK_TR_BUDGET", "16"))    # ratio-tracking steps per NEE walk
+# delta-tracking steps per launch. Budget-exhausted lanes carry their
+# march point to the next launch — but n_launches is FIXED at
+# max_depth + LAUNCH_SLACK, so a small budget turns stall launches
+# into truncated deep paths. The nb8 ablation row's +6% is therefore
+# partly bias-speedup; 16 keeps stalls rare on maj*diameter ~ 7 media.
+NULL_BUDGET = int(_os.environ.get("VK_NULL_BUDGET", "16"))
+# ratio-tracking steps per NEE walk: budget exhaustion KEEPS partial T
+# (a truncation bias, like the wavefront's nee_loop_cap) — 16 keeps
+# P(walk > budget) ~1e-3-class on maj*diameter ~ 7 media; do not lower
+# for speed without bounding the truncated mass.
+TR_BUDGET = int(_os.environ.get("VK_TR_BUDGET", "16"))
 LAUNCH_SLACK = 2          # extra launches for budget-exhausted lanes
 # perf-ablation knobs (bias the image — timing analysis only)
 _ABL_NO_TR = _os.environ.get("VK_NO_TR") == "1"       # NEE Tr = 1
@@ -407,8 +416,16 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
         t_cum = tb0
         tcands = []
         u_reals = []
+        # tracking streams ride the cheap _mix32 counter RNG (megakernel
+        # _mix32: Weyl-offset murmur3 finalizer, ~10 VPU ops vs ~80 for
+        # a 5-round TEA pair): the delta + ratio walks draw 32 streams
+        # per launch, the largest single VPU block in the kernel.
+        # Bias-checked against TEA on a transmittance test; dims 2*step
+        # / 2*step+1 (delta) and 38..53 (NEE walk below) stay disjoint
+        # inside the launch's 64-dim window.
         for step in range(NULL_BUDGET):
-            u_dt, u_real = rng2(dim0 + step)
+            u_dt = _u01(_mix32(key, dim0 + 2 * step))
+            u_real = _u01(_mix32(key, dim0 + 2 * step + 1))
             dt = -jnp.log(jnp.maximum(1.0 - to_dense(u_dt), 1e-38)) \
                 * inv_maj
             t_cum = jnp.minimum(t_cum + dt, _BIG)
@@ -646,7 +663,7 @@ def _volpath_kernel(cam_ref, meta_ref, med_ref, woop_ref, fattr_ref,
             s_cum = sb0
             scands = []
             for step in range(TR_BUDGET):
-                u_s, _ = rng2(dim0 + 18 + step)
+                u_s = _u01(_mix32(key, dim0 + 38 + step))
                 ds_ = -jnp.log(jnp.maximum(1.0 - to_dense(u_s), 1e-38)) \
                     * inv_maj
                 s_cum = jnp.minimum(s_cum + ds_, _BIG)

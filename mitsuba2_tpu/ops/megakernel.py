@@ -72,6 +72,9 @@ _ABL_NO_SWEEP = _os.environ.get("MK_NO_SWEEP") == "1"
 # keep the per-row pl.when dispatch but empty the sweep body: isolates
 # Mosaic's predicated-region entry cost from the sweep's vector work
 _ABL_SWEEP_EMPTY = _os.environ.get("MK_SWEEP_EMPTY") == "1"
+# skip the winner's attribute pick + accumulator update (t-only sweep):
+# isolates the _dotpick matmul + 48-row acc RMW share of the sweep body
+_ABL_NO_ATTR = _os.environ.get("MK_NO_ATTR") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -102,8 +105,13 @@ _PI = 3.141592653589793
 _ROWS = 17          # rgb rows incl. pixel (back-compat constant)
 
 
-def _state_rows(nc, carry_pixel):
-    return 6 + 2 * nc + 4 + (1 if carry_pixel else 0)
+def _state_rows(nc, carry_pixel, carry_leaf=False):
+    # carry_leaf (HBM tier only): the bounce's hit-leaf id rides one
+    # extra row so the host resort can key rows on it — rays that left
+    # the same BVH leaf share their near-field overlap set, which is
+    # what bounds each 128-ray row's swept-leaf union (see _resort)
+    return 6 + 2 * nc + 4 + (1 if carry_pixel else 0) \
+        + (1 if carry_leaf else 0)
 
 
 # ----------------------------------------------------------------------------
@@ -358,7 +366,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_ggx, has_diel, has_plastic,
                  env_w, env_h, streamed, carry_pixel, nc=3, spectral=False,
-                 p_env=0.0, env_rot=None, env_rot_inv=None, hbm=False):
+                 p_env=0.0, env_rot=None, env_rot_inv=None, hbm=False,
+                 carry_leaf=False):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
 
     cam_ref (1,16) SMEM: [R00..R22 row-major dir basis (cols = camera x,y,z
@@ -446,10 +455,16 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         return [jnp.sum(d65_ref[:, k:k + 1] * pickw, axis=0) * ok
                 for k in (1, 2, 3)]
 
-    def _sweep_chunk(W, A_tab, odh, mint, maxt):
-        """Woop sweep of one chunk -> (tmin, A, u, v, pick). W is
+    def _sweep_chunk(W, A_tab, odh, mint, maxt, defer_attr=False):
+        """Woop sweep of one chunk -> (tmin, A, u, v, kmin). W is
         (4, 3C) in streamed mode, (3C, 4) unrolled. Lane count comes
-        from ``odh`` so subgroup (128-lane) sweeps reuse this body."""
+        from ``odh`` so subgroup (128-lane) sweeps reuse this body.
+        With ``defer_attr`` the winner's attribute pick is SKIPPED
+        (A is None, kmin identifies the face): measured MK_NO_ATTR
+        ablation put the _dotpick + 48-row accumulator update at ~85%
+        of the whole HBM-tier sweep (biggeo 0.61 vs 4.19 Mpaths/s), so
+        the HBM path resolves attributes once per ray AFTER the walk
+        (see closest_hit's resolve loop) instead of once per chunk."""
         Rl = odh.shape[1] // 2
         OD = _dot3T(W, odh) if streamed else _dot3(W, odh)   # (3C, 2Rl)
         O3, D3 = OD[:, :Rl], OD[:, Rl:]
@@ -476,7 +491,12 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         hit_row = tmin < _BIG * 0.5
         pick = ((ids == kmin[None, :])
                 & hit_row[None, :]).astype(jnp.float32)
-        A = _dotpick(A_tab, pick)                     # (40, Rl)
+        if defer_attr:
+            A = None
+        elif _ABL_NO_ATTR:
+            A = jnp.zeros((A_tab.shape[0], Rl), jnp.float32)
+        else:
+            A = _dotpick(A_tab, pick)                 # (40, Rl)
         if need_bary:
             # u/v may be inf/NaN on rejected faces; sanitize before the
             # pick-reduction (0 * inf would poison the sum)
@@ -486,7 +506,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             bv = jnp.sum(pick * v, axis=0)
         else:
             bu = bv = jnp.zeros((Rl,), jnp.float32)
-        return tmin, A, bu, bv
+        return tmin, A, bu, bv, kmin
 
     def _box_live(bref, idx, o3d, inv3d, mint_d, cap_d):
         """-> number of rays whose [mint, cap] segment overlaps box
@@ -656,6 +676,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
             acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
                                                    jnp.float32)
+            if carry_leaf:
+                acc_ref[4, :] = zero
             if need_bary:
                 acc_ref[1, :] = zero
                 acc_ref[2, :] = zero
@@ -691,25 +713,36 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  odh[:, R + q * 128:R + (q + 1) * 128]], axis=1)
                 for q in range(G)]
 
-            def _sweep_q(q, slot):
+            def _sweep_q(q, slot, lf):
+                # DEFERRED-ATTRIBUTE sweep (the MK_NO_ATTR ablation
+                # measured the per-chunk attr pick + 48-row accumulator
+                # update at ~85% of the whole render): the walk tracks
+                # only t_best (row 0), bary (1/2), winning leaf (4) and
+                # within-leaf face index (5); attributes resolve ONCE
+                # per ray after the traversal (closest_hit below).
                 sl = pl.ds(q * 128, 128)
                 if _ABL_SWEEP_EMPTY:
                     acc_ref[0, sl] = acc_ref[0, sl] + 0.0
                     return
                 for k in range(LEAF_CHUNKS):
-                    tmin, A, bu, bv = _sweep_chunk(
+                    tmin, _A, bu, bv, kmin = _sweep_chunk(
                         wbuf_ref[:, pl.ds(
                             slot * LW + k * 3 * C, 3 * C)],
                         abuf_ref[:, pl.ds(slot * LA + k * C, C)],
                         odh_sub[q],
                         mint[q * 128:(q + 1) * 128],
-                        maxt[q * 128:(q + 1) * 128])
+                        maxt[q * 128:(q + 1) * 128],
+                        defer_attr=True)
                     closer = tmin < acc_ref[0, sl]
                     acc_ref[0, sl] = jnp.where(
                         closer, tmin, acc_ref[0, sl])
-                    acc_ref[8:8 + _FA_COLS, sl] = jnp.where(
-                        closer[None, :], A,
-                        acc_ref[8:8 + _FA_COLS, sl])
+                    acc_ref[4, sl] = jnp.where(
+                        closer, lf.astype(jnp.float32),
+                        acc_ref[4, sl])
+                    acc_ref[5, sl] = jnp.where(
+                        closer,
+                        (kmin + k * C).astype(jnp.float32),
+                        acc_ref[5, sl])
                     if need_bary:
                         acc_ref[1, sl] = jnp.where(
                             closer, bu, acc_ref[1, sl])
@@ -724,10 +757,66 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 for q in range(G):
                     @pl.when((mask >> q) & 1 != 0)
                     def _(q=q):
-                        _sweep_q(q, slot)
+                        _sweep_q(q, slot, lf)
 
             _bvh_traverse(o3d, inv3d, mint_d, cap, start_leaf,
                           sweep_leaf)
+
+            # ---- deferred attribute resolve: one pick per DISTINCT
+            # winning leaf in the tile (not one per swept chunk, which
+            # the MK_NO_ATTR ablation measured at ~85% of the render).
+            # The loop walks winning leaves smallest-first with the
+            # 2-slot DMA pipeline: slot for leaf i+1 starts before
+            # leaf i's pick, so the HBM latency hides under the pick's
+            # one-hot build + matmul + accumulator write.
+            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
+                                                   jnp.float32)
+            lids_r = jax.lax.broadcasted_iota(jnp.int32, (LA, R), 0)
+            acc_ref[6, :] = (acc_ref[0, :] < _BIG * 0.5).astype(
+                jnp.float32)
+
+            def _next_lf(und):
+                return jnp.min(jnp.where(und, acc_ref[4, :], _BIG))
+
+            def _rcond(c):
+                return c[0] > 0.0
+
+            def _rbody(c):
+                _n, lf_f, slot = c
+                lf = lf_f.astype(jnp.int32)
+                und = acc_ref[6, :] > 0.5
+                sel = und & (acc_ref[4, :] == lf_f)
+                rem = und & ~sel
+                n_rem = jnp.sum(rem.astype(jnp.float32))
+                nxt = _next_lf(rem)
+
+                @pl.when(n_rem > 0.0)      # prefetch leaf i+1
+                def _():
+                    _copy_a(nxt.astype(jnp.int32), 1 - slot).start()
+
+                kb = acc_ref[5, :].astype(jnp.int32)
+                onehot = ((lids_r == kb[None, :])
+                          & sel[None, :]).astype(jnp.float32)
+                _copy_a(lf, slot).wait()
+                A = _dotpick(
+                    abuf_ref[:, pl.ds(slot * LA, LA)], onehot)
+                acc_ref[8:8 + _FA_COLS, :] = jnp.where(
+                    sel[None, :], A, acc_ref[8:8 + _FA_COLS, :])
+                acc_ref[6, :] = rem.astype(jnp.float32)
+                return (n_rem, nxt, 1 - slot)
+
+            if not (_ABL_NO_ATTR or _ABL_NO_SWEEP or _ABL_NO_LEAF
+                    or _ABL_SWEEP_EMPTY):
+                und0 = acc_ref[6, :] > 0.5
+                n0 = jnp.sum(und0.astype(jnp.float32))
+                lf0 = _next_lf(und0)
+
+                @pl.when(n0 > 0.0)
+                def _():
+                    _copy_a(lf0.astype(jnp.int32), 0).start()
+
+                jax.lax.while_loop(_rcond, _rbody,
+                                   (n0, lf0, jnp.int32(0)))
             t_best = acc_ref[0, :]
             A_best = acc_ref[8:8 + _FA_COLS, :]
             bu_best = acc_ref[1, :] if need_bary else zero
@@ -761,7 +850,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                         def _():
                             W = woop_ref[:, pl.ds(c * 3 * C, 3 * C)]
                             A_tab = fattr_ref[:, pl.ds(c * C, C)]
-                            tmin, A, bu, bv = _sweep_chunk(
+                            tmin, A, bu, bv, _km = _sweep_chunk(
                                 W, A_tab, odh, mint, maxt)
                             closer = tmin < acc_ref[0, :]
                             acc_ref[0, :] = jnp.where(
@@ -791,7 +880,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             bv_best = zero
             for c in range(n_chunks):
                 W = woop_ref[c * 3 * C:(c + 1) * 3 * C, :]   # (3C, 4)
-                tmin, A, bu, bv = _sweep_chunk(
+                tmin, A, bu, bv, _km = _sweep_chunk(
                     W, fattr_ref[:, c * C:(c + 1) * C], odh, mint, maxt)
                 closer = tmin < t_best
                 t_best = jnp.where(closer, tmin, t_best)
@@ -1299,6 +1388,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         maxt_f = to_flat(jnp.where(active, _BIG, -_BIG))
         t_f, A_f, bu_f, bv_f = closest_hit(oxf, oyf, ozf, dxf, dyf, dzf,
                                            zero, maxt_f)
+        # hit-leaf id for the host resort key (acc row 4, hbm sweeps)
+        leaf_d = to_dense(acc_ref[4, :]) if (hbm and carry_leaf) else None
 
         # checker/bitmap albedo payload resolve stays flat where the A
         # rows live. The payload is 3 floats per lane: linear rgb in rgb
@@ -1436,7 +1527,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             st_out_ref[...] = jnp.stack(
                 [dzero] * (6 + nc) + res_
                 + [dzero, dzero, key.view(jnp.float32), dzero]
-                + ([pix_f] if carry_pixel else []), axis=0)
+                + ([pix_f] if carry_pixel else [])
+                + ([dzero] if leaf_d is not None else []), axis=0)
             return
 
         pay = [to_dense(alb_r_f), to_dense(alb_g_f), to_dense(alb_b_f)]
@@ -1857,7 +1949,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             pxx + nx * off, pyy + ny * off, pzz + nz * off,
             ndx, ndy, ndz] + thr_ + res_ + [mis_pdf,
             act.astype(jnp.float32), key.view(jnp.float32), eta_st_]
-            + ([pix_f] if carry_pixel else []), axis=0)
+            + ([pix_f] if carry_pixel else [])
+            + ([leaf_d] if leaf_d is not None else []), axis=0)
 
     if depth == 0:
         run_bounce()
@@ -1875,7 +1968,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 st_out_ref[...] = jnp.stack(
                     [dzero] * (6 + nc) + res_d
                     + [dzero, dzero, key.view(jnp.float32), dzero]
-                    + ([pix_f] if carry_pixel else []), axis=0)
+                    + ([pix_f] if carry_pixel else [])
+                    + ([dzero] if (hbm and carry_leaf) else []), axis=0)
             else:
                 st_out_ref[...] = st_in_ref[...]
 
@@ -2636,7 +2730,17 @@ class DiffusePathMegakernel:
         # bounces loses MORE to incoherent sweeps (35k-face bench:
         # every=1 0.89 Mpaths/s, every=2 0.63) — sort every bounce
         sort_every = int(os.environ.get("MK_SORT_EVERY", "1"))
-        rows = _state_rows(self.nc, do_sort)
+        # HBM tier: key the resort on the bounce's HIT LEAF (carried in
+        # an extra state row) — rays that left the same BVH leaf share
+        # their near-field overlap set, so rows assembled from one leaf
+        # sweep close to the per-ray ideal instead of a 128-ray union
+        # (sim_bvh_culling: union 49-78 leaves/tile vs ideal 2-3.6;
+        # per-row masks got to 16-20). MK_SORT_KEY=morton restores the
+        # round-4 origin-morton key for A/B measurement.
+        _sort_key_mode = os.environ.get("MK_SORT_KEY", "leaf")
+        carry_leaf = (do_sort and self.hbm
+                      and _sort_key_mode != "morton")
+        rows = _state_rows(self.nc, do_sort, carry_leaf)
         base_aux = 6 + 2 * self.nc
         mat = jnp.asarray(np.asarray(sensor.world_transform.matrix,
                                      np.float32))
@@ -2716,7 +2820,42 @@ class DiffusePathMegakernel:
                       + 2 * (flat[4] > 0).astype(jnp.int32)
                       + 4 * (flat[5] > 0).astype(jnp.int32))
             morton = (q[0] << 2) | (q[1] << 1) | q[2]
-            if self.hbm:
+            if self.hbm and carry_leaf:
+                if _sort_key_mode == "dir":
+                    # octant . |d|-order cone (6 sub-cones per octant) .
+                    # full morton: measured A/B against the leaf key —
+                    # the hit-leaf key reproduced the morton key's
+                    # counters exactly (179 vs 181 row-sweeps/tile-
+                    # bounce), so the row unions are DIRECTION-spread;
+                    # this key trades origin-tail bits for a ~20-30
+                    # degree direction cone per row.
+                    ax = jnp.abs(flat[3])
+                    ay = jnp.abs(flat[4])
+                    az = jnp.abs(flat[5])
+                    d3 = ((ax > ay).astype(jnp.int32)
+                          + 2 * (ay > az).astype(jnp.int32)
+                          + 4 * (ax > az).astype(jnp.int32))
+                    key = (octant << 28) | (d3 << 25) | (morton >> 0)
+                elif _sort_key_mode == "dirleaf":
+                    ax = jnp.abs(flat[3])
+                    ay = jnp.abs(flat[4])
+                    az = jnp.abs(flat[5])
+                    d3 = ((ax > ay).astype(jnp.int32)
+                          + 2 * (ay > az).astype(jnp.int32)
+                          + 4 * (ax > az).astype(jnp.int32))
+                    leaf_i = flat[base_aux + 5].astype(jnp.int32)
+                    key = ((octant << 28) | (d3 << 25)
+                           | (leaf_i << 13) | (morton >> 11))
+                else:
+                    # octant . HIT-LEAF . coarse-morton: rows built from
+                    # one (octant, leaf) bucket pay only that bucket's
+                    # shared near-field leaf set in the per-row sweep
+                    # masks. Leaf ids fit 12 bits (<= 4096 leaves),
+                    # morton keeps its top 16 bits for in-bucket origin
+                    # locality.
+                    leaf_i = flat[base_aux + 5].astype(jnp.int32)
+                    key = (octant << 28) | (leaf_i << 16) | (morton >> 8)
+            elif self.hbm:
                 # HBM BVH tier: octant in the HIGH bits. The ordered
                 # traversal picks each split's near child from the
                 # tile-dominant direction sign, and the per-tile wedge
@@ -2752,6 +2891,7 @@ class DiffusePathMegakernel:
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
                 streamed=self.streamed, carry_pixel=do_sort,
+                carry_leaf=carry_leaf,
                 nc=self.nc, spectral=self.spectral,
                 p_env=self.p_env, env_rot=self.env_rot,
                 env_rot_inv=self.env_rot_inv, hbm=self.hbm)

@@ -41,6 +41,12 @@ CONFIGS = [
     ("no_sweep", {"MK_NO_SWEEP": "1"}),
     ("leaf1", {"MK_LEAF_CHUNKS": "1"}),
     ("leaf4", {"MK_LEAF_CHUNKS": "4"}),
+    # keeps the per-row pl.when dispatch but empties the sweep body:
+    # isolates the predicated-region entry + DMA-wait + accumulator
+    # cost from the face math (op-lean epilogue moved biggeo 0.604 ->
+    # 0.610, so the sweep is NOT bound by its vector ops)
+    ("sweep_empty", {"MK_SWEEP_EMPTY": "1"}),
+    ("leaf1_noshadow", {"MK_LEAF_CHUNKS": "1", "MK_NO_SHADOW": "1"}),
 ]
 
 
@@ -51,8 +57,13 @@ def main():
             continue
         e = dict(os.environ)
         e.update(env)
-        r = subprocess.run([sys.executable, "-c", CHILD], env=e,
-                           capture_output=True, text=True, timeout=1800)
+        try:
+            r = subprocess.run([sys.executable, "-c", CHILD], env=e,
+                               capture_output=True, text=True,
+                               timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"{name:12s} TIMEOUT (1800 s)", flush=True)
+            continue
         line = [ln for ln in r.stdout.splitlines() if "RESULT" in ln]
         print(f"{name:12s} {line[0] if line else 'FAILED: ' + r.stderr[-300:]}",
               flush=True)

@@ -36,8 +36,13 @@ def main():
             continue
         e = dict(os.environ)
         e.update(env)
-        r = subprocess.run([sys.executable, "-c", CHILD], env=e,
-                           capture_output=True, text=True, timeout=1800)
+        try:
+            r = subprocess.run([sys.executable, "-c", CHILD], env=e,
+                               capture_output=True, text=True,
+                               timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"{name:12s} TIMEOUT (1800 s)", flush=True)
+            continue
         line = [ln for ln in r.stdout.splitlines() if "volpath" in ln]
         print(f"{name:12s} {line[0] if line else 'FAILED: ' + r.stderr[-300:]}",
               flush=True)

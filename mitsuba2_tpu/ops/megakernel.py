@@ -75,6 +75,9 @@ _ABL_SWEEP_EMPTY = _os.environ.get("MK_SWEEP_EMPTY") == "1"
 # skip the winner's attribute pick + accumulator update (t-only sweep):
 # isolates the _dotpick matmul + 48-row acc RMW share of the sweep body
 _ABL_NO_ATTR = _os.environ.get("MK_NO_ATTR") == "1"
+# HBM tier: deferred (per-winning-leaf) vs eager (per-chunk) attribute
+# resolution — see _sweep_q / the resolve loop in closest_hit
+_DEFER_ATTR = _os.environ.get("MK_DEFER_ATTR", "1") == "1"
 VMEM_LIMIT = 100 * 1024 * 1024   # scoped-vmem cap requested from Mosaic
 FACE_CHUNK = 128         # faces per VMEM sweep when F > FACE_CHUNK
 # beyond this many chunks the face sweep switches from the unrolled loop
@@ -86,8 +89,10 @@ MAX_FACES = 65536        # VMEM-resident tables: 64k faces ~ 13.6 MB
 # 512-face leaves is traversed per ray tile with an SMEM stack, surviving
 # leaves DMA'd into VMEM scratch and swept (kdtree.h:2079's role, tiled)
 LEAF_CHUNKS = int(_os.environ.get("MK_LEAF_CHUNKS", "2"))
-#              FACE_CHUNK-chunks per HBM leaf (256 faces: measured 17%
-#              over 512-face leaves at 262k — finer leaves cull better)
+#              FACE_CHUNK-chunks per HBM leaf (256 faces). 128-face
+#              leaves measure +3% at 262k faces under the deferred
+#              resolve (r5 ablation) but halve the 4096-leaf tier cap
+#              to 524k faces — MK_LEAF_CHUNKS=1 opts in per run.
 MAX_FACES_HBM = 4096 * LEAF_CHUNKS * FACE_CHUNK   # 1M faces (4096 leaves)
 _STACK_DEPTH = 64
 MAX_SPHERES = 64
@@ -406,6 +411,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
     role (kdtree.h:2079) done per tile at two granularities.
     """
     i = pl.program_id(0)
+    FA = fattr_ref.shape[0]        # scene-packed attr rows (<= _FA_COLS)
     G = st_out_ref.shape[1]
     R = G * 128
     C = chunk
@@ -674,7 +680,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             jnp.stack([dx, dy, dz, zero], axis=0)], axis=1)  # (4, 2R)
         if hbm:
             acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
-            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
+            acc_ref[8:8 + FA, :] = jnp.zeros((FA, R),
                                                    jnp.float32)
             if carry_leaf:
                 acc_ref[4, :] = zero
@@ -720,29 +726,40 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 # only t_best (row 0), bary (1/2), winning leaf (4) and
                 # within-leaf face index (5); attributes resolve ONCE
                 # per ray after the traversal (closest_hit below).
+                # MK_DEFER_ATTR=0 restores the eager per-chunk pick
+                # (A/B: with scene-packed attr rows the two are close).
                 sl = pl.ds(q * 128, 128)
                 if _ABL_SWEEP_EMPTY:
                     acc_ref[0, sl] = acc_ref[0, sl] + 0.0
                     return
                 for k in range(LEAF_CHUNKS):
-                    tmin, _A, bu, bv, kmin = _sweep_chunk(
+                    tmin, A, bu, bv, kmin = _sweep_chunk(
                         wbuf_ref[:, pl.ds(
                             slot * LW + k * 3 * C, 3 * C)],
                         abuf_ref[:, pl.ds(slot * LA + k * C, C)],
                         odh_sub[q],
                         mint[q * 128:(q + 1) * 128],
                         maxt[q * 128:(q + 1) * 128],
-                        defer_attr=True)
+                        defer_attr=_DEFER_ATTR)
                     closer = tmin < acc_ref[0, sl]
                     acc_ref[0, sl] = jnp.where(
                         closer, tmin, acc_ref[0, sl])
-                    acc_ref[4, sl] = jnp.where(
-                        closer, lf.astype(jnp.float32),
-                        acc_ref[4, sl])
-                    acc_ref[5, sl] = jnp.where(
-                        closer,
-                        (kmin + k * C).astype(jnp.float32),
-                        acc_ref[5, sl])
+                    if _DEFER_ATTR:
+                        acc_ref[4, sl] = jnp.where(
+                            closer, lf.astype(jnp.float32),
+                            acc_ref[4, sl])
+                        acc_ref[5, sl] = jnp.where(
+                            closer,
+                            (kmin + k * C).astype(jnp.float32),
+                            acc_ref[5, sl])
+                    else:
+                        if A is not None:
+                            acc_ref[8:8 + FA, sl] = jnp.where(
+                                closer[None, :], A,
+                                acc_ref[8:8 + FA, sl])
+                        acc_ref[4, sl] = jnp.where(
+                            closer, lf.astype(jnp.float32),
+                            acc_ref[4, sl])
                     if need_bary:
                         acc_ref[1, sl] = jnp.where(
                             closer, bu, acc_ref[1, sl])
@@ -769,8 +786,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
             # 2-slot DMA pipeline: slot for leaf i+1 starts before
             # leaf i's pick, so the HBM latency hides under the pick's
             # one-hot build + matmul + accumulator write.
-            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
-                                                   jnp.float32)
+            if _DEFER_ATTR:
+                acc_ref[8:8 + FA, :] = jnp.zeros((FA, R), jnp.float32)
             lids_r = jax.lax.broadcasted_iota(jnp.int32, (LA, R), 0)
             acc_ref[6, :] = (acc_ref[0, :] < _BIG * 0.5).astype(
                 jnp.float32)
@@ -800,13 +817,13 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 _copy_a(lf, slot).wait()
                 A = _dotpick(
                     abuf_ref[:, pl.ds(slot * LA, LA)], onehot)
-                acc_ref[8:8 + _FA_COLS, :] = jnp.where(
-                    sel[None, :], A, acc_ref[8:8 + _FA_COLS, :])
+                acc_ref[8:8 + FA, :] = jnp.where(
+                    sel[None, :], A, acc_ref[8:8 + FA, :])
                 acc_ref[6, :] = rem.astype(jnp.float32)
                 return (n_rem, nxt, 1 - slot)
 
-            if not (_ABL_NO_ATTR or _ABL_NO_SWEEP or _ABL_NO_LEAF
-                    or _ABL_SWEEP_EMPTY):
+            if _DEFER_ATTR and not (_ABL_NO_ATTR or _ABL_NO_SWEEP
+                                    or _ABL_NO_LEAF or _ABL_SWEEP_EMPTY):
                 und0 = acc_ref[6, :] > 0.5
                 n0 = jnp.sum(und0.astype(jnp.float32))
                 lf0 = _next_lf(und0)
@@ -818,12 +835,12 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                 jax.lax.while_loop(_rcond, _rbody,
                                    (n0, lf0, jnp.int32(0)))
             t_best = acc_ref[0, :]
-            A_best = acc_ref[8:8 + _FA_COLS, :]
+            A_best = acc_ref[8:8 + FA, :]
             bu_best = acc_ref[1, :] if need_bary else zero
             bv_best = acc_ref[2, :] if need_bary else zero
         elif streamed:
             acc_ref[0, :] = jnp.full((R,), _BIG, jnp.float32)
-            acc_ref[8:8 + _FA_COLS, :] = jnp.zeros((_FA_COLS, R),
+            acc_ref[8:8 + FA, :] = jnp.zeros((FA, R),
                                                    jnp.float32)
             if need_bary:
                 acc_ref[1, :] = zero
@@ -855,9 +872,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                             closer = tmin < acc_ref[0, :]
                             acc_ref[0, :] = jnp.where(
                                 closer, tmin, acc_ref[0, :])
-                            acc_ref[8:8 + _FA_COLS, :] = jnp.where(
+                            acc_ref[8:8 + FA, :] = jnp.where(
                                 closer[None, :], A,
-                                acc_ref[8:8 + _FA_COLS, :])
+                                acc_ref[8:8 + FA, :])
                             if need_bary:
                                 acc_ref[1, :] = jnp.where(
                                     closer, bu, acc_ref[1, :])
@@ -870,12 +887,12 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
 
             jax.lax.fori_loop(0, n_super, super_body, 0)
             t_best = acc_ref[0, :]
-            A_best = acc_ref[8:8 + _FA_COLS, :]
+            A_best = acc_ref[8:8 + FA, :]
             bu_best = acc_ref[1, :] if need_bary else zero
             bv_best = acc_ref[2, :] if need_bary else zero
         else:
             t_best = jnp.full((R,), _BIG, jnp.float32)
-            A_best = jnp.zeros((_FA_COLS, R), jnp.float32)
+            A_best = jnp.zeros((FA, R), jnp.float32)
             bu_best = zero
             bv_best = zero
             for c in range(n_chunks):
@@ -2511,6 +2528,34 @@ class DiffusePathMegakernel:
         self.qd = jnp.asarray(qd.T.copy())             # (16, Q)
         self._qattr_static = qattr
 
+        # scene-packed attribute row count: every A_f reader above row
+        # 10 sits behind a static feature flag, so scenes that don't
+        # use a feature don't pay its rows in the per-chunk attribute
+        # pick, the accumulator where-updates, or the HBM-tier deferred
+        # resolve (the MK_NO_ATTR ablation put those at ~85% of the
+        # 262k-face render: a diffuse-only scene packs 48 -> 16 rows).
+        fa = 11                                        # ng/alb/Le/lpdf/kind
+        if self.has_ggx or self.has_plastic:
+            fa = 12                                    # alpha
+        if self.has_ggx:
+            fa = 18                                    # eta/k
+        need_uv = self.has_checker or self.has_bitmap
+        if need_uv or self.has_diel or self.has_plastic:
+            fa = 21                                    # c2 payload
+        if need_uv:
+            fa = 33                                    # uv/duv/to_uv
+        if self.has_diel or self.has_plastic:
+            fa = 38                                    # eta_d/ssw/fdr/...
+        if self.has_quads:
+            fa = 39                                    # quad flip
+        if self.has_bitmap:
+            fa = 43                                    # atlas region
+        if self.spectral:
+            fa = max(fa, 44)                           # le_scale
+        if self.spectral and self.has_ggx:
+            fa = 46                                    # conductor fit span
+        self.fa = min(_pad8(fa), _FA_COLS)
+
         # envmap (rigid to_world rotations handled in-kernel)
         env_e = scene.environment_emitter
         self.has_env = env_e is not None
@@ -2650,12 +2695,12 @@ class DiffusePathMegakernel:
             c1 = jnp.stack([jnp.broadcast_to(self._shape_c1(s), (3,))
                             for s in scene.shapes])
             static = static.at[:self.n_faces, 18:21].set(c1[self._fs])
-        return static.T
+        return static.T[:self.fa]
 
     def _qattr(self):
         static = jnp.asarray(self._qattr_static)
         if not self._quad_shape_idx:
-            return static.T
+            return static.T[:self.fa]
         scene = self._scene
         alb = jnp.stack([
             jnp.broadcast_to(
@@ -2669,12 +2714,12 @@ class DiffusePathMegakernel:
                 for s_idx in self._quad_shape_idx])
             static = static.at[:len(self._quad_shape_idx),
                                18:21].set(c1)
-        return static.T
+        return static.T[:self.fa]
 
     def _sattr(self):
         static = jnp.asarray(self._sattr_static)
         if not self._sph_shape_idx:
-            return static.T
+            return static.T[:self.fa]
         scene = self._scene
         alb = jnp.stack([
             jnp.broadcast_to(
@@ -2687,7 +2732,7 @@ class DiffusePathMegakernel:
                     self._shape_c1(scene.shapes[s_idx]), (3,))
                 for s_idx in self._sph_shape_idx])
             static = static.at[:len(self._sph_shape_idx), 18:21].set(c1)
-        return static.T
+        return static.T[:self.fa]
 
     def render_pass(self, sensor, seed, sample_base, spp_pass,
                     row0=0, n_rows=None):
@@ -2759,7 +2804,7 @@ class DiffusePathMegakernel:
             fattr_spec = pl.BlockSpec(memory_space=pl.ANY)
         else:
             woop_spec = pl.BlockSpec(self.woop.shape, lambda i: (0, 0))
-            fattr_spec = pl.BlockSpec((_FA_COLS, self._F),
+            fattr_spec = pl.BlockSpec((self.fa, self._F),
                                       lambda i: (0, 0))
         in_specs = [
             pl.BlockSpec((1, 16), lambda i: (0, 0),
@@ -2770,10 +2815,10 @@ class DiffusePathMegakernel:
             fattr_spec,
             pl.BlockSpec(self.lights.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.sph.shape, lambda i: (0, 0)),
-            pl.BlockSpec((_FA_COLS, self.sph.shape[1]),
+            pl.BlockSpec((self.fa, self.sph.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.qd.shape, lambda i: (0, 0)),
-            pl.BlockSpec((_FA_COLS, self.qd.shape[1]),
+            pl.BlockSpec((self.fa, self.qd.shape[1]),
                          lambda i: (0, 0)),
             pl.BlockSpec(self.env.shape, lambda i: (0, 0)),
             pl.BlockSpec(self.envs.shape, lambda i: (0, 0)),
@@ -2905,10 +2950,10 @@ class DiffusePathMegakernel:
                 out_shape=jax.ShapeDtypeStruct(
                     (rows, n_pad // 128, 128), jnp.float32),
                 scratch_shapes=[
-                    pltpu.VMEM((8 + _FA_COLS, tile), jnp.float32),
+                    pltpu.VMEM((8 + self.fa, tile), jnp.float32),
                     # 2 leaf slots (double-buffered HBM->VMEM pipeline)
                     pltpu.VMEM((4, 2 * LEAF_CHUNKS * 3 * C), jnp.float32),
-                    pltpu.VMEM((_FA_COLS, 2 * LEAF_CHUNKS * C),
+                    pltpu.VMEM((self.fa, 2 * LEAF_CHUNKS * C),
                                jnp.float32),
                     pltpu.SMEM((_STACK_DEPTH,), jnp.int32),
                     # [0] pending leaf, [1] next DMA slot, [2] row mask,

@@ -84,10 +84,13 @@ def dispatch_sorted(idx, operands, branches, fallback, tile: int = 8192):
 
 
 def worth_sorting(n_lanes: int, n_families: int, tile: int = 8192,
-                  min_families: int = 4) -> bool:
+                  min_families: int = 7) -> bool:
     """Gate: the sort + two full-width gathers only amortize when there
     are enough families to skip and enough tiles that boundary (mixed)
-    tiles are a small fraction."""
+    tiles are a small fraction. min_families retuned from the measured
+    TPU A/B (benchmarks/logs/sorted_dispatch_r5.log, bit-identical
+    images): 10 distinct families run 1.33x over the masked sweeps,
+    5 families are a wash (0.98x) — the crossover sits ~6-7."""
     if n_families < min_families:
         return False
     n_tiles = (n_lanes + tile - 1) // tile

@@ -370,7 +370,8 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
                  depth, max_depth, rr_depth, n_faces, chunk, spp_pass,
                  width, height, n_lanes, has_spheres, has_quads, has_env,
                  has_checker, has_bitmap, has_ggx, has_diel, has_plastic,
-                 env_w, env_h, streamed, carry_pixel, nc=3, spectral=False,
+                 env_w, env_h, env_ws, env_hs, streamed, carry_pixel,
+                 nc=3, spectral=False,
                  p_env=0.0, env_rot=None, env_rot_inv=None, hbm=False,
                  carry_leaf=False):
     """One program = one path bounce at static ``depth`` for RAY_TILE rays.
@@ -1258,8 +1259,9 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         the same function of direction the env_sample arm claims, so the
         MIS weights at the sample site and the escape site sum to 1."""
         u, v, st = env_uv(dx, dy, dz)
-        iu = jnp.mod(jnp.floor(u * env_w).astype(jnp.int32), env_w)
-        iv = jnp.clip(jnp.floor(v * env_h).astype(jnp.int32), 0, env_h - 1)
+        iu = jnp.mod(jnp.floor(u * env_ws).astype(jnp.int32), env_ws)
+        iv = jnp.clip(jnp.floor(v * env_hs).astype(jnp.int32), 0,
+                      env_hs - 1)
         envs = envs_ref[:]
         Wp2 = (envs.shape[0] - 8) // 2
         H = envs.shape[1]
@@ -1268,7 +1270,7 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         pmfcol = _dot3(envs[Wp2:2 * Wp2], vrow)            # (Wp2, R)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Wp2, R), 0)
         pmf = jnp.sum(jnp.where(cols == iu[None, :], pmfcol, 0.0), axis=0)
-        return pmf * (env_w * env_h) / jnp.maximum(
+        return pmf * (env_ws * env_hs) / jnp.maximum(
             2.0 * _PI * _PI * st, 1e-8)
 
     def env_sample(u1, u2, j1, j2):
@@ -1282,24 +1284,24 @@ def _path_kernel(cam_ref, meta_ref, woop_ref, fattr_ref, lt_ref, sph_ref,
         marg_cdf = envs[2 * Wp2]                           # (H,)
         iv = jnp.sum((marg_cdf[:, None] <= u1[None, :]).astype(jnp.int32),
                      axis=0)
-        iv = jnp.clip(iv, 0, env_h - 1)
+        iv = jnp.clip(iv, 0, env_hs - 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (H, R), 0)
         vrow = (rows == iv[None, :]).astype(jnp.float32)
         both = _dot3(envs[:2 * Wp2], vrow)                 # (2Wp2, R)
         cond_cdf, pmfcol = both[:Wp2], both[Wp2:]
         iu = jnp.sum((cond_cdf <= u2[None, :]).astype(jnp.int32), axis=0)
-        iu = jnp.clip(iu, 0, env_w - 1)
+        iu = jnp.clip(iu, 0, env_ws - 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Wp2, R), 0)
         pmf = jnp.sum(jnp.where(cols == iu[None, :], pmfcol, 0.0), axis=0)
-        uu = (iu.astype(jnp.float32) + j1) / env_w
-        vv = (iv.astype(jnp.float32) + j2) / env_h
+        uu = (iu.astype(jnp.float32) + j1) / env_ws
+        vv = (iv.astype(jnp.float32) + j2) / env_hs
         theta = vv * _PI
         phi = (uu - 0.5) * (2.0 * _PI)
         st = jnp.sin(theta)
         ldx = st * jnp.sin(phi)
         ldy = jnp.cos(theta)
         ldz = -st * jnp.cos(phi)
-        pdf_sa = pmf * (env_w * env_h) / jnp.maximum(
+        pdf_sa = pmf * (env_ws * env_hs) / jnp.maximum(
             2.0 * _PI * _PI * st, 1e-8)
         payload = env_fetch_uv(uu, vv)
         if env_rot is not None:
@@ -2600,18 +2602,57 @@ class DiffusePathMegakernel:
                    + 0.0722 * data[..., 2])
             stheta = np.sin((np.arange(h) + 0.5) * np.pi / h)
             imp = np.maximum(lum, 0.0) * stheta[:, None] + 1e-12
-            pmf = (imp / imp.sum()).astype(np.float32)     # (h, w)
+            # SAMPLING runs on a sum-pooled coarse importance grid
+            # (<=128x64): the env NEE arm was 37% of matpreview
+            # (prof_matpreview_abl), almost all of it the CDF-inversion
+            # matmuls + one-hot picks whose cost is O(W*H). Coverage is
+            # exact (sum-pooling preserves support), the estimator stays
+            # unbiased because env_pdf claims the SAME coarse density
+            # the sampler uses while the radiance payload is still the
+            # full-res bilinear fetch; only variance near sub-texel
+            # features changes (envmap.cpp:67's Hierarchical2D is also
+            # a mip hierarchy, not the full-res grid).
+            ws, hs = w, h
+            cap_w = int(_osm.environ.get("MK_ENV_SAMPLE_W", "64"))
+            cap_h = int(_osm.environ.get("MK_ENV_SAMPLE_H", "32"))
+            # ADAPTIVE: only coarsen while no texel concentrates the
+            # importance (max pmf < conc x uniform). A sub-texel sun
+            # (the matpreview ^400 blob) fails the guard and keeps full
+            # resolution — measured: coarsening past it broke the
+            # 2.5x env-NEE variance-parity bar while buying +8%
+            # throughput; smooth HDRIs coarsen safely.
+            conc = float(_osm.environ.get("MK_ENV_SAMPLE_CONC", "32"))
+
+            def _diffuse_enough(a):
+                return a.max() / a.sum() * a.size < conc
+
+            while ((ws > cap_w and ws % 2 == 0)
+                   or (hs > cap_h and hs % 2 == 0)):
+                nxt = imp
+                nw, nh = ws, hs
+                if ws > cap_w and ws % 2 == 0:
+                    nxt = nxt.reshape(nxt.shape[0], -1, 2).sum(-1)
+                    nw //= 2
+                if hs > cap_h and hs % 2 == 0:
+                    nxt = nxt.reshape(-1, 2, nxt.shape[1]).sum(1)
+                    nh //= 2
+                if not _diffuse_enough(nxt):
+                    break
+                imp, ws, hs = nxt, nw, nh
+            self.env_ws, self.env_hs = ws, hs
+            wps, hps = _pad8(ws), _pad8(hs)
+            pmf = (imp / imp.sum()).astype(np.float32)     # (hs, ws)
             row_sum = pmf.sum(axis=1)
             marg_cdf = np.cumsum(row_sum)
             cond_cdf = np.cumsum(
                 pmf / np.maximum(row_sum[:, None], 1e-20), axis=1)
-            envs = np.zeros((2 * wp + 8, hp), np.float32)
-            envs[:wp, :] = 2.0
-            envs[:w, :h] = cond_cdf.T
-            envs[wp:wp + w, :h] = pmf.T
-            envs[2 * wp, :h] = marg_cdf
-            envs[2 * wp, h:] = 2.0
-            self.envs = jnp.asarray(envs)                  # (2W+8, H)
+            envs = np.zeros((2 * wps + 8, hps), np.float32)
+            envs[:wps, :] = 2.0
+            envs[:ws, :hs] = cond_cdf.T
+            envs[wps:wps + ws, :hs] = pmf.T
+            envs[2 * wps, :hs] = marg_cdf
+            envs[2 * wps, hs:] = 2.0
+            self.envs = jnp.asarray(envs)                  # (2Ws+8, Hs)
             M = np.asarray(env_e.to_world.matrix, np.float32)[:3, :3]
             if not np.allclose(M, np.eye(3), atol=1e-6):
                 self.env_rot = tuple(float(x) for x in M.reshape(-1))
@@ -2619,6 +2660,7 @@ class DiffusePathMegakernel:
                     float(x) for x in M.T.reshape(-1))
         else:
             self.env_w, self.env_h = 8, 8
+            self.env_ws, self.env_hs = 8, 8
             self.env = jnp.zeros((24, 8), jnp.float32)
             self.envs = jnp.zeros((24, 8), jnp.float32)
 
@@ -2935,6 +2977,7 @@ class DiffusePathMegakernel:
                 has_ggx=self.has_ggx,
                 has_diel=self.has_diel, has_plastic=self.has_plastic,
                 env_w=self.env_w, env_h=self.env_h,
+                env_ws=self.env_ws, env_hs=self.env_hs,
                 streamed=self.streamed, carry_pixel=do_sort,
                 carry_leaf=carry_leaf,
                 nc=self.nc, spectral=self.spectral,
